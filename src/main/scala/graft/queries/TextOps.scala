@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sql, Tables}
+
+/** Text-analysis + deduplication surface over the `documents` table —
+  * the training-data-pipeline operator family (language ID, quality
+  * scoring, token counting, fingerprinting, exact/fuzzy dedup).
+  *
+  * All of these are pure column expressions (whole-stage codegen, no
+  * UDFs): at 100 TB the text ops are embarrassingly parallel scans, and
+  * dedup reduces to hash-shuffles on digest keys.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** count of non-overlapping occurrences of `pat` in `c` (replace trick —
+    * portable to any SQL engine). */
+  private def occurrences(c: Column, pat: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("long")
+
+  private def occSql(c: String, pat: String): String =
+    s"(length($c) - length(replace($c, '$pat', ''))) / ${pat.length}"
+
+  /** Text statistics: char/word counts, average word length. */
+  val q30TextStats = Q(
+    "q30_text_stats",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+      val nWords = spaces + 1
+      d.select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.cast("long").as("n_words"),
+        round((length(col("text")) - spaces).cast("double") / nWords, 6)
+          .as("avg_word_len"))
+    },
+    Some("""
+      SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+             round(CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                   / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len
+      FROM documents"""))
+
+  /** Token counting: whitespace tokens, distinct tokens (vocabulary). */
+  val q31TokenCount = Q(
+    "q31_token_count",
+    (s, dir) => {
+      val toks = split(col("text"), " ", -1)
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+      FROM documents"""))
+
+  /** Quality scoring: length + lexical-diversity + stopword-ratio mix,
+    * then a quality CASE ladder (keep / review / drop).
+    */
+  val q32QualityScore = Q(
+    "q32_quality_score",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      val toks = split(col("text"), " ", -1)
+      val nTokens = size(toks).cast("double")
+      val diversity = size(array_distinct(toks)).cast("double") / nTokens
+      val stops = (occurrences(col("text"), " the ") +
+        occurrences(col("text"), " a ") + occurrences(col("text"), " of ")).cast("double")
+      val stopRatio = round(stops / nTokens, 6)
+      val lenScore = least(nTokens / lit(100.0), lit(1.0))
+      val score = round(lenScore * 0.4 + diversity * 0.4 + least(stopRatio * 5, lit(1.0)) * 0.2, 6)
+      d.select(col("doc_id"), score.as("quality"),
+        when(score >= 0.5, "keep").when(score >= 0.3, "review").otherwise("drop")
+          .as("verdict"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+               CAST(${occSql("text", " the ")} + ${occSql("text", " a ")}
+                    + ${occSql("text", " of ")} AS DOUBLE) AS stops
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + (n_distinct / n_tokens) * 0.4
+                     + least(round(stops / n_tokens, 6) * 5, 1.0) * 0.2, 6) AS quality
+        FROM f)
+      SELECT doc_id, quality,
+             CASE WHEN quality >= 0.5 THEN 'keep'
+                  WHEN quality >= 0.3 THEN 'review'
+                  ELSE 'drop' END AS verdict
+      FROM sc"""))
+
+  /** Language ID: marker-token n-gram heuristic (argmax over per-language
+    * marker counts with a deterministic tie order).
+    */
+  val q33LangId = Q(
+    "q33_lang_id",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      val en = occurrences(col("text"), " the ") + occurrences(col("text"), " of ")
+      val es = occurrences(col("text"), " el ") + occurrences(col("text"), " de ")
+      val de = occurrences(col("text"), " der ") + occurrences(col("text"), " und ")
+      val fr = occurrences(col("text"), " le ") + occurrences(col("text"), " et ")
+      val best = greatest(en, es, de, fr)
+      d.select(col("doc_id"), col("lang"),
+        when(best === 0, "und")
+          .when(en === best, "en").when(es === best, "es")
+          .when(de === best, "de").otherwise("fr").as("predicted"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, lang,
+               ${occSql("text", " the ")} + ${occSql("text", " of ")} AS en,
+               ${occSql("text", " el ")} + ${occSql("text", " de ")} AS es,
+               ${occSql("text", " der ")} + ${occSql("text", " und ")} AS de,
+               ${occSql("text", " le ")} + ${occSql("text", " et ")} AS fr
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, de, fr) THEN 'en'
+                  WHEN es = greatest(en, es, de, fr) THEN 'es'
+                  WHEN de = greatest(en, es, de, fr) THEN 'de'
+                  ELSE 'fr' END AS predicted
+      FROM m"""))
+
+  /** Exact dedup: md5 digest groups, canonical survivor = min doc_id
+    * (hash-groupBy — one shuffle on the digest at any scale).
+    */
+  val q34DedupExact = Q(
+    "q34_dedup_exact",
+    (s, dir) => {
+      val w = Window.partitionBy("digest").orderBy("doc_id")
+      t(s, dir)("documents")
+        .withColumn("digest", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique_docs"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_unique_docs FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+      GROUP BY 1"""),
+    headline = true)
+
+  /** Document fingerprinting: order-invariant bag-of-words digest
+    * (normalize → distinct tokens → sort → md5). Near-dup docs that are
+    * token permutations collapse to one fingerprint.
+    */
+  val q35Fingerprint = Q(
+    "q35_fingerprint",
+    (s, dir) => {
+      val toks = array_sort(array_distinct(split(lower(col("text")), " ", -1)))
+      t(s, dir)("documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", toks)).as("fingerprint"))
+    },
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents"""))
+
+  /** N-gram Jaccard similarity between successive documents (word-bigram
+    * shingles, |A∩B| / |A∪B|).
+    */
+  val q36NgramJaccard = Q(
+    "q36_ngram_jaccard",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      def withBigrams(df: DataFrame): DataFrame = {
+        val toks = split(lower(col("text")), " ", -1)
+        df.filter(size(split(col("text"), " ", -1)) >= 2)
+          .select(col("doc_id"),
+            array_distinct(expr(
+              "transform(sequence(1, size(split(lower(text), ' ', -1)) - 1)," +
+                " i -> concat(element_at(split(lower(text), ' ', -1), i), ' '," +
+                " element_at(split(lower(text), ' ', -1), i + 1)))"))
+              .as("bigrams"))
+      }
+      val a = withBigrams(d).withColumnRenamed("bigrams", "a")
+      val b = withBigrams(d).withColumnRenamed("bigrams", "b")
+        .withColumnRenamed("doc_id", "doc_id_b")
+      a.join(b, col("doc_id") + 1 === col("doc_id_b"))
+        .select(col("doc_id"),
+          round(size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))), 6).as("jaccard"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(string_split(lower(text), ' '))),
+                 i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i + 1])) AS bigrams
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2)
+      SELECT a.doc_id,
+             round(CAST(len(list_filter(a.bigrams, x -> list_contains(b.bigrams, x))) AS DOUBLE)
+                   / len(list_distinct(a.bigrams || b.bigrams)), 6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id"""))
+
+  val qs: Seq[Q] = Seq(
+    q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
+    q34DedupExact, q35Fingerprint, q36NgramJaccard)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Embedding-similarity surface over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  * Scale notes: brute-force cosine against ONE query vector is a broadcast
+  * map — linear scan, no shuffle. The bucketed variant (sign-bit LSH) is
+  * the 100 TB path for all-pairs similarity: candidates only meet inside a
+  * bucket, turning O(n²) into a per-bucket join after one shuffle on the
+  * signature. Dot products use `zip_with` + `aggregate` — a left fold in
+  * array order, deterministic, whole-stage codegen'd (no UDF).
+  */
+object VectorOps {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** dot(a, b) with per-element double casts; deterministic left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against a query vector (the ANN baseline). */
+  val q40KnnBrute = Q(
+    "q40_knn_brute",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      val sims = e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("embedding"), col("query_vec")), 6).as(("cos_sim")))
+      val w = Window.orderBy(col("cos_sim").desc, col("vec_id").asc)
+      sims.filter(col("vec_id") =!= 0)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT vec_id, label,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)), 6) AS cos_sim
+        FROM embeddings WHERE vec_id <> 0)
+      SELECT vec_id, label, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM sims) WHERE rn <= 10"""),
+    headline = true)
+
+  /** Sign-bit LSH signature of the first 8 dimensions. */
+  private def signBucket(v: Column): Column =
+    (0 until 8).map { i =>
+      when(element_at(v, i + 1) >= 0f, lit(1)).otherwise(lit(0)).cast("string")
+    }.reduce(concat(_, _))
+
+  /** LSH bucket histogram — the partitioning step of scaled ANN. */
+  val q41LshBuckets = Q(
+    "q41_lsh_buckets",
+    (s, dir) => {
+      t(s, dir)("embeddings")
+        .withColumn("bucket", signBucket(col("embedding")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vectors"))
+    },
+    Some("""
+      SELECT
+        (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
+        || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+        count(*) AS n_vectors
+      FROM embeddings GROUP BY 1"""))
+
+  /** Bucketed nearest neighbor: best cosine match within the same LSH
+    * bucket (the scaled all-pairs path; candidates meet only in-bucket).
+    */
+  val q42BucketedNn = Q(
+    "q42_bucketed_nn",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+        .withColumn("bucket", signBucket(col("embedding")))
+      val a = e.select(col("bucket"), col("vec_id"), col("embedding"))
+      val b = e.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("embedding").as("nbr_vec"))
+      val pairs = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          round(cosine(col("embedding"), col("nbr_vec")), 6).as("cos_sim"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "nbr_id", "cos_sim")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      SELECT vec_id, nbr_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+        FROM pairs) WHERE rn = 1"""))
+
+  val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn)
+}
