@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid/raster-as-long-table operators (SURVEY §2.8): nearest-grid
+  * alignment, upstream-area masking, block coarsening, dense zonal counts.
+  *
+  * A raster here IS its unpivoted long table — one row per coordinate
+  * tuple (the reference converts to exactly that form before every
+  * relational step, raster_converter.py:24-77).
+  */
+object GridOps {
+
+  /** Integer grid index of a coordinate on a regular grid: the robust
+    * float-key normalization of SURVEY §7.4.5 (micro-degree style keys).
+    */
+  def gridIndex(c: Column, origin: Double, res: Double): Column =
+    round((c - origin) / res).cast("long")
+
+  /** Nearest-neighbor grid alignment (J8; filter_by_upstream.py:63-67
+    * `reindex(method="nearest")`): because both sides live on regular
+    * grids, nearest-alignment is an equi-join on the snapped integer grid
+    * index — no range join, no custom physical operator, shuffle on
+    * compact long keys. `right` must carry `latitude`/`longitude` on the
+    * grid implied by (origin, res).
+    */
+  def nearestGridJoin(
+      left: DataFrame,
+      right: DataFrame,
+      latOrigin: Double, lonOrigin: Double, res: Double,
+      rightCols: Seq[String],
+      broadcastRight: Boolean = true): DataFrame = {
+    val l = left
+      .withColumn("_gi", gridIndex(col("latitude"), latOrigin, res))
+      .withColumn("_gj", gridIndex(col("longitude"), lonOrigin, res))
+    val r0 = right
+      .withColumn("_gi", gridIndex(col("latitude"), latOrigin, res))
+      .withColumn("_gj", gridIndex(col("longitude"), lonOrigin, res))
+      .select((Seq("_gi", "_gj") ++ rightCols).map(col): _*)
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, Seq("_gi", "_gj"), "left").drop("_gi", "_gj")
+  }
+
+  /** Upstream-area mask + drop (P19+P7; filter_by_upstream.py:69-71):
+    * keep dis24 only where the aligned upstream area clears the threshold,
+    * then drop masked rows (pandas NaN → dropped).
+    */
+  def filterByUpstream(
+      discharge: DataFrame,
+      uparea: DataFrame,
+      latOrigin: Double, lonOrigin: Double, res: Double,
+      threshold: Double = 250e6): DataFrame =
+    nearestGridJoin(discharge, uparea, latOrigin, lonOrigin, res, Seq("uparea"))
+      .withColumn("dis24", when(col("uparea") >= threshold, col("dis24")))
+      .na.drop(Seq("dis24"))
+      .drop("uparea")
+
+  /** Raster coarsen by block-sum (A9/R5; global_forest_watch.py:66-72):
+    * groupBy integer block indices. The reference's 22-year mask stack
+    * (R6) is `explode(sequence(...))` + a mask flag.
+    */
+  def coarsenSum(
+      df: DataFrame,
+      xCol: String, yCol: String, valueCol: String,
+      blockSize: Int): DataFrame =
+    df.groupBy(
+      floor(col(xCol) / blockSize).cast("long").as("block_x"),
+      floor(col(yCol) / blockSize).cast("long").as("block_y"))
+      .agg(sum(col(valueCol)).as(s"sum_$valueCol"))
+
+  /** Year-mask stack + coarsen (global_forest_watch.py:66-72): one output
+    * row per (block, year in [yearLo, yearHi]) with the count of pixels
+    * whose lossyear equals that year — the explode happens only on the
+    * small year range, not on data volume.
+    */
+  def treeLossPerBlock(
+      lossyear: DataFrame,
+      xCol: String, yCol: String, lossCol: String,
+      blockSize: Int, yearLo: Int, yearHi: Int): DataFrame =
+    lossyear
+      .withColumn("year", explode(sequence(lit(yearLo), lit(yearHi))))
+      .withColumn("mask", (col(lossCol) === col("year")).cast("long"))
+      .groupBy(
+        col("year"),
+        floor(col(xCol) / blockSize).cast("long").as("block_x"),
+        floor(col(yCol) / blockSize).cast("long").as("block_y"))
+      .agg(sum("mask").as("loss_count"))
+
+  /** Dense zonal count (A8; global_forest_watch.py:200-206 flox
+    * xarray_reduce with expected_groups): counts over the FULL
+    * zone × year cross product, zero-filled where empty.
+    */
+  def denseZonalCount(
+      pixels: DataFrame,
+      zoneCol: String,
+      yearCol: String,
+      yearLo: Int, yearHi: Int): DataFrame = {
+    val zones = pixels.select(zoneCol).distinct()
+    val years = org.apache.spark.sql.SparkSession.active
+      .range(yearLo, yearHi + 1L)
+      .select(col("id").cast("int").as(yearCol))
+    val universe = zones.crossJoin(broadcast(years))
+    val counts = pixels
+      .filter(col(yearCol).between(yearLo, yearHi))
+      .groupBy(zoneCol, yearCol)
+      .agg(count(lit(1)).as("cnt"))
+    universe.join(counts, Seq(zoneCol, yearCol), "left")
+      .select(col(zoneCol), col(yearCol),
+        coalesce(col("cnt"), lit(0L)).as("tree_loss_incidents"))
+  }
+}

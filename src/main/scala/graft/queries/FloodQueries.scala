@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{FloodOps, FloodPipeline, GridOps}
+
+/** The flood/grid operator library exercised through the driver's DuckDB
+  * gate: a deterministic synthetic forecast grid is derived from the
+  * lineitem/part/orders tables (same construction on both engines), then
+  * the REAL graft operators run on it and the oracle replays the
+  * semantics in SQL.
+  */
+object FloodQueries {
+
+  /** Synthetic ensemble forecast derived from lineitem (shared with the
+    * oracle CTE below; keep in sync).
+    */
+  private def syntheticForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      col("l_linenumber").as("number"),
+      ((col("l_partkey") % 50) * 0.5).as("latitude"),
+      ((col("l_suppkey") % 40) * 0.5).as("longitude"),
+      lit("2023-10-01").cast("date").as("issued_on"),
+      ((col("l_orderkey") % 5) + 1).cast("int").as("step"),
+      expr("date_add(DATE'2023-10-01', CAST(l_orderkey % 5 AS INT) + 1)")
+        .as("valid_for"),
+      col("l_quantity").as("dis24"))
+
+  private def syntheticThresholds(forecast: DataFrame): DataFrame =
+    forecast.select("latitude", "longitude").distinct()
+      .withColumn("threshold_2y", lit(20.0) + col("latitude") * 0.1)
+      .withColumn("threshold_5y", lit(35.0) + col("longitude") * 0.1)
+      .withColumn("threshold_20y", lit(48.0) + col("latitude") * 0.05)
+
+  private val forecastCte = """
+    forecast AS (
+      SELECT l_linenumber AS number,
+             (l_partkey % 50) * 0.5 AS latitude,
+             (l_suppkey % 40) * 0.5 AS longitude,
+             DATE '2023-10-01' AS issued_on,
+             CAST(l_orderkey % 5 AS INTEGER) + 1 AS step,
+             DATE '2023-10-01' + (CAST(l_orderkey % 5 AS INTEGER) + 1) AS valid_for,
+             l_quantity AS dis24
+      FROM lineitem),
+    thresholds AS (
+      SELECT DISTINCT latitude, longitude,
+             20.0 + latitude * 0.1 AS threshold_2y,
+             35.0 + longitude * 0.1 AS threshold_5y,
+             48.0 + latitude * 0.05 AS threshold_20y
+      FROM forecast),
+    joined AS (
+      SELECT f.*, t.threshold_2y, t.threshold_5y, t.threshold_20y
+      FROM forecast f LEFT JOIN thresholds t USING (latitude, longitude)),
+    detailed AS (
+      SELECT latitude, longitude, issued_on, valid_for, step,
+             min(dis24) AS min_dis,
+             quantile_cont(dis24, 0.25) AS q1_dis,
+             quantile_cont(dis24, 0.5) AS median_dis,
+             quantile_cont(dis24, 0.75) AS q3_dis,
+             max(dis24) AS max_dis,
+             CAST(sum(CASE WHEN dis24 >= threshold_2y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_2y,
+             CAST(sum(CASE WHEN dis24 >= threshold_5y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_5y,
+             CAST(sum(CASE WHEN dis24 >= threshold_20y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_20y
+      FROM joined GROUP BY 1, 2, 3, 4, 5)"""
+
+  /** A1+J1+P9: the reference's most load-bearing query
+    * (compute_flood_threshold_percentages, transforms.py:13-76) on the
+    * synthetic grid, oracle-checked.
+    */
+  val q60FloodDetailed = Q(
+    "q60_flood_detailed",
+    (s, dir) => {
+      val fc = syntheticForecast(s, dir)
+      FloodOps.thresholdPercentages(fc, syntheticThresholds(fc))
+        .select(col("latitude"), col("longitude"), col("issued_on"),
+          col("valid_for"), col("step"),
+          col("min_dis"),
+          round(col("q1_dis"), 6).as("q1_dis"),
+          round(col("median_dis"), 6).as("median_dis"),
+          round(col("q3_dis"), 6).as("q3_dis"),
+          col("max_dis"),
+          round(col("p_above_2y"), 6).as("p_above_2y"),
+          round(col("p_above_5y"), 6).as("p_above_5y"),
+          round(col("p_above_20y"), 6).as("p_above_20y"))
+    },
+    Some(s"""
+      WITH $forecastCte
+      SELECT latitude, longitude, issued_on, valid_for, step,
+             min_dis,
+             round(q1_dis, 6) AS q1_dis,
+             round(median_dis, 6) AS median_dis,
+             round(q3_dis, 6) AS q3_dis,
+             max_dis,
+             round(p_above_2y, 6) AS p_above_2y,
+             round(p_above_5y, 6) AS p_above_5y,
+             round(p_above_20y, 6) AS p_above_20y
+      FROM detailed"""),
+    headline = true)
+
+  private def wktSql(c: String): String = {
+    val full = s"CAST(CAST(round($c, 3) AS DECIMAL(12,3)) AS VARCHAR)"
+    s"regexp_replace(regexp_replace($full, '(\\.[0-9]*[1-9])0+$$', '\\1'), '\\.0+$$', '.0')"
+  }
+
+  /** The full composed forecast asset (FloodPipeline.run): peak timing,
+    * tendency, intensity, gray filter, WKT — summary output,
+    * oracle-checked end to end.
+    */
+  val q61FloodSummary = Q(
+    "q61_flood_summary",
+    (s, dir) => {
+      val fc = syntheticForecast(s, dir)
+      val (_, summary) = FloodPipeline.run(fc, syntheticThresholds(fc))
+      summary.select(
+        col("latitude"), col("longitude"), col("issued_on"),
+        col("peak_step"), col("peak_day"), col("peak_timing"),
+        round(col("max_median_dis"), 6).as("max_median_dis"),
+        round(col("min_median_dis"), 6).as("min_median_dis"),
+        round(col("control_dis"), 6).as("control_dis"),
+        col("max_max_dis"), col("min_min_dis"), col("tendency"),
+        round(col("max_p_above_20y"), 6).as("max_p_above_20y"),
+        round(col("max_p_above_5y"), 6).as("max_p_above_5y"),
+        round(col("max_p_above_2y"), 6).as("max_p_above_2y"),
+        col("intensity"), col("wkt"))
+    },
+    Some(s"""
+      WITH $forecastCte,
+      ctl AS (
+        SELECT *, max(CASE WHEN step = 1 THEN median_dis END)
+                 OVER (PARTITION BY latitude, longitude) AS control_dis
+        FROM detailed),
+      cond AS (
+        SELECT *,
+               CASE WHEN p_above_20y >= 0.3 THEN 4
+                    WHEN p_above_5y >= 0.3 THEN 3
+                    WHEN p_above_2y >= 0.3 THEN 2 ELSE 1 END AS cnd,
+               max(CASE WHEN step BETWEEN 1 AND 10 THEN p_above_2y END)
+                 OVER (PARTITION BY latitude, longitude) AS max_2y_start
+        FROM ctl),
+      peak AS (
+        SELECT latitude, longitude, issued_on, step AS peak_step,
+               valid_for AS peak_day,
+               CASE WHEN step IN (1, 2, 3) AND max_2y_start >= 0.30 THEN 'BB'
+                    WHEN step > 10 AND max_2y_start < 0.30 THEN 'GC'
+                    ELSE 'GB' END AS peak_timing
+        FROM (SELECT *, row_number() OVER (PARTITION BY latitude, longitude
+                ORDER BY cnd DESC, median_dis DESC, step ASC) AS rn
+              FROM cond) WHERE rn = 1),
+      tend AS (
+        SELECT latitude, longitude,
+               max(median_dis) AS max_median_dis,
+               min(median_dis) AS min_median_dis,
+               max(control_dis) AS control_dis,
+               max(max_dis) AS max_max_dis,
+               min(min_dis) AS min_min_dis
+        FROM ctl GROUP BY 1, 2),
+      tendf AS (
+        SELECT *, CASE WHEN max_median_dis > control_dis * 1.10 THEN 'U'
+                       WHEN min_median_dis <= control_dis * 0.90
+                            AND max_median_dis <= control_dis * 1.10 THEN 'D'
+                       ELSE 'C' END AS tendency
+        FROM tend),
+      inten AS (
+        SELECT latitude, longitude,
+               max(p_above_20y) AS max_p_above_20y,
+               max(p_above_5y) AS max_p_above_5y,
+               max(p_above_2y) AS max_p_above_2y
+        FROM detailed GROUP BY 1, 2),
+      intenf AS (
+        SELECT *, CASE WHEN max_p_above_20y >= 0.30 THEN 'P'
+                       WHEN max_p_above_5y >= 0.30 THEN 'R'
+                       WHEN max_p_above_2y >= 0.30 THEN 'Y'
+                       ELSE 'G' END AS intensity
+        FROM inten)
+      SELECT latitude, longitude, issued_on, peak_step, peak_day, peak_timing,
+             round(max_median_dis, 6) AS max_median_dis,
+             round(min_median_dis, 6) AS min_median_dis,
+             round(control_dis, 6) AS control_dis,
+             max_max_dis, min_min_dis, tendency,
+             round(max_p_above_20y, 6) AS max_p_above_20y,
+             round(max_p_above_5y, 6) AS max_p_above_5y,
+             round(max_p_above_2y, 6) AS max_p_above_2y,
+             intensity,
+             'POLYGON ((' || ${wktSql("longitude - 0.025")} || ' ' || ${wktSql("latitude - 0.025")}
+             || ',' || ${wktSql("longitude - 0.025")} || ' ' || ${wktSql("latitude + 0.025")}
+             || ',' || ${wktSql("longitude + 0.025")} || ' ' || ${wktSql("latitude + 0.025")}
+             || ',' || ${wktSql("longitude + 0.025")} || ' ' || ${wktSql("latitude - 0.025")}
+             || ',' || ${wktSql("longitude - 0.025")} || ' ' || ${wktSql("latitude - 0.025")}
+             || '))' AS wkt
+      FROM peak
+      LEFT JOIN tendf USING (latitude, longitude)
+      LEFT JOIN intenf USING (latitude, longitude)
+      WHERE intensity <> 'G'"""),
+    headline = true)
+
+  /** J8+P19+P7: nearest-grid alignment + upstream mask
+    * (GridOps.filterByUpstream) — discharge cells survive only where the
+    * aligned upstream area clears 250e6.
+    */
+  val q62UpstreamFilter = Q(
+    "q62_upstream_filter",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val discharge = li.select(
+        (lit(5.725) - (col("l_partkey") % 30) * 0.05 + col("l_linenumber") * 1e-9)
+          .as("latitude"),
+        (lit(28.975) + (col("l_suppkey") % 40) * 0.05).as("longitude"),
+        ((col("l_orderkey") % 5) + 1).cast("int").as("step"),
+        col("l_quantity").as("dis24"))
+      val uparea = Tables.load(s, dir, "part")
+        .select(
+          (lit(5.725) - (col("p_partkey") % 30) * 0.05).as("latitude"),
+          (lit(28.975) + (col("p_size") % 40) * 0.05).as("longitude"),
+          when(col("p_partkey") % 7 === 0, 3e8).otherwise(1e6).as("ua"))
+        .groupBy("latitude", "longitude")
+        .agg(max("ua").as("uparea"))
+      GridOps.filterByUpstream(discharge, uparea, 5.725, 28.975, 0.05)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n_cells"),
+          graft.core.Sql.exactSum(col("dis24")).as("sum_dis"))
+    },
+    Some("""
+      WITH discharge AS (
+        SELECT 5.725 - (l_partkey % 30) * 0.05 + l_linenumber * 1e-9 AS latitude,
+               28.975 + (l_suppkey % 40) * 0.05 AS longitude,
+               CAST(l_orderkey % 5 AS INTEGER) + 1 AS step,
+               l_quantity AS dis24
+        FROM lineitem),
+      uparea AS (
+        SELECT latitude, longitude, max(ua) AS uparea FROM (
+          SELECT 5.725 - (p_partkey % 30) * 0.05 AS latitude,
+                 28.975 + (p_size % 40) * 0.05 AS longitude,
+                 CASE WHEN p_partkey % 7 = 0 THEN 3e8 ELSE 1e6 END AS ua
+          FROM part) GROUP BY 1, 2),
+      d AS (SELECT *, CAST(round((latitude - 5.725) / 0.05) AS BIGINT) AS gi,
+                   CAST(round((longitude - 28.975) / 0.05) AS BIGINT) AS gj
+            FROM discharge),
+      u AS (SELECT CAST(round((latitude - 5.725) / 0.05) AS BIGINT) AS gi,
+                   CAST(round((longitude - 28.975) / 0.05) AS BIGINT) AS gj,
+                   uparea
+            FROM uparea)
+      SELECT step, count(*) AS n_cells,
+             CAST(sum(CAST(dis24 AS DECIMAL(27,4))) AS DOUBLE) AS sum_dis
+      FROM d JOIN u ON d.gi = u.gi AND d.gj = u.gj
+      WHERE uparea >= 250000000
+      GROUP BY 1"""))
+
+  /** A8: dense zero-filled zonal counts (GridOps.denseZonalCount). */
+  val q63DenseZonal = Q(
+    "q63_dense_zonal",
+    (s, dir) => {
+      val px = Tables.load(s, dir, "orders").select(
+        (col("o_custkey") % 10).as("basin"),
+        ((col("o_orderkey") % 3) + 1).cast("int").as("year"))
+      GridOps.denseZonalCount(px, "basin", "year", 1, 5)
+    },
+    Some("""
+      WITH px AS (
+        SELECT o_custkey % 10 AS basin,
+               CAST(o_orderkey % 3 AS INTEGER) + 1 AS year
+        FROM orders),
+      zones AS (SELECT DISTINCT basin FROM px),
+      years AS (SELECT CAST(unnest(generate_series(1, 5)) AS INTEGER) AS year),
+      counts AS (SELECT basin, year, count(*) AS cnt FROM px
+                 WHERE year BETWEEN 1 AND 5 GROUP BY 1, 2)
+      SELECT z.basin, y.year, coalesce(c.cnt, 0) AS tree_loss_incidents
+      FROM zones z CROSS JOIN years y
+      LEFT JOIN counts c ON z.basin = c.basin AND y.year = c.year"""))
+
+  /** A9/R5: raster coarsen block-sum (GridOps.coarsenSum). */
+  val q64Coarsen = Q(
+    "q64_coarsen",
+    (s, dir) => {
+      val px = Tables.load(s, dir, "lineitem").select(
+        (col("l_partkey") % 1000).as("x"),
+        (col("l_suppkey") % 800).as("y"),
+        col("l_quantity").as("v"))
+      GridOps.coarsenSum(px, "x", "y", "v", 200)
+    },
+    Some("""
+      SELECT CAST(floor((l_partkey % 1000) / 200.0) AS BIGINT) AS block_x,
+             CAST(floor((l_suppkey % 800) / 200.0) AS BIGINT) AS block_y,
+             sum(l_quantity) AS sum_v
+      FROM lineitem GROUP BY 1, 2"""))
+
+  val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
+    q63DenseZonal, q64Coarsen)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GridOps semantics tests, including a scaled-down port of the
+  * reference's upstream-filtering e2e property test
+  * (test_upstream_filtering.py:19-81): pipeline output must equal an
+  * independently-constructed ground truth.
+  */
+class GridOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearestGridJoin aligns off-grid coordinates to the nearest cell") {
+    val res = 0.05
+    // discharge grid cell centers (slightly perturbed, as after GRIB read)
+    val left = Seq((1.0250000002, 2.074999999, 7.0), (1.075, 2.125, 8.0))
+      .toDF("latitude", "longitude", "dis24")
+    val right = Seq((1.025, 2.075, 300e6), (1.075, 2.125, 100e6))
+      .toDF("latitude", "longitude", "uparea")
+    val out = GridOps.nearestGridJoin(left, right, 0.025, 0.025, res, Seq("uparea"))
+      .orderBy("latitude")
+      .select("dis24", "uparea").as[(Double, Double)].collect().toSeq
+    assert(out == Seq((7.0, 300e6), (8.0, 100e6)))
+  }
+
+  test("filterByUpstream e2e matches independently-computed ground truth") {
+    val res = 0.05
+    val rnd = new scala.util.Random(42)
+    val nLat = 30; val nLon = 40
+    val lats = (0 until nLat).map(i => 5.725 - i * res)
+    val lons = (0 until nLon).map(j => 28.975 + j * res)
+    // uparea grid: mostly below threshold, K random cells above
+    val above = rnd.shuffle(
+      (for (i <- 0 until nLat; j <- 0 until nLon) yield (i, j)).toVector).take(20).toSet
+    val uparea = (for (i <- 0 until nLat; j <- 0 until nLon) yield
+      (lats(i), lons(j), if (above((i, j))) 300e6 else 1e6))
+      .toDF("latitude", "longitude", "uparea")
+    // discharge cube: 3 members × 4 steps × grid, constant fill
+    val discharge = (for {
+      n <- 1 to 3; s <- 1 to 4; i <- 0 until nLat; j <- 0 until nLon
+    } yield (n, s, lats(i), lons(j), 100.0))
+      .toDF("number", "step", "latitude", "longitude", "dis24")
+
+    val got = GridOps.filterByUpstream(discharge, uparea, 5.725, 28.975, res)
+      .select("number", "step", "latitude", "longitude", "dis24")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    // independent ground truth: every (member, step) × surviving cell
+    val expected = (for {
+      n <- 1 to 3; s <- 1 to 4; (i, j) <- above
+    } yield (n, s, lats(i), lons(j), 100.0)).toSet
+    assert(got == expected)
+    assert(got.size == 3 * 4 * 20)
+  }
+
+  test("coarsenSum block-sums a grid") {
+    val px = Seq((0, 0, 1.0), (1, 1, 2.0), (2, 0, 4.0), (0, 3, 8.0))
+      .toDF("x", "y", "v")
+    val out = GridOps.coarsenSum(px, "x", "y", "v", 2)
+      .orderBy("block_x", "block_y")
+      .select("block_x", "block_y", "sum_v").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq((0L, 0L, 3.0), (0L, 1L, 8.0), (1L, 0L, 4.0)))
+  }
+
+  test("treeLossPerBlock stacks year masks and counts per block") {
+    val px = Seq((0, 0, 1), (1, 0, 1), (0, 1, 2), (201, 0, 1))
+      .toDF("x", "y", "lossyear")
+    val out = GridOps.treeLossPerBlock(px, "x", "y", "lossyear", 200, 1, 3)
+      .filter(col("loss_count") > 0)
+      .orderBy("year", "block_x")
+      .select("year", "block_x", "block_y", "loss_count")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 0L, 0L, 2L), (1, 1L, 0L, 1L), (2, 0L, 0L, 1L)))
+  }
+
+  test("denseZonalCount zero-fills the full zone-year universe") {
+    val px = Seq((10L, 1), (10L, 1), (20L, 3)).toDF("basin", "year")
+    val out = GridOps.denseZonalCount(px, "basin", "year", 1, 3)
+      .orderBy("basin", "year")
+      .select("basin", "year", "tree_loss_incidents")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 1, 2L), (10L, 2, 0L), (10L, 3, 0L),
+      (20L, 1, 0L), (20L, 2, 0L), (20L, 3, 1L)))
+  }
+}
