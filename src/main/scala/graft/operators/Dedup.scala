@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-deduplication operators for large text corpora: MinHash+LSH and
+  * SimHash. Everything is pure column expressions (codegen'd) — the only
+  * shuffles are on compact hash keys, which is what makes these viable at
+  * 100 TB:
+  *
+  *  - MinHash: shingle → K minhashes → B bands; candidate pairs meet only
+  *    inside an LSH band bucket (one shuffle on (band, hash)); candidates
+  *    are then verified with exact shingle Jaccard. No O(n²) stage exists
+  *    anywhere — cost is bounded by true-collision density.
+  *  - SimHash: 64-bit signature per doc; near-dup pairs collide on one of
+  *    four 16-bit sub-bands (pigeonhole for hamming distance <= 3), then
+  *    verified by exact hamming distance on the signatures.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+          i => concat_ws(" ", slice(toks, i, lit(n)))),
+        s => length(s) > 0))
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * xxhash64 over the shingle set.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** Explode a signature into (band_id, band_hash) rows: `bands` bands of
+    * `k/bands` rows each, hashed together.
+    */
+  def bandedSignature(sigCol: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_id"),
+        xxhash64(concat_ws(",", slice(sigCol, b * rows + 1, lit(rows))), b)
+          .as("band_hash")))
+  }
+
+  /** Candidate duplicate pairs (idA < idB) that share at least one LSH
+    * band bucket, with exact Jaccard over the shingle sets attached.
+    * `docs` must have columns (idCol, textCol).
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(bandedSignature(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sh"),
+        col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("jaccard").as("jaccard"))
+  }
+
+  /** MinHash dedup: drop every doc that is a verified near-duplicate
+    * (jaccard >= threshold) of a lower-id doc.
+    */
+  def minhashDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val dupIds = minhashCandidates(docs, idCol, textCol, n, k, bands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash of the token multiset: sign of the per-bit vote sum
+    * of token hashes. Expressed as 64 conditional sums over exploded
+    * token hashes (single shuffle on the doc id).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$bit")
+    }
+    val voted = tokens.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { bit =>
+      when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3 uses
+    * the 4×16-bit pigeonhole banding; larger distances fall back to more,
+    * smaller bands — here fixed at 4 bands).
+    */
+  def simhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_val"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"),
+        col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -15,7 +15,8 @@ final case class Q(
 object Registry {
   /** Ordered union of all query batches. */
   def all: Seq[Q] =
-    Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++ FloodQueries.qs
+    Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++
+      FloodQueries.qs ++ DedupQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMedia(
+    Seq((1L, "hello world"), (2L, "PNG-ish payload bytes here")).toDF("id", "txt"),
+    "id", "txt")
+
+  test("withByteMeta computes length, digest and magic bytes") {
+    val rows = Multimodal.withByteMeta(media).orderBy("media_id").collect()
+    assert(rows(0).getAs[Long]("n_bytes") == 11L)
+    assert(rows(0).getAs[String]("digest") ==
+      "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(rows(0).getAs[String]("magic") == "68656C6C") // "hell"
+  }
+
+  test("decodeStub yields deterministic plausible dimensions") {
+    val d = media.withColumn("dec", Multimodal.decodeStub(col("payload")))
+      .select(col("media_id"), col("dec.width"), col("dec.height"), col("dec.channels"))
+      .orderBy("media_id").collect()
+    assert(d.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 1920))
+    assert(d.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 1080))
+    assert(d.forall(_.getInt(3) == 3))
+    // deterministic across runs
+    val again = media.withColumn("dec", Multimodal.decodeStub(col("payload")))
+      .select(col("media_id"), col("dec.width")).orderBy("media_id").collect()
+    assert(d.map(_.getInt(1)).toSeq == again.map(_.getInt(1)).toSeq)
+  }
+
+  test("resizeMeta scales the long side down to maxSide") {
+    val df = Seq((1L, 1920, 1080, 3)).toDF("media_id", "width", "height", "channels")
+      .withColumn("dec", struct(col("width"), col("height"), col("channels")))
+    val r = df.select(Multimodal.resizeMeta(col("dec"), 480).as("r"))
+      .select("r.width", "r.height").collect()(0)
+    assert(r.getInt(0) == 480 && r.getInt(1) == 270)
+  }
+
+  test("sampleFrames explodes every-nth frame rows") {
+    val out = Multimodal.sampleFrames(media.withColumn("n_frames", lit(10)),
+      everyNth = 4, totalFrames = col("n_frames"))
+    val idx = out.filter(col("media_id") === 1L)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(idx == Seq(0, 4, 8))
+  }
+}
