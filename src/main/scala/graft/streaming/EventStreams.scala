@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the same event analytics as
+  * graft.queries.EventOps, expressed over an unbounded source. Not present
+  * in the reference (its jobs are batch cron, jobs.py:24-29) — this is the
+  * engine extension for continuous ingestion (SURVEY §1.3, §7.6).
+  *
+  * The batch expressions carry over unchanged; what streaming adds is
+  * watermark-bounded state: windowed aggregation state is dropped once
+  * the watermark passes, and sessionization keeps one small state object
+  * per active user key. Both scale horizontally with
+  * `spark.sql.shuffle.partitions` state stores.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(sessionCount: Long, lastEventUs: Long)
+
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling hourly counts per event type with a 1-hour watermark
+    * (streaming image of q50_event_hourly).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (streaming image of q51_sessionize) via
+    * per-user state: a new session opens after a >30 min gap. Emits the
+    * running per-user session/event counts on every update.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val newSession = st.lastEventUs == Long.MinValue || us - st.lastEventUs > gapUs
+            st = SessionState(st.sessionCount + (if (newSession) 1L else 0L), us)
+          }
+          state.update(st)
+          Iterator.single(UserSessions(userId, st.sessionCount, sorted.size.toLong))
+      }
+  }
+
+  /** Streaming as-of enrichment (image of q54_asof_join): for each
+    * purchase, the most recent prior click per user, via mapGroupsWithState
+    * keeping only the last click timestamp per user.
+    */
+  case class LastClick(us: Long)
+  case class PurchaseWithClick(event_id: Long, user_id: Long,
+      purchase_us: Long, last_click_us: Option[Long])
+
+  def asofPurchases(events: Dataset[Event]): Dataset[PurchaseWithClick] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, PurchaseWithClick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastClick]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseWithClick]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (e.event_type == "click") last = Some(LastClick(us))
+            else out += PurchaseWithClick(e.event_id, userId, us, last.map(_.us))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+}

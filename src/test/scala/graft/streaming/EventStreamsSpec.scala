@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyCounts aggregates a bounded stream by hour and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 2.0),
+      Event(3, ts(65), 7, "view", 5.0))
+    val q = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize opens a new session after a 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "view", 1.0),   // same session
+      Event(3, ts(50), 7, "click", 1.0), // gap 45 min → new session
+      Event(4, ts(0), 8, "view", 1.0))   // other user
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[UserSessions].collect().map(u => u.user_id -> u.n_sessions).toMap
+      assert(rows == Map(7L -> 2L, 8L -> 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1, ts(0), 9, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(90), 9, "click", 1.0)) // next batch, gap > 30
+      q.processAllAvailable()
+      val last = spark.table("sessions2").as[UserSessions].collect()
+        .filter(_.user_id == 9L).maxBy(_.n_sessions)
+      assert(last.n_sessions == 2L)
+    } finally q.stop()
+  }
+
+  test("asofPurchases attaches the most recent prior click") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "purchase", 9.0),
+      Event(3, ts(20), 7, "click", 1.0),
+      Event(4, ts(30), 7, "purchase", 9.0),
+      Event(5, ts(5), 8, "purchase", 9.0)) // no prior click
+    val q = asofPurchases(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("asof").as[PurchaseWithClick].collect()
+        .map(p => p.event_id -> p.last_click_us).toMap
+      assert(rows(2L).contains(ts(0).getTime * 1000L))
+      assert(rows(4L).contains(ts(20).getTime * 1000L))
+      assert(rows(5L).isEmpty)
+    } finally q.stop()
+  }
+}
