@@ -139,7 +139,8 @@ object FloodOps {
     * test_transforms.py:4203-4214).
     */
   def addGeometry(df: DataFrame, halfGridSize: Double, precision: Int): DataFrame = {
-    def f(c: Column): Column = Sql.floatStr(round(c, precision), precision)
+    def f(c: Column): Column =
+      graft.functions.PandasFloatString(c, precision)
     val (minLat, maxLat) =
       (f(col("latitude") - halfGridSize), f(col("latitude") + halfGridSize))
     val (minLon, maxLon) =
