@@ -109,4 +109,59 @@ object GridOps {
       .select(col(zoneCol), col(yearCol),
         coalesce(col("cnt"), lit(0L)).as("tree_loss_incidents"))
   }
+
+  /** Nodata-tile drop (P20; preprocessing.py:150-156 `np.all(band ==
+    * nodata)`): a tile whose every pixel equals the nodata sentinel is
+    * removed — aggregate `every` per tile, anti-join survivors.
+    */
+  def dropNodataTiles(
+      pixels: DataFrame, tileCol: String, valueCol: String,
+      nodata: Double): DataFrame = {
+    val allNodata = pixels.groupBy(tileCol)
+      .agg(every(col(valueCol) === nodata).as("all_nodata"))
+      .filter(col("all_nodata"))
+      .select(tileCol)
+    pixels.join(allNodata, Seq(tileCol), "left_anti")
+  }
+
+  /** Rasterize box polygons onto a regular grid (J9/R7; the geocube step
+    * global_forest_watch.py:76-95): each zone box explodes into the grid
+    * cells it covers → a (cell_i, cell_j) → zone dimension table. Zonal
+    * assignment is then an EQUI-join of pixels on the snapped cell index
+    * (shuffle on compact longs), never a point-in-polygon scan of the
+    * fact table. `boxes` columns: (zoneCol, lat_min, lat_max, lon_min,
+    * lon_max); cells assign by cell-center containment, ties to the
+    * lowest zone id.
+    */
+  def rasterizeBoxes(
+      boxes: DataFrame, zoneCol: String,
+      latOrigin: Double, lonOrigin: Double, res: Double): DataFrame = {
+    // cells whose CENTER (origin + k*res) lies inside [min, max], with a
+    // 1e-9 tolerance so exact-boundary centers are included symmetrically
+    def idxLow(c: Column, origin: Double): Column =
+      ceil((c - origin) / res - 1e-9).cast("long")
+    def idxHigh(c: Column, origin: Double): Column =
+      floor((c - origin) / res + 1e-9).cast("long")
+    boxes
+      .withColumn("_gi", explode(sequence(
+        idxLow(col("lat_min"), latOrigin), idxHigh(col("lat_max"), latOrigin))))
+      .withColumn("_gj", explode(sequence(
+        idxLow(col("lon_min"), lonOrigin), idxHigh(col("lon_max"), lonOrigin))))
+      .groupBy("_gi", "_gj")
+      .agg(min(col(zoneCol)).as(zoneCol))
+  }
+
+  /** Zonal assignment (J9): pixels ⋈ rasterized zone dimension on the
+    * snapped cell index.
+    */
+  def zonalAssign(
+      pixels: DataFrame, boxes: DataFrame, zoneCol: String,
+      latOrigin: Double, lonOrigin: Double, res: Double): DataFrame = {
+    val cells = broadcast(rasterizeBoxes(boxes, zoneCol, latOrigin, lonOrigin, res))
+    pixels
+      .withColumn("_gi", gridIndex(col("latitude"), latOrigin, res))
+      .withColumn("_gj", gridIndex(col("longitude"), lonOrigin, res))
+      .join(cells, Seq("_gi", "_gj"), "inner")
+      .drop("_gi", "_gj")
+  }
 }

@@ -16,7 +16,7 @@ object Registry {
   /** Ordered union of all query batches. */
   def all: Seq[Q] =
     Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++
-      FloodQueries.qs ++ DedupQueries.qs
+      FloodQueries.qs ++ DedupQueries.qs ++ SpatialQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

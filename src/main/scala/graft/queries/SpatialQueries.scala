@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sql, Tables}
+import graft.operators.GridOps
+import graft.sources.RasterContract
+
+/** Remaining raster/spatial operator rows of SURVEY §2: nodata-tile drop
+  * (P20), rasterized zonal assignment (J9/R7), in-engine dense grid
+  * generation (R1).
+  */
+object SpatialQueries {
+
+  /** P20: tiles whose every pixel is the nodata sentinel are dropped via
+    * an `every` aggregate + anti-join.
+    */
+  val q65NodataTiles = Q(
+    "q65_nodata_tiles",
+    (s, dir) => {
+      val px = Tables.load(s, dir, "lineitem").select(
+        (col("l_partkey") % 100).as("tile"),
+        when((col("l_partkey") % 100) % 10 === 0, -32768.0)
+          .otherwise(col("l_quantity")).as("band"))
+      GridOps.dropNodataTiles(px, "tile", "band", -32768.0)
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_px"), Sql.exactSum(col("band")).as("sum_band"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT l_partkey % 100 AS tile,
+               CASE WHEN (l_partkey % 100) % 10 = 0 THEN -32768.0
+                    ELSE l_quantity END AS band
+        FROM lineitem),
+      dead AS (SELECT tile FROM px GROUP BY 1 HAVING bool_and(band = -32768.0))
+      SELECT tile, count(*) AS n_px,
+             CAST(sum(CAST(band AS DECIMAL(27,4))) AS DOUBLE) AS sum_band
+      FROM px WHERE tile NOT IN (SELECT tile FROM dead)
+      GROUP BY 1"""))
+
+  /** J9/R7: box polygons rasterized to a cell→zone dimension, pixels
+    * assigned by snapped-cell equi-join (the geocube pattern).
+    */
+  val q66ZonalAssign = Q(
+    "q66_zonal_assign",
+    (s, dir) => {
+      val boxes = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("zone"),
+        ((col("n_nationkey") % 5) * 2.0).as("lat_min"),
+        ((col("n_nationkey") % 5) * 2.0 + 1.5).as("lat_max"),
+        (floor(col("n_nationkey") / 5) * 2.0).as("lon_min"),
+        (floor(col("n_nationkey") / 5) * 2.0 + 1.5).as("lon_max"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") % 20) * 0.5 + 0.25).as("latitude"),
+        (expr("(c_custkey div 20) % 20") * 0.5 + 0.25).as("longitude"))
+      GridOps.zonalAssign(points, boxes, "zone", 0.25, 0.25, 0.5)
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_points"),
+          Sql.exactSum(col("c_acctbal")).as("sum_bal"))
+    },
+    Some("""
+      WITH boxes AS (
+        SELECT n_nationkey AS zone,
+               (n_nationkey % 5) * 2.0 AS lat_min,
+               (n_nationkey % 5) * 2.0 + 1.5 AS lat_max,
+               floor(n_nationkey / 5) * 2.0 AS lon_min,
+               floor(n_nationkey / 5) * 2.0 + 1.5 AS lon_max
+        FROM nation),
+      points AS (
+        SELECT c_custkey, c_acctbal,
+               (c_custkey % 20) * 0.5 + 0.25 AS latitude,
+               ((c_custkey // 20) % 20) * 0.5 + 0.25 AS longitude
+        FROM customer)
+      SELECT zone, count(*) AS n_points,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+      FROM points JOIN boxes
+        ON latitude BETWEEN lat_min AND lat_max
+       AND longitude BETWEEN lon_min AND lon_max
+      GROUP BY 1"""))
+
+  /** R1: distributed dense-grid generation (descending latitude, GloFAS
+    * layout) — no driver-side coordinate materialization.
+    */
+  val q67DenseGrid = Q(
+    "q67_dense_grid",
+    (s, dir) =>
+      RasterContract.denseGrid(s, latMax = 5.0, lonMin = 10.0, res = 0.5,
+        nLat = 20, nLon = 30),
+    Some("""
+      SELECT 5.0 - i * 0.5 AS latitude, 10.0 + j * 0.5 AS longitude
+      FROM (SELECT unnest(generate_series(0, 19)) AS i),
+           (SELECT unnest(generate_series(0, 29)) AS j)"""))
+
+  val qs: Seq[Q] = Seq(q65NodataTiles, q66ZonalAssign, q67DenseGrid)
+}
