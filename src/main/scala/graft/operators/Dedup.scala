@@ -54,25 +54,36 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    // shingle+signature table: computed once, reused by banding and by
+    // verification (at cluster scale this is the table you'd persist)
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
-      explode(bandedSignature(col("sig"), k, bands)).as("b"))
-      .select(col("id"), col("sh"),
+      .cache()
+    // cache the banded signatures BEFORE exploding: otherwise Catalyst
+    // collapses the projection into the generator and recomputes the full
+    // k-hash signature once per band row (bands× the hash work)
+    val sig = sh.select(col("id"),
+      bandedSignature(minhashSignature(col("sh"), k), k, bands).as("bands"))
+      .cache()
+    val banded = sig
+      .select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"),
         col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    // candidate pairs meet on compact (band, hash, id) keys ONLY — the
+    // heavy shingle arrays never travel through the self-join shuffle;
+    // they are joined back just for the (much smaller) verification set
+    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("jaccard").as("jaccard"))
   }
 
   /** MinHash dedup: drop every doc that is a verified near-duplicate

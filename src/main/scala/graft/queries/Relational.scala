@@ -287,11 +287,16 @@ object Relational {
   val q11SortTopK = Q(
     "q11_sort_topk",
     (s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir)("orders")
+      // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+      // top-k + driver merge) — the global-window form would funnel the
+      // whole table through ONE partition. The rank window then runs on
+      // just the 100 survivors.
+      val top = t(s, dir)("orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 100)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      top.withColumn("rn", row_number().over(w).cast("long"))
     },
     Some("""
       SELECT o_orderkey, o_totalprice, rn FROM (

@@ -40,10 +40,13 @@ object VectorOps {
       val sims = e.crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
           round(cosine(col("embedding"), col("query_vec")), 6).as(("cos_sim")))
+      // top-k via TakeOrderedAndProject (distributed), rank window only
+      // over the 10 survivors
+      val top = sims.filter(col("vec_id") =!= 0)
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
       val w = Window.orderBy(col("cos_sim").desc, col("vec_id").asc)
-      sims.filter(col("vec_id") =!= 0)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      top.withColumn("rn", row_number().over(w).cast("long"))
     },
     Some("""
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
