@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.PandasFloatString
+
+/** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
+  * registers graft's custom expressions into the SQL function registry so
+  * plain `spark.sql` can call them. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.pandasFloatStr)
+  }
+}
+
+object GraftExtensions {
+
+  /** Register the same functions into an already-running session (the
+    * extensions class covers `spark.sql.extensions` at session build).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (ident, info, builder) = pandasFloatStr
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  /** pandas_float_str(expr, scale): shortest pandas-style decimal string
+    * of a double rounded to `scale` decimals.
+    */
+  val pandasFloatStr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pandas_float_str"),
+    new ExpressionInfo(classOf[PandasFloatString].getName, "pandas_float_str"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "pandas_float_str(value, scale)")
+      val scale = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      }
+      PandasFloatString(args.head, scale)
+    })
+}

@@ -11,11 +11,13 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * A1 grouped exact-quantile aggregation — the reference's most
-    * load-bearing query shape (transforms.py:55-70).
+    * The full composed flood forecast pipeline (threshold join, exceedance
+    * flags, grouped exact quantiles, control/peak/tendency/intensity
+    * windows, gray filter, WKT) — the reference's `forecast` asset as one
+    * Catalyst plan.
     */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q01_agg_quantiles")(spark, "/root/testdata/sf0.001")
+    Registry.queries("q61_flood_summary")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -16,7 +16,8 @@ object Registry {
   /** Ordered union of all query batches. */
   def all: Seq[Q] =
     Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++
-      FloodQueries.qs ++ DedupQueries.qs ++ SpatialQueries.qs
+      FloodQueries.qs ++ DedupQueries.qs ++ SpatialQueries.qs ++
+      PipelineQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewAndExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals the direct aggregate on a skewed key") {
+    // one hot key (90% of rows) + long tail
+    val df = ((1 to 900).map(_ => ("hot", 1.0)) ++
+      (1 to 100).map(i => (s"k$i", 2.0))).toDF("k", "v").repartition(8)
+    val got = SkewOps.saltedAggregate(df, Seq("k"), salt = 16,
+      partial = Seq("cnt" -> count(lit(1)), "sum_v" -> sum("v")),
+      fin = Seq("cnt" -> (c => sum(c).cast("long")), "sum_v" -> (c => sum(c))))
+      .orderBy("k").collect()
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .orderBy("k").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val left = ((1 to 500).map(_ => ("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "lv")
+    val right = Seq(("hot", 10), ("cold", 20)).toDF("k", "rv")
+    val got = SkewOps.saltedJoin(left, right, "k", salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("cold", 1L, 20L), ("hot", 500L, 5000L)))
+  }
+
+  test("GraftExtensions registers pandas_float_str for SQL use") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT pandas_float_str(CAST(2.45 AS DOUBLE), 3) AS a," +
+        " pandas_float_str(CAST(-18.0 AS DOUBLE), 3) AS b")
+      .collect()(0)
+    assert(got.getString(0) == "2.45" && got.getString(1) == "-18.0")
+  }
+
+  test("partitioned parquet layout prunes partitions on read (S2 layout)") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    (1 to 120).map(i => (i, (i % 30 + 1) * 24))
+      .toDF("id", "leadtime_hour")
+      .write.mode("overwrite").partitionBy("leadtime_hour")
+      .parquet(s"$dir/discharge")
+    val pruned = spark.read.parquet(s"$dir/discharge")
+      .filter(col("leadtime_hour") === 24)
+    assert(pruned.count() == 4)
+    // partition pruning must reach the file index as a PartitionFilter
+    // (not a post-scan data filter)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("leadtime_hour"))
+    graft.sources.FsOps.delete(spark, dir)
+  }
+}
