@@ -44,4 +44,41 @@ class FloodPipelineSpec extends SparkSpec {
     assert(dRows.forall(_.getAs[Double]("latitude") == 0.525))
     assert(dRows.forall(_.getAs[String]("wkt").nonEmpty))
   }
+
+  test("single-pass summarize equals the composed window/join operator path") {
+    // random-ish multi-cell ensemble: 40 cells, 10 members, 8 steps
+    val rnd = new scala.util.Random(7)
+    val forecast = (for {
+      cell <- 0 until 40; n <- 1 to 10; step <- 1 to 8
+    } yield (n, (cell % 8) * 0.5 + 0.25, (cell / 8) * 0.5 + 0.25,
+      "2023-10-01", step, f"2023-10-${step + 1}%02d",
+      rnd.nextDouble() * 200.0))
+      .toDF("number", "latitude", "longitude", "issued_on", "step", "valid_for", "dis24")
+      .withColumn("issued_on", col("issued_on").cast("date"))
+      .withColumn("valid_for", col("valid_for").cast("date"))
+    val thresholds = (0 until 40)
+      .map(c => ((c % 8) * 0.5 + 0.25, (c / 8) * 0.5 + 0.25, 60.0, 120.0, 170.0))
+      .toDF("latitude", "longitude", "threshold_2y", "threshold_5y", "threshold_20y")
+
+    val detailed = FloodOps.withControl(
+      FloodOps.thresholdPercentages(forecast, thresholds))
+
+    val onePass = FloodPipeline.summarize(detailed)
+      .select("latitude", "longitude", "peak_step", "peak_day", "peak_timing",
+        "tendency", "intensity")
+      .collect().map(_.toSeq).toSet
+
+    val composed = {
+      val cellCols = Seq("latitude", "longitude")
+      FloodOps.peakTiming(detailed)
+        .join(FloodOps.tendency(detailed), cellCols, "left")
+        .join(FloodOps.intensity(detailed), cellCols, "left")
+        .filter(col("intensity") =!= "G")
+        .select("latitude", "longitude", "peak_step", "peak_day", "peak_timing",
+          "tendency", "intensity")
+        .collect().map(_.toSeq).toSet
+    }
+    assert(onePass.nonEmpty)
+    assert(onePass == composed)
+  }
 }
