@@ -92,5 +92,90 @@ object SpatialQueries {
       FROM (SELECT unnest(generate_series(0, 19)) AS i),
            (SELECT unnest(generate_series(0, 29)) AS j)"""))
 
-  val qs: Seq[Q] = Seq(q65NodataTiles, q66ZonalAssign, q67DenseGrid)
+  /** §3.2 composed deforestation pipeline: zonal assignment → dense
+    * zero-filled counts → first-pixel haversine area → basin join,
+    * oracle-checked end to end.
+    */
+  val q68TreelossBasin = Q(
+    "q68_treeloss_basin",
+    (s, dir) => {
+      val px = Tables.load(s, dir, "lineitem").select(
+        ((col("l_suppkey") % 40) * 0.5 + 0.25).as("x"),
+        ((col("l_partkey") % 40) * 0.5 + 0.25).as("y"),
+        (col("l_orderkey") % 4).cast("int").as("lossyear"))
+      val basins = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("HYBAS_ID"),
+        ((col("n_nationkey") % 5) * 2.0).as("lat_min"),
+        ((col("n_nationkey") % 5) * 2.0 + 1.5).as("lat_max"),
+        (floor(col("n_nationkey") / 5) * 2.0).as("lon_min"),
+        (floor(col("n_nationkey") / 5) * 2.0 + 1.5).as("lon_max"),
+        (col("n_nationkey") * 1.5).as("basin_area"))
+      graft.operators.DeforestationPipeline
+        .treeLossPerBasin(px, basins, 0.25, 0.25, 0.5, yearLo = 1, yearHi = 3)
+        .select(col("HYBAS_ID"), col("year"), col("tree_loss_incidents"),
+          round(col("first_cell_area") / 1e6, 3).as("area_km2"),
+          col("basin_area"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT (l_suppkey % 40) * 0.5 + 0.25 AS longitude,
+               (l_partkey % 40) * 0.5 + 0.25 AS latitude,
+               CAST(l_orderkey % 4 AS INTEGER) AS lossyear
+        FROM lineitem),
+      boxes AS (
+        SELECT n_nationkey AS zone,
+               (n_nationkey % 5) * 2.0 AS lat_min,
+               (n_nationkey % 5) * 2.0 + 1.5 AS lat_max,
+               floor(n_nationkey / 5) * 2.0 AS lon_min,
+               floor(n_nationkey / 5) * 2.0 + 1.5 AS lon_max,
+               n_nationkey * 1.5 AS basin_area
+        FROM nation),
+      ass AS (
+        SELECT p.latitude, p.longitude, p.lossyear, b.zone, b.basin_area
+        FROM px p JOIN boxes b
+          ON p.latitude BETWEEN b.lat_min AND b.lat_max
+         AND p.longitude BETWEEN b.lon_min AND b.lon_max),
+      zones AS (SELECT DISTINCT zone FROM ass),
+      years AS (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER) AS yr),
+      counts AS (SELECT zone, lossyear AS yr, count(*) AS cnt FROM ass
+                 WHERE lossyear BETWEEN 1 AND 3 GROUP BY 1, 2),
+      firstc AS (
+        SELECT zone, latitude, longitude FROM (
+          SELECT zone, latitude, longitude,
+                 row_number() OVER (PARTITION BY zone
+                   ORDER BY latitude, longitude) AS rn
+          FROM ass) WHERE rn = 1),
+      area AS (
+        SELECT zone,
+          (2.0 * 6371000.0 * atan2(sqrt(
+              pow(sin(radians((latitude + 0.25) - (latitude - 0.25)) / 2), 2)
+              + cos(radians(latitude - 0.25)) * cos(radians(latitude + 0.25))
+                * pow(sin(radians(longitude - longitude) / 2), 2)),
+            sqrt(1.0 - (
+              pow(sin(radians((latitude + 0.25) - (latitude - 0.25)) / 2), 2)
+              + cos(radians(latitude - 0.25)) * cos(radians(latitude + 0.25))
+                * pow(sin(radians(longitude - longitude) / 2), 2)))))
+          * (2.0 * 6371000.0 * atan2(sqrt(
+              pow(sin(radians(latitude - latitude) / 2), 2)
+              + cos(radians(latitude)) * cos(radians(latitude))
+                * pow(sin(radians((longitude + 0.25) - (longitude - 0.25)) / 2), 2)),
+            sqrt(1.0 - (
+              pow(sin(radians(latitude - latitude) / 2), 2)
+              + cos(radians(latitude)) * cos(radians(latitude))
+                * pow(sin(radians((longitude + 0.25) - (longitude - 0.25)) / 2), 2)))))
+          AS a
+        FROM firstc),
+      bas AS (SELECT DISTINCT zone, basin_area FROM ass)
+      SELECT CAST(z.zone AS BIGINT) AS HYBAS_ID, y.yr + 2000 AS year,
+             coalesce(c.cnt, 0) AS tree_loss_incidents,
+             round(area.a / 1e6, 3) AS area_km2,
+             bas.basin_area
+      FROM zones z
+      CROSS JOIN years y
+      LEFT JOIN counts c ON z.zone = c.zone AND y.yr = c.yr
+      LEFT JOIN area ON z.zone = area.zone
+      LEFT JOIN bas ON z.zone = bas.zone"""))
+
+  val qs: Seq[Q] = Seq(q65NodataTiles, q66ZonalAssign, q67DenseGrid,
+    q68TreelossBasin)
 }

@@ -129,5 +129,51 @@ object VectorOps {
                  ORDER BY cos_sim DESC, nbr_id ASC) AS rn
         FROM pairs) WHERE rn = 1"""))
 
-  val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn)
+  /** Centroid assignment (one k-means step / IVF coarse quantizer): per-
+    * label centroids from posexploded elements, every vector assigned to
+    * its nearest centroid by cosine — the IVF partitioning primitive for
+    * scaled ANN (centroids broadcast; vectors scanned once).
+    */
+  val q44CentroidAssign = Q(
+    "q44_centroid_assign",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      val flat = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = flat.groupBy("label", "pos")
+        .agg(round(avg("v"), 6).as("c"))
+        .withColumnRenamed("label", "c_label")
+      val dots = flat.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(sum(col("v") * col("c")).as("dot"),
+          sum(col("v") * col("v")).as("nv"),
+          sum(col("c") * col("c")).as("nc"))
+        .select(col("vec_id"), col("c_label"),
+          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6).as("cos_sim"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("c_label").asc)
+      dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("nearest_label"))
+    },
+    Some("""
+      WITH flat AS (
+        SELECT vec_id, label, i.range AS pos,
+               CAST(embedding[i.range] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i),
+      cent AS (
+        SELECT label AS c_label, pos, round(avg(v), 6) AS c
+        FROM flat GROUP BY 1, 2),
+      dots AS (
+        SELECT vec_id, c_label,
+               round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 6) AS cos_sim
+        FROM flat JOIN cent USING (pos)
+        GROUP BY 1, 2)
+      SELECT vec_id, c_label AS nearest_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos_sim DESC, c_label ASC) AS rn
+        FROM dots) WHERE rn = 1"""))
+
+  val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
+    q44CentroidAssign)
 }
