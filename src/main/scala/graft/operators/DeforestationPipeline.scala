@@ -38,7 +38,7 @@ object DeforestationPipeline {
     * (year+2000, 200² block) loss-pixel counts.
     */
   def treeLossPerYear(
-      lossyear: DataFrame, blockSize: Int = 200,
+      lossyear: DataFrame, blockSize: Double = 200,
       yearLo: Int = 1, yearHi: Int = 22): DataFrame =
     GridOps.treeLossPerBlock(lossyear, "x", "y", "lossyear", blockSize, yearLo, yearHi)
       .withColumn("year", col("year") + 2000)
@@ -52,12 +52,17 @@ object DeforestationPipeline {
   def treeLossPerBasin(
       lossyear: DataFrame, basins: DataFrame,
       latOrigin: Double, lonOrigin: Double, res: Double,
-      yearLo: Int = 1, yearHi: Int = 22): DataFrame = {
+      yearLo: Int = 1, yearHi: Int = 22,
+      indexCellSize: Double = 2.0): DataFrame = {
     val boxes = basins.withColumnRenamed("HYBAS_ID", "zone")
-    val px = GridOps.zonalAssign(
+    // fine pixels vs large basin boxes → grid-indexed spatial join (the
+    // pixel-resolution rasterize of GridOps.zonalAssign would build a
+    // dimension as big as the raster here). Basins are disjoint, so no
+    // post-join dedupe is needed.
+    val px = GridOps.gridIndexedAssign(
       lossyear.withColumnRenamed("y", "latitude").withColumnRenamed("x", "longitude"),
       boxes.select("zone", "lat_min", "lat_max", "lon_min", "lon_max"),
-      "zone", latOrigin, lonOrigin, res)
+      "zone", indexCellSize)
     // px unfiltered: the zone universe must include basins whose pixels
     // all have lossyear 0 (flox expected_groups semantics); the year
     // filter inside denseZonalCount applies only to the counted rows

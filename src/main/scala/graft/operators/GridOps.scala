@@ -63,7 +63,7 @@ object GridOps {
   def coarsenSum(
       df: DataFrame,
       xCol: String, yCol: String, valueCol: String,
-      blockSize: Int): DataFrame =
+      blockSize: Double): DataFrame =
     df.groupBy(
       floor(col(xCol) / blockSize).cast("long").as("block_x"),
       floor(col(yCol) / blockSize).cast("long").as("block_y"))
@@ -77,7 +77,7 @@ object GridOps {
   def treeLossPerBlock(
       lossyear: DataFrame,
       xCol: String, yCol: String, lossCol: String,
-      blockSize: Int, yearLo: Int, yearHi: Int): DataFrame =
+      blockSize: Double, yearLo: Int, yearHi: Int): DataFrame =
     lossyear
       .withColumn("year", explode(sequence(lit(yearLo), lit(yearHi))))
       .withColumn("mask", (col(lossCol) === col("year")).cast("long"))
@@ -149,6 +149,34 @@ object GridOps {
         idxLow(col("lon_min"), lonOrigin), idxHigh(col("lon_max"), lonOrigin))))
       .groupBy("_gi", "_gj")
       .agg(min(col(zoneCol)).as(zoneCol))
+  }
+
+  /** Grid-indexed spatial join (J9 at fine pixel resolution): when boxes
+    * are LARGE relative to pixels, rasterizing at pixel resolution would
+    * materialize a dimension as big as the raster. Instead: index boxes
+    * onto a COARSE grid of `cellSize` (each box explodes into the few
+    * coarse cells it overlaps — pick cellSize near the typical box size),
+    * broadcast that candidate list, equi-join pixels on their coarse cell
+    * and filter exact containment. Cost: one pass over pixels × avg
+    * candidates per coarse cell (~1–4), no O(pixels × boxes) stage.
+    * Overlapping boxes produce one row per containing box — callers with
+    * overlap dedupe on a point key.
+    */
+  def gridIndexedAssign(
+      points: DataFrame, boxes: DataFrame, zoneCol: String,
+      cellSize: Double): DataFrame = {
+    val cand = boxes
+      .withColumn("_ci", explode(sequence(
+        floor(col("lat_min") / cellSize), floor(col("lat_max") / cellSize))))
+      .withColumn("_cj", explode(sequence(
+        floor(col("lon_min") / cellSize), floor(col("lon_max") / cellSize))))
+    points
+      .withColumn("_ci", floor(col("latitude") / cellSize).cast("long"))
+      .withColumn("_cj", floor(col("longitude") / cellSize).cast("long"))
+      .join(broadcast(cand), Seq("_ci", "_cj"))
+      .filter(col("latitude").between(col("lat_min"), col("lat_max")) &&
+        col("longitude").between(col("lon_min"), col("lon_max")))
+      .drop("_ci", "_cj", "lat_min", "lat_max", "lon_min", "lon_max")
   }
 
   /** Zonal assignment (J9): pixels ⋈ rasterized zone dimension on the
