@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.FloodPipeline
-import graft.sources.RasterContract
 
 /** Macro benchmark: the flood `forecast` job at the reference's REAL
   * working-set shape (BASELINE.md): Central-Africa ROI 23°×70° at 0.05°
@@ -32,7 +31,12 @@ object FloodMacroBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val nLat = 460; val nLon = 1400 // 23° × 70° @ 0.05° (config.py:5-15)
-    val grid = RasterContract.denseGrid(spark, 17.0, -18.0, 0.05, nLat, nLon)
+    // read the ROI grid through the custom DSv2 source (partition-planned)
+    val grid = spark.read.format("graft-grid")
+      .option("latMax", 17.0).option("lonMin", -18.0).option("res", 0.05)
+      .option("nLat", nLat).option("nLon", nLon)
+      .option("partitions", cpus.toInt * 2)
+      .load()
 
     // Deterministic pseudo-random discharge per (cell, member, step):
     // positive, heavy-tailed-ish, ~5% of cells flooding.

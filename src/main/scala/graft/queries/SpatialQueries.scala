@@ -176,6 +176,22 @@ object SpatialQueries {
       LEFT JOIN area ON z.zone = area.zone
       LEFT JOIN bas ON z.zone = bas.zone"""))
 
+  /** R1 via the custom DataSource V2 (graft-grid): same grid as q67 but
+    * materialized by the source's partition-planned readers.
+    */
+  val q69GridSource = Q(
+    "q69_grid_source",
+    (s, dir) =>
+      s.read.format("graft-grid")
+        .option("latMax", 5.0).option("lonMin", 10.0)
+        .option("res", 0.5).option("nLat", 20).option("nLon", 30)
+        .option("partitions", 8)
+        .load(),
+    Some("""
+      SELECT 5.0 - i * 0.5 AS latitude, 10.0 + j * 0.5 AS longitude
+      FROM (SELECT unnest(generate_series(0, 19)) AS i),
+           (SELECT unnest(generate_series(0, 29)) AS j)"""))
+
   val qs: Seq[Q] = Seq(q65NodataTiles, q66ZonalAssign, q67DenseGrid,
-    q68TreelossBasin)
+    q68TreelossBasin, q69GridSource)
 }
