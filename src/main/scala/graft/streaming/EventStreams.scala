@@ -61,6 +61,59 @@ object EventStreams {
       }
   }
 
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long)
+  case class SessionClosed(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Sessionization with BOUNDED state: closed sessions are emitted and
+    * their state removed when the event-time watermark passes the session
+    * gap (GroupStateTimeout.EventTimeTimeout). This is the form that
+    * survives unbounded streams — the simple `sessionize` keeps one state
+    * entry per user forever, which at 100 TB-scale traffic is a state
+    * leak.
+    */
+  def sessionizeExpiring(
+      events: Dataset[Event],
+      gapMinutes: Long = 30,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionClosed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionClosed(userId, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              open match {
+                case Some(s) if us - s.lastUs <= gapMs * 1000L =>
+                  open = Some(OpenSession(s.startUs, us, s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionClosed(userId, s.startUs, s.lastUs, s.nEvents)
+                  open = Some(OpenSession(us, us, 1L))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming as-of enrichment (image of q54_asof_join): for each
     * purchase, the most recent prior click per user, via mapGroupsWithState
     * keeping only the last click timestamp per user.

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -66,6 +67,60 @@ class EventStreamsSpec extends SparkSpec {
       val last = spark.table("sessions2").as[UserSessions].collect()
         .filter(_.user_id == 9L).maxBy(_.n_sessions)
       assert(last.n_sessions == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionizeExpiring closes sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionizeExpiring(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("expiring")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 1.0))
+      q.processAllAvailable()
+      // session still open: nothing emitted yet
+      assert(spark.table("expiring").count() == 0)
+      // much later event from ANOTHER user advances the watermark far past
+      // user 7's timeout → the open session closes and its state drops
+      input.addData(Event(3, ts(600), 8, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(601), 8, "view", 1.0)) // one more batch to flush timeouts
+      q.processAllAvailable()
+      val closed = spark.table("expiring").as[SessionClosed].collect()
+      assert(closed.exists(s => s.user_id == 7L && s.n_events == 2L &&
+        s.start_us == ts(0).getTime * 1000L && s.end_us == ts(5).getTime * 1000L))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts drops events arriving later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = input.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark well past the first hour (ts(600) = +10h)
+      input.addData(Event(2, ts(600), 7, "view", 1.0))
+      q.processAllAvailable()
+      // late event for the long-closed first hour: must be dropped
+      input.addData(Event(3, ts(1), 7, "click", 1.0))
+      q.processAllAvailable()
+      // close the second window so its row flushes too
+      input.addData(Event(4, ts(695), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+      val firstHour = rows.filter(_._2 == "click")
+      assert(firstHour.map(_._3).sum == 1L) // late click NOT counted
     } finally q.stop()
   }
 
