@@ -174,6 +174,45 @@ object VectorOps {
           ORDER BY cos_sim DESC, c_label ASC) AS rn
         FROM dots) WHERE rn = 1"""))
 
+  /** IVF search through the real operator (Similarity.ivfSearch): probe
+    * the 2 nearest label-centroids, brute-force only inside them.
+    */
+  val q45IvfSearch = Q(
+    "q45_ivf_search",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      graft.operators.Similarity
+        .ivfSearch(e, "label", "embedding", "vec_id", qv, nprobe = 2, k = 10)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+    },
+    Some("""
+      WITH flat AS (
+        SELECT vec_id, label, i.range AS pos,
+               CAST(embedding[i.range] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i),
+      q AS (SELECT pos, v FROM flat WHERE vec_id = 0),
+      cent AS (SELECT label, pos, avg(v) AS c FROM flat GROUP BY 1, 2),
+      csim AS (
+        SELECT cent.label,
+               sum(c * q.v) / (sqrt(sum(c * c)) * sqrt(sum(q.v * q.v))) AS cs
+        FROM cent JOIN q USING (pos) GROUP BY 1),
+      probed AS (
+        SELECT label FROM (
+          SELECT label, row_number() OVER (ORDER BY cs DESC, label ASC) AS rn
+          FROM csim) WHERE rn <= 2),
+      cand AS (
+        SELECT e.vec_id, e.label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)) AS raw_cos
+        FROM embeddings e
+        WHERE e.label IN (SELECT label FROM probed))
+      SELECT vec_id, label, round(raw_cos, 6) AS cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY raw_cos DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn <= 10"""))
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
-    q44CentroidAssign)
+    q44CentroidAssign, q45IvfSearch)
 }
