@@ -211,7 +211,8 @@ object VectorOps {
         WHERE e.label IN (SELECT label FROM probed))
       SELECT vec_id, label, round(raw_cos, 6) AS cos_sim FROM (
         SELECT *, row_number() OVER (ORDER BY raw_cos DESC, vec_id ASC) AS rn
-        FROM cand) WHERE rn <= 10"""))
+        FROM cand) WHERE rn <= 10"""),
+    headline = true)
 
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch)
