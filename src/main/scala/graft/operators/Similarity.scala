@@ -65,6 +65,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit LSH bucket over the first `bits` dimensions — candidate
+    * partitioning for embedding near-dup detection.
+    */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }.reduce(concat(_, _))
+
+  /** Embedding-cosine near-duplicate removal: vectors whose cosine
+    * similarity to a lower-id vector reaches `threshold` are dropped.
+    * Candidates meet only inside a sign-bit LSH bucket (one shuffle on the
+    * bucket), then verify with exact cosine — same shape as MinHash dedup
+    * but in embedding space.
+    */
+  def embeddingDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val lhs = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val rhs = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val dupIds = lhs.join(rhs, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    vecs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact brute-force top-k (the recall baseline for ivfSearch). */
   def bruteTopK(
       vecs: DataFrame, vecCol: String, idCol: String,

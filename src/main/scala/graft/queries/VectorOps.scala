@@ -214,6 +214,41 @@ object VectorOps {
         FROM cand) WHERE rn <= 10"""),
     headline = true)
 
+  /** Embedding-cosine near-dup dedup (Similarity.embeddingDedup): drop
+    * vectors cosine-similar (>= 0.95) to a lower-id vector within their
+    * LSH bucket; count survivors per label.
+    */
+  val q46EmbeddingDedup = Q(
+    "q46_embedding_dedup",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      graft.operators.Similarity
+        .embeddingDedup(e, "vec_id", "embedding", threshold = 0.95)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_survivors"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
+          || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      dups AS (
+        SELECT DISTINCT b2.vec_id
+        FROM b b1 JOIN b b2
+          ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+        WHERE list_cosine_similarity(b1.v, b2.v) >= 0.95)
+      SELECT label, count(*) AS n_survivors
+      FROM embeddings
+      WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
-    q44CentroidAssign, q45IvfSearch)
+    q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup)
 }

@@ -41,6 +41,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall(_ % 3 == 1)) // all results from cluster 1
   }
 
+  test("embeddingDedup drops planted cosine near-duplicates") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.tabulate(12)(i => rnd.nextFloat() * 2 - 1)
+    val docs = Seq(
+      (1L, base.toSeq),
+      (2L, base.map(_ * 1.01f).toSeq),        // same direction → cosine ≈ 1
+      (3L, base.map(v => -v).toSeq),           // opposite → cosine -1, different bucket anyway
+      (4L, Array.tabulate(12)(i => if (i == 3) 5.0f else 0.01f).toSeq))
+      .toDF("vec_id", "vec")
+    val kept = Similarity.embeddingDedup(docs, "vec_id", "vec", 0.95, bits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L)) // 2 dropped as near-dup of 1
+  }
+
   test("ivfSearch with nprobe=all equals brute force everywhere") {
     val query = Seq.tabulate(12)(i => 1.0 + i * 0.1)
     val ivf = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
