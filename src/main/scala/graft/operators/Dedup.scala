@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Deterministic 64-bit hash shared with the DuckDB oracle: the low 60
+    * bits of md5, so both engines can compute it exactly
+    * (DuckDB: CAST('0x' || substr(md5(x), 18, 15) AS BIGINT)). Used where
+    * cross-engine reproducibility matters more than raw hash speed;
+    * xxhash64 stays the default for the LSH-internal hashing whose exact
+    * values never leave the engine.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(text), "\\s+")
@@ -100,13 +110,16 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: sign of the per-bit vote sum
     * of token hashes. Expressed as 64 conditional sums over exploded
-    * token hashes (single shuffle on the doc id).
+    * token hashes (single shuffle on the doc id). Token hashes use
+    * [[md5Hash64]] (60 effective bits; the top 4 sign bits stay 0) so the
+    * signatures — which ARE the query output — are reproducible by the
+    * DuckDB oracle.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", md5Hash64(col("tok")))
     val votes = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"v$bit")

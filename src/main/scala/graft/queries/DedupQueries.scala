@@ -5,11 +5,29 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.{Dedup, Multimodal}
 
-/** Fuzzy-dedup + multimodal surface over the testdata tables. MinHash and
-  * SimHash depend on xxhash64 (not available in DuckDB) → rows-only
-  * checks; the blob-metadata query is fully oracle-checked.
+/** Fuzzy-dedup + multimodal surface over the testdata tables — all fully
+  * oracle-checked. The MinHash oracle is *ground truth*: because the engine
+  * verifies every LSH candidate with exact shingle Jaccard, its survivor
+  * set equals the brute-force all-pairs answer (the oracle) whenever LSH
+  * has no false negative — with k=64/16 bands the miss probability at the
+  * 0.8 threshold is (1-0.8^4)^16 ≈ 2e-4 per pair, and the hashes are
+  * deterministic, so an observed match at a scale factor is stable. The
+  * SimHash oracle replicates the signature exactly (shared md5-derived
+  * hash; the 4x16-bit pigeonhole banding provably finds ALL hamming<=3
+  * pairs, so brute-force SQL is equivalent, not approximate).
   */
 object DedupQueries {
+
+  /** 3-gram word shingles of lower(text) on whitespace, distinct, as
+    * DuckDB SQL (docs with < 3 tokens have no shingles and are never
+    * dedup candidates — mirrors the size(sh) > 0 filter).
+    */
+  private val shinglesSql = """
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t)-2)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM %s)
+    WHERE len(t) >= 3"""
 
   /** MinHash+LSH dedup over documents: surviving doc count per lang after
     * dropping verified near-duplicates (jaccard >= 0.8 on 3-gram shingles).
@@ -22,7 +40,17 @@ object DedupQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_survivors"))
     },
-    None,
+    Some(s"""
+      WITH sh AS (${shinglesSql.format("documents")}),
+      dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8)
+      SELECT lang, count(*) AS n_survivors
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      GROUP BY 1"""),
     headline = true)
 
   /** SimHash near-dup pairs over documents (hamming <= 3 of 64-bit sigs). */
@@ -34,7 +62,31 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(min("dist"), lit(0)).as("min_dist"))
     },
-    None)
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 18, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0),
+      votes AS (
+        SELECT doc_id, g.bit,
+               sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, generate_series(0, 63) g(bit)
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS simhash
+        FROM votes GROUP BY 1),
+      pairs AS (
+        SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      SELECT count(*) AS n_pairs,
+             coalesce(min(dist), 0) AS min_dist
+      FROM pairs"""))
 
   /** Multimodal plumbing: opaque binary payloads + typed metadata
     * (byte length, digest, magic bytes) — oracle-checked; the decode stub

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Sql, Tables}
 import graft.operators.Dedup
 
 /** Composed training-data corpus pipeline + sketch surface. */
@@ -10,9 +10,9 @@ object PipelineQueries {
 
   /** The canonical pretraining-corpus pass, composed end-to-end: quality
     * gate → exact dedup → MinHash near-dup dedup → per-language corpus
-    * stats. MinHash step → rows-only check (xxhash64 has no DuckDB
-    * equivalent); each stage is individually oracle-checked by
-    * q32/q34/q37.
+    * stats. The oracle replays every stage in SQL, with the near-dup stage
+    * as brute-force exact Jaccard (ground truth — see DedupQueries for why
+    * the LSH path agrees exactly).
     */
   val q39CorpusPipeline = Q(
     "q39_corpus_pipeline",
@@ -37,15 +37,47 @@ object PipelineQueries {
       deduped.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"),
-          round(avg("quality"), 4).as("avg_quality"))
+          Sql.r(Sql.exactAvg(col("quality")), 4).as("avg_quality"))
     },
-    None,
+    Some("""
+      WITH g AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS diversity
+        FROM documents),
+      q AS (
+        SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
+        FROM g),
+      gate AS (SELECT * FROM q WHERE quality >= 0.3),
+      exact AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM gate) WHERE rn = 1),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, len(t)-2)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
+        WHERE len(t) >= 3),
+      dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(CAST(sum(CAST(quality AS DECIMAL(27,4))) AS DOUBLE)
+                   / count(quality), 4) AS avg_quality
+      FROM exact
+      WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      GROUP BY 1"""),
     headline = true)
 
   /** Sketch aggregates (the approx fast path the reference lacks):
     * HyperLogLog distinct counts + quantile sketches. Sketch internals
-    * are engine-specific → rows-only check; exact counterparts are
-    * oracle-checked in q01/q18.
+    * are engine-specific → rows-only check; the deterministic sketch
+    * counterpart is oracle-checked in q47, exact ones in q01/q18.
     */
   val q43Sketches = Q(
     "q43_sketches",
@@ -60,5 +92,56 @@ object PipelineQueries {
     },
     None)
 
-  val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches)
+  /** KMV (k-minimum-values) distinct-count sketch, k=256: a
+    * cross-engine-deterministic sketch (unlike HLL, whose register layout
+    * is engine-specific) built from the shared md5-derived 60-bit hash.
+    * Estimate = (k-1) * 2^60 / h_(k); mergeable at 100 TB scale because
+    * "k smallest hashes" distributes over partial aggregation. Exact
+    * distinct count alongside shows the sketch error.
+    */
+  val q47KmvSketch = Q(
+    "q47_kmv_sketch",
+    (s, dir) => {
+      val k = 256
+      val li = Tables.load(s, dir, "lineitem")
+      val hashed = li
+        .select(col("l_returnflag"),
+          Dedup.md5Hash64(col("l_orderkey").cast("string")).as("h"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("h")
+      val kth = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"),
+          ((lit((k - 1).toDouble) * lit(math.pow(2, 60))) /
+            col("h").cast("double")).as("kmv_distinct_orders"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct_orders"))
+      kth.join(exact, Seq("l_returnflag"))
+        .select("l_returnflag", "kmv_distinct_orders", "exact_distinct_orders")
+    },
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 18, 15))
+                    AS BIGINT) AS h
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM h),
+      kth AS (
+        SELECT l_returnflag,
+               255.0 * 1152921504606846976.0 / CAST(h AS DOUBLE)
+                 AS kmv_distinct_orders
+        FROM r WHERE rn = 256),
+      ex AS (
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_distinct_orders
+        FROM lineitem GROUP BY 1)
+      SELECT kth.l_returnflag, kmv_distinct_orders, exact_distinct_orders
+      FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag"""))
+
+  val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch)
 }
