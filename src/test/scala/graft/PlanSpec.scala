@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan regression tests for the scale-critical properties the
+  * README claims (100 TB posture). These lock in the *shape* of the plan,
+  * not timings: a regression that reintroduces a global-window top-k, a
+  * sort-merge join against a dimension table, or an unpushed filter fails
+  * here long before it would show up in a benchmark at scale.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q04: dimension joins broadcast, never sort-merge") {
+    val p = plan("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: threshold join broadcasts the small side") {
+    val p = plan("q60_flood_detailed")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q11: global top-k is TakeOrderedAndProject, not a global window sort") {
+    val p = plan("q11_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q40: brute-force knn top-k is TakeOrderedAndProject") {
+    val p = plan("q40_knn_brute")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"), p)
+    // a pruned ReadSchema never mentions the wide comment column
+    assert(!p.contains("l_comment"), p)
+    // the scan-side pipeline is whole-stage codegen'd
+    assert(p.contains("*("), p)
+  }
+
+  test("q01: grouped quantiles run with map-side partial aggregation") {
+    val p = plan("q01_agg_quantiles")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q37: LSH candidate generation never degenerates to a cross join") {
+    val p = plan("q37_minhash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q47: KMV sketch never sorts globally (per-group window only)") {
+    val p = plan("q47_kmv_sketch")
+    assert(!p.contains("rangepartitioning"), p)
+  }
+}
