@@ -76,4 +76,44 @@ object Multimodal {
         explode(sequence(lit(0), greatest(totalFrames - 1, lit(0)), lit(everyNth))))
       .withColumn("frame_key",
         concat(col("media_id").cast("string"), lit("#"), col("frame_idx").cast("string")))
+
+  /** STUB feature extraction: a deterministic fake embedding of the
+    * payload — integer-valued components in [-1000, 1000] derived from the
+    * md5 digest, so dot products and norms are exact in double arithmetic
+    * regardless of summation order (and the DuckDB oracle reproduces them
+    * bit-for-bit). The signature (binary → array<double>[dim]) is the real
+    * contract a model-based embedder would fill.
+    */
+  def embedStub(payload: Column, dim: Int): Column = {
+    val digest = md5(payload)
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => (Dedup.md5Hash64(concat(digest, j.cast("string"))) % 2001 - 1000)
+        .cast("double"))
+  }
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, width: Int, height: Int, channels: Int)
+
+  /** Batch-shaped decode: the Scala analog of `mapInPandas` — partitions
+    * stream through as bounded batches, so a real implementation can hand
+    * each batch to a vectorized/native codec (or a GPU) without
+    * materializing the partition. The decode body itself is a
+    * deterministic stub (no codecs in this environment).
+    */
+  def batchDecode(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // real impl: vectorized codec over the whole `batch`
+          batch.map { m =>
+            val h = math.abs(
+              scala.util.hashing.MurmurHash3.bytesHash(m.payload, 42).toLong)
+            DecodedRow(m.media_id, (h % 1920 + 1).toInt,
+              ((h / 1920) % 1080 + 1).toInt, 3)
+          }
+        }
+      }.toDF()
+  }
 }

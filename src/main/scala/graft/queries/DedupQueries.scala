@@ -113,5 +113,46 @@ object DedupQueries {
              upper(hex(encode(substr(text, 1, 4)))) AS magic
       FROM documents"""))
 
-  val qs: Seq[Q] = Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta)
+  /** Multimodal → embedding → similarity, end-to-end: opaque payloads get
+    * a stub embedding (deterministic integer-valued components — exact in
+    * double math, so the oracle matches bit-for-bit), then brute-force
+    * cosine top-10 against one query payload. The embed stub is the
+    * model-inference seam; everything around it is the real 100 TB plan
+    * (broadcast query vector, linear scan, TakeOrderedAndProject top-k).
+    */
+  val q56MediaEmbedSim = Q(
+    "q56_media_embed_sim",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.asMedia(docs, "doc_id", "text")
+      val emb = media.select(col("media_id"),
+        Multimodal.embedStub(col("payload"), 8).as("emb"))
+      val q = emb.filter(col("media_id") === 1).select(col("emb").as("qemb"))
+      emb.filter(col("media_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("media_id"),
+          round(VectorOps.cosine(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("media_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id AS media_id,
+               [CAST(CAST(('0x' || substr(md5(md5(text) || CAST(j AS VARCHAR)), 18, 15))
+                          AS BIGINT) % 2001 - 1000 AS DOUBLE)
+                for j in generate_series(0, 7)] AS emb
+        FROM documents),
+      q AS (SELECT emb AS qemb FROM e WHERE media_id = 1),
+      sims AS (
+        SELECT e.media_id,
+               round(list_sum([e.emb[i] * q.qemb[i] for i in generate_series(1, 8)])
+                     / (sqrt(list_sum([e.emb[i] * e.emb[i] for i in generate_series(1, 8)]))
+                        * sqrt(list_sum([q.qemb[i] * q.qemb[i] for i in generate_series(1, 8)]))),
+                     6) AS cos_sim
+        FROM e, q WHERE e.media_id <> 1)
+      SELECT media_id, cos_sim
+      FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""))
+
+  val qs: Seq[Q] =
+    Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim)
 }

@@ -40,6 +40,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(0) == 480 && r.getInt(1) == 270)
   }
 
+  test("batchDecode streams bounded batches through the partition") {
+    val many = Multimodal.asMedia(
+      (1L to 150L).map(i => (i, s"payload-$i")).toDF("id", "txt"), "id", "txt")
+    val out = Multimodal.batchDecode(many, batchSize = 32).collect()
+    assert(out.length == 150)
+    assert(out.forall { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      w >= 1 && w <= 1920 && h >= 1 && h <= 1080 && r.getAs[Int]("channels") == 3
+    })
+    // deterministic across runs
+    val again = Multimodal.batchDecode(many, batchSize = 7).collect()
+    assert(out.sortBy(_.getLong(0)).map(_.getInt(1)).toSeq ==
+      again.sortBy(_.getLong(0)).map(_.getInt(1)).toSeq)
+  }
+
+  test("embedStub emits integer-valued bounded components, deterministic") {
+    val e = media.select(Multimodal.embedStub(col("payload"), 8).as("emb"))
+      .selectExpr("explode(emb) AS c").collect().map(_.getDouble(0))
+    assert(e.length == 16)
+    assert(e.forall(c => c >= -1000 && c <= 1000 && c == math.rint(c)))
+  }
+
   test("sampleFrames explodes every-nth frame rows") {
     val out = Multimodal.sampleFrames(media.withColumn("n_frames", lit(10)),
       everyNth = 4, totalFrames = col("n_frames"))
