@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,45 +80,112 @@ class GridTable(props: Map[String, String]) extends Table with SupportsRead {
       props ++ options.asScala.map { case (k, v) => k.toLowerCase -> v }))
 }
 
+/** Index-space bounds derived from pushed coordinate filters:
+  * rows are generated only for i in [iLo, iHi), j in [jLo, jHi).
+  */
+case class GridBounds(iLo: Int, iHi: Int, jLo: Int, jHi: Int)
+
 class GridScanBuilder(spec: GridSpec)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = GridDataSource.Schema
+  private var bounds: GridBounds = GridBounds(0, spec.nLat, 0, spec.nLon)
+  private var accepted: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GridScan(spec, required)
+  /** Range predicates on latitude/longitude shrink the generated index
+    * window — the source-side image of the reference's area restriction
+    * (SURVEY P3): a bbox query on a 1000-executor cluster plans only the
+    * bands inside the box instead of generating the globe and filtering.
+    * Clipping is conservative (±1e-9 index slack), and every filter is
+    * returned as residual so Spark re-applies the exact predicate —
+    * pushdown prunes work, it never decides correctness.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val eps = 1e-9
+    // latitude = latMax - i*res (descending in i); longitude = lonMin + j*res
+    def latGe(a: Double) = bounds = bounds.copy(
+      iHi = math.min(bounds.iHi,
+        math.floor((spec.latMax - a) / spec.res + eps).toInt + 1))
+    def latLe(b: Double) = bounds = bounds.copy(
+      iLo = math.max(bounds.iLo,
+        math.ceil((spec.latMax - b) / spec.res - eps).toInt))
+    def lonGe(a: Double) = bounds = bounds.copy(
+      jLo = math.max(bounds.jLo,
+        math.ceil((a - spec.lonMin) / spec.res - eps).toInt))
+    def lonLe(b: Double) = bounds = bounds.copy(
+      jHi = math.min(bounds.jHi,
+        math.floor((b - spec.lonMin) / spec.res + eps).toInt + 1))
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case sources.GreaterThan("latitude", v) => num(v).exists { d => latGe(d); true }
+      case sources.GreaterThanOrEqual("latitude", v) => num(v).exists { d => latGe(d); true }
+      case sources.LessThan("latitude", v) => num(v).exists { d => latLe(d); true }
+      case sources.LessThanOrEqual("latitude", v) => num(v).exists { d => latLe(d); true }
+      case sources.GreaterThan("longitude", v) => num(v).exists { d => lonGe(d); true }
+      case sources.GreaterThanOrEqual("longitude", v) => num(v).exists { d => lonGe(d); true }
+      case sources.LessThan("longitude", v) => num(v).exists { d => lonLe(d); true }
+      case sources.LessThanOrEqual("longitude", v) => num(v).exists { d => lonLe(d); true }
+      case sources.EqualTo("latitude", v) => num(v).exists { d => latGe(d); latLe(d); true }
+      case sources.EqualTo("longitude", v) => num(v).exists { d => lonGe(d); lonLe(d); true }
+      case _ => false
+    }
+    filters // everything is residual: Spark re-applies the exact predicate
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = new GridScan(spec, required, bounds)
 }
 
-class GridScan(spec: GridSpec, required: StructType) extends Scan with Batch {
+class GridScan(spec: GridSpec, required: StructType, bounds: GridBounds)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-grid pruned=[i ${bounds.iLo}..${bounds.iHi}, j ${bounds.jLo}..${bounds.jHi}]"
 
-  /** Latitude bands as input partitions. */
+  /** Latitude bands as input partitions, clipped to the pushed bounds. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val bands = math.min(spec.partitions, spec.nLat).max(1)
-    val step = math.ceil(spec.nLat.toDouble / bands).toInt
-    (0 until spec.nLat by step)
-      .map(lo => GridInputPartition(lo, math.min(lo + step, spec.nLat)))
+    val iLo = math.max(0, bounds.iLo)
+    val iHi = math.min(spec.nLat, bounds.iHi)
+    val nRows = math.max(0, iHi - iLo)
+    if (nRows == 0 || bounds.jHi <= bounds.jLo)
+      return Array.empty
+    val bands = math.min(spec.partitions, nRows).max(1)
+    val step = math.ceil(nRows.toDouble / bands).toInt
+    (iLo until iHi by step)
+      .map(lo => GridInputPartition(lo, math.min(lo + step, iHi)))
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GridReaderFactory(spec, required.fieldNames)
+    new GridReaderFactory(spec, required.fieldNames,
+      math.max(0, bounds.jLo), math.min(spec.nLon, bounds.jHi))
 }
 
 case class GridInputPartition(latLo: Int, latHi: Int) extends InputPartition
 
-class GridReaderFactory(spec: GridSpec, cols: Array[String])
+class GridReaderFactory(
+    spec: GridSpec, cols: Array[String], jLo: Int, jHi: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GridInputPartition]
     new PartitionReader[InternalRow] {
       private var i = gp.latLo
-      private var j = -1
+      private var j = jLo - 1
       override def next(): Boolean = {
         j += 1
-        if (j >= spec.nLon) { j = 0; i += 1 }
+        if (j >= jHi) { j = jLo; i += 1 }
         i < gp.latHi
       }
       override def get(): InternalRow = {

@@ -114,6 +114,45 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state (streaming image of q34):
+    * duplicate keys arriving within the watermark horizon are dropped, and
+    * per-key state expires once the watermark passes it — state size is
+    * bounded by the horizon's key cardinality, not the stream's lifetime.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks from the preceding `maxLagMinutes`. The watermark on
+    * BOTH sides plus the event-time range condition lets Spark drop
+    * buffered rows once they can no longer match — bounded join state on
+    * an unbounded stream.
+    */
+  def clickAttribution(events: DataFrame, maxLagMinutes: Int = 60): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$maxLagMinutes minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", s"$maxLagMinutes minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $maxLagMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_ts"))
+  }
+
   /** Streaming as-of enrichment (image of q54_asof_join): for each
     * purchase, the most recent prior click per user, via mapGroupsWithState
     * keeping only the last click timestamp per user.

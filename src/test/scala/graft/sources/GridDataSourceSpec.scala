@@ -35,4 +35,30 @@ class GridDataSourceSpec extends SparkSpec {
     assert(plan.contains("longitude") && !plan.contains("latitude#"))
     assert(one.distinct().count() == 4)
   }
+
+  test("graft-grid pushes bbox filters into partition planning") {
+    // full grid: lat 2.0 down to -0.5 in 6 rows; restrict to the top row
+    val top = grid.filter(col("latitude") >= 1.8)
+    // only the first latitude band survives planning
+    assert(top.rdd.getNumPartitions == 1)
+    assert(top.count() == 4)
+    // and a bbox on both axes generates just the inner window
+    val box = grid.filter(col("latitude") >= 0.9 && col("latitude") <= 1.6 &&
+      col("longitude") >= 10.4 && col("longitude") <= 11.1)
+    assert(box.as[(Double, Double)].collect().toSet ==
+      Set((1.5, 10.5), (1.5, 11.0), (1.0, 10.5), (1.0, 11.0)))
+  }
+
+  test("graft-grid pushdown agrees with post-scan filtering (exactness)") {
+    val pred = col("latitude") > 0.2 && col("longitude") < 11.2
+    val pushed = grid.filter(pred).as[(Double, Double)].collect().toSet
+    val reference = RasterContract.denseGrid(spark, 2.0, 10.0, 0.5, 6, 4)
+      .filter(pred).as[(Double, Double)].collect().toSet
+    assert(pushed == reference)
+  }
+
+  test("graft-grid empty pruned window plans zero partitions") {
+    val none = grid.filter(col("latitude") > 99.0)
+    assert(none.count() == 0)
+  }
 }

@@ -124,6 +124,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(1, ts(1), 7, "click", 1.0), // duplicate event_id
+      Event(2, ts(2), 7, "view", 1.0))
+    val q = dedupWithinWatermark(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 7, "click", 1.0)) // still inside horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("clickAttribution joins purchases to preceding-hour clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(30), 7, "purchase", 9.0),  // click 30 min before → match
+      Event(3, ts(0), 8, "purchase", 5.0),   // user 8 never clicked
+      Event(4, ts(10), 9, "purchase", 2.0),
+      Event(5, ts(20), 9, "click", 1.0))     // click AFTER purchase → no match
+    val q = clickAttribution(input.toDF(), maxLagMinutes = 60)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 7L)))
+    } finally q.stop()
+  }
+
   test("asofPurchases attaches the most recent prior click") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
