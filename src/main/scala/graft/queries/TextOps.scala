@@ -50,19 +50,27 @@ object TextOps {
       FROM documents"""))
 
   /** Token counting: whitespace tokens, distinct tokens (vocabulary). */
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / punctuation runs — the pre-tokenizer
+    * shape BPE vocabularies are trained over).
+    */
   val q31TokenCount = Q(
     "q31_token_count",
     (s, dir) => {
       val toks = split(col("text"), " ", -1)
+      val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
       t(s, dir)("documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
     },
     Some("""
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
       FROM documents"""))
 
   /** Quality scoring: length + lexical-diversity + stopword-ratio mix,
@@ -214,7 +222,34 @@ object TextOps {
                    / len(list_distinct(a.bigrams || b.bigrams)), 6) AS jaccard
       FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id"""))
 
+  /** Rolling-hash document fingerprint (Karp-Rabin polynomial over the
+    * token stream): order-SENSITIVE, complementing q35's order-invariant
+    * bag-of-words digest. Modulus keeps every intermediate < 2^51, so the
+    * fold is exact in both engines' 64-bit integers; token hashes come
+    * from the shared md5-derived hash.
+    */
+  val q57RollingFingerprint = Q(
+    "q57_rolling_fingerprint",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val hashes = transform(toks,
+        t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        aggregate(hashes, lit(0L),
+          (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fingerprint"))
+    },
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(('0x' || substr(md5(tk), 18, 15)) AS BIGINT) % 1000000007
+                  for tk in list_filter(string_split_regex(lower(text), '\s+'),
+                                        tk -> len(tk) > 0)]),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+      FROM documents"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
-    q34DedupExact, q35Fingerprint, q36NgramJaccard)
+    q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint)
 }
