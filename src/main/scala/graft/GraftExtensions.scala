@@ -16,6 +16,7 @@ import graft.functions.PandasFloatString
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.pandasFloatStr)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
 

@@ -42,6 +42,32 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(got.getString(0) == "2.45" && got.getString(1) == "-18.0")
   }
 
+  test("CollapseRedundantRound removes the redundant outer round") {
+    def q = spark.range(1, 8)
+      .select(round(round(col("id") / 7.0, 3), 5).as("x"),
+        round(bround(col("id") * 0.045, 3), 3).as("y"))
+    def countRound(p: String): Int =
+      "round\\(".r.findAllIn(p.toLowerCase).length
+    // baseline WITHOUT the rule: results + round() count in the plan
+    val plain = q.collect().map(_.toSeq).toSeq
+    val plainCount = countRound(q.queryExecution.optimizedPlan.toString)
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.CollapseRedundantRound)
+    try {
+      val df = q
+      // both outer rounds collapsed, semantics unchanged
+      assert(countRound(df.queryExecution.optimizedPlan.toString) ==
+        plainCount - 2)
+      assert(df.collect().map(_.toSeq).toSeq == plain)
+      // a FINER inner round must NOT be collapsed (double rounding differs:
+      // round(round(0.045, 2), 1) = 0.1 but round(0.045, 1) = 0.0)
+      val keep = spark.range(1, 2)
+        .select(round(round(col("id") * 0.045, 2), 1).as("z"))
+      assert(countRound(keep.queryExecution.optimizedPlan.toString) == 2)
+      assert(keep.collect()(0).getDouble(0) == 0.1)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("partitioned parquet layout prunes partitions on read (S2 layout)") {
     val dir = Files.createTempDirectory("graft-part").toString
     (1 to 120).map(i => (i, (i % 30 + 1) * 24))
