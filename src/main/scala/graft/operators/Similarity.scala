@@ -28,18 +28,21 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Per-cluster centroids: mean per dimension, returned as
-    * (clusterCol, centroid: array<double>). posexplode → grouped avg →
-    * re-assembled in position order.
+    * (clusterCol, centroid: array<double>). One pass with a per-position
+    * avg buffer — NO posexplode: exploding n×dim rows just to average
+    * them multiplies the aggregated row count by dim and (at 5M×64)
+    * starves execution memory next to a cached input; 64 narrow agg
+    * buffers per group shuffle a few KB per cluster instead.
     */
-  def centroids(vecs: DataFrame, clusterCol: String, vecCol: String): DataFrame =
-    vecs
-      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(clusterCol, "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy(clusterCol)
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("centroid"))
+  def centroids(vecs: DataFrame, clusterCol: String, vecCol: String): DataFrame = {
+    val dim = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val avgs = (0 until dim).map(i =>
+      avg(element_at(col(vecCol), i + 1).cast("double")).as(s"_c$i"))
+    vecs.groupBy(clusterCol)
+      .agg(avgs.head, avgs.tail: _*)
+      .select(col(clusterCol),
+        array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+  }
 
   /** IVF top-k: probe the `nprobe` clusters whose centroids are nearest
     * to the query vector, brute-force cosine only inside them, return the
