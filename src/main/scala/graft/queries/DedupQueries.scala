@@ -151,7 +151,8 @@ object DedupQueries {
                      6) AS cos_sim
         FROM e, q WHERE e.media_id <> 1)
       SELECT media_id, cos_sim
-      FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""))
+      FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""),
+    headline = true)
 
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim)

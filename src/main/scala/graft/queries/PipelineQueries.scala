@@ -94,32 +94,24 @@ object PipelineQueries {
 
   /** KMV (k-minimum-values) distinct-count sketch, k=256: a
     * cross-engine-deterministic sketch (unlike HLL, whose register layout
-    * is engine-specific) built from the shared md5-derived 60-bit hash.
-    * Estimate = (k-1) * 2^60 / h_(k); mergeable at 100 TB scale because
-    * "k smallest hashes" distributes over partial aggregation. Exact
-    * distinct count alongside shows the sketch error.
+    * is engine-specific) built from the shared md5-derived 60-bit hash,
+    * computed by the mergeable bounded-state `KmvSketch` Aggregator —
+    * partials of at most k longs merge associatively map-side, so the
+    * group shuffle carries k values, not every distinct hash (the
+    * window/row_number formulation funnels them all to one task per
+    * group). Estimate = (k-1) * 2^60 / h_(k); the exact distinct count
+    * alongside shows the sketch error.
     */
   val q47KmvSketch = Q(
     "q47_kmv_sketch",
     (s, dir) => {
-      val k = 256
       val li = Tables.load(s, dir, "lineitem")
-      val hashed = li
-        .select(col("l_returnflag"),
-          Dedup.md5Hash64(col("l_orderkey").cast("string")).as("h"))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag").orderBy("h")
-      val kth = hashed
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-        .select(col("l_returnflag"),
-          ((lit((k - 1).toDouble) * lit(math.pow(2, 60))) /
-            col("h").cast("double")).as("kmv_distinct_orders"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_distinct_orders"))
-      kth.join(exact, Seq("l_returnflag"))
-        .select("l_returnflag", "kmv_distinct_orders", "exact_distinct_orders")
+      li.groupBy("l_returnflag")
+        .agg(
+          graft.functions.KmvSketch(256)(
+            Dedup.md5Hash64(col("l_orderkey").cast("string")))
+            .as("kmv_distinct_orders"),
+          countDistinct(col("l_orderkey")).as("exact_distinct_orders"))
     },
     Some("""
       WITH h AS (
@@ -141,7 +133,8 @@ object PipelineQueries {
                count(DISTINCT l_orderkey) AS exact_distinct_orders
         FROM lineitem GROUP BY 1)
       SELECT kth.l_returnflag, kmv_distinct_orders, exact_distinct_orders
-      FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag"""))
+      FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag"""),
+    headline = true)
 
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch)
 }

@@ -129,31 +129,32 @@ object VectorOps {
                  ORDER BY cos_sim DESC, nbr_id ASC) AS rn
         FROM pairs) WHERE rn = 1"""))
 
-  /** Centroid assignment (one k-means step / IVF coarse quantizer): per-
-    * label centroids from posexploded elements, every vector assigned to
-    * its nearest centroid by cosine — the IVF partitioning primitive for
-    * scaled ANN (centroids broadcast; vectors scanned once).
+  /** Centroid assignment (one k-means step / IVF coarse quantizer):
+    * per-label centroids in ONE pass (per-position avg buffers, no
+    * explode), then every vector × broadcast centroid pair scored with
+    * the fold cosine and top-1 selected per vector. The pipeline touches
+    * n×k rows, never n×dim×k — the IVF partitioning primitive at scale
+    * (centroids broadcast; vectors scanned once, arrays never unpacked
+    * into rows).
     */
   val q44CentroidAssign = Q(
     "q44_centroid_assign",
     (s, dir) => {
       val e = t(s, dir)("embeddings")
-      val flat = e.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
-      val cent = flat.groupBy("label", "pos")
-        .agg(round(avg("v"), 6).as("c"))
-        .withColumnRenamed("label", "c_label")
-      val dots = flat.join(broadcast(cent), Seq("pos"))
-        .groupBy("vec_id", "c_label")
-        .agg(sum(col("v") * col("c")).as("dot"),
-          sum(col("v") * col("v")).as("nv"),
-          sum(col("c") * col("c")).as("nc"))
+      val dim = 64
+      val avgs = (0 until dim).map(i =>
+        round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
+          .as(s"_c$i"))
+      val cent = e.groupBy(col("label").as("c_label"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("c_label"),
+          array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+      val sims = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c_label"),
-          round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6).as("cos_sim"))
+          round(cosine(col("embedding"), col("centroid")), 6).as("cos_sim"))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cos_sim").desc, col("c_label").asc)
-      dots.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("nearest_label"))
     },
     Some("""

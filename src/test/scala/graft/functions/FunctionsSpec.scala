@@ -51,4 +51,38 @@ class FunctionsSpec extends SparkSpec {
       .select((col("a") === col("b")).as("eq")).as[Boolean].collect()
     assert(got.forall(identity))
   }
+
+  test("KmvSketch estimates distinct counts within the expected error") {
+    // 10k distinct ids hashed through the shared md5 hash; k=256 → ~6% σ
+    val est = spark.range(10000)
+      .withColumn("g", lit("a"))
+      .groupBy("g")
+      .agg(KmvSketch(256)(
+        graft.operators.Dedup.md5Hash64(col("id").cast("string"))).as("est"))
+      .select("est").as[Double].collect()(0)
+    assert(math.abs(est - 10000) / 10000.0 < 0.25, s"estimate $est")
+  }
+
+  test("KmvSketch is exact below saturation and partition-invariant") {
+    def run(parts: Int): Double = spark.range(100)
+      .repartition(parts)
+      .withColumn("g", lit("a"))
+      .groupBy("g")
+      .agg(KmvSketch(256)(
+        graft.operators.Dedup.md5Hash64(col("id").cast("string"))).as("est"))
+      .select("est").as[Double].collect()(0)
+    assert(run(1) == 100.0) // < k distinct → exact count
+    // merge is associative/dedup-ing: any partitioning gives the same value
+    assert(run(7) == 100.0 && run(32) == 100.0)
+  }
+
+  test("KmvSketch matches the k-th-smallest-hash formula exactly") {
+    val df = spark.range(5000)
+      .select(graft.operators.Dedup.md5Hash64(col("id").cast("string")).as("h"))
+    val kth = df.distinct().orderBy("h").limit(256)
+      .orderBy(desc("h")).limit(1).as[Long].collect()(0)
+    val want = 255.0 * math.pow(2, 60) / kth.toDouble
+    val got = df.agg(KmvSketch(256)(col("h")).as("e")).as[Double].collect()(0)
+    assert(got == want)
+  }
 }
