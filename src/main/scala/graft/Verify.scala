@@ -20,6 +20,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any dump from a previous run: a stale result must fail
+        // the compare, not silently pass it
+        graft.sources.FsOps.delete(spark, s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

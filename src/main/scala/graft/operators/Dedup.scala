@@ -38,12 +38,25 @@ object Dedup {
         s => length(s) > 0))
   }
 
-  /** MinHash signature: for each of k seeded hash functions, the minimum
-    * xxhash64 over the shingle set.
+  /** MinHash signature from PRE-HASHED shingles: the k orderings come
+    * from re-hashing the compact (hash, j) pair — a 16-byte xxhash64
+    * instead of re-walking a ~50-char shingle string per (shingle, j),
+    * and safe under ANSI mode (the classic affine-permutation trick needs
+    * wraparound multiplication, which ANSI rejects as overflow). The
+    * whole k-wide signature is one custom codegen'd Expression
+    * ([[graft.functions.MinhashSignature]]) — a single unboxed pass,
+    * no k intermediate arrays. `hashCol` should be a materialized column
+    * (attribute), not an inline `transform(...)` expression, or Catalyst
+    * inlines the string hashing into the consumer.
+    */
+  def minhashSignatureFromHashes(hashCol: Column, k: Int): Column =
+    graft.functions.MinhashSignature(hashCol, k)
+
+  /** MinHash signature straight from shingle strings (convenience; for
+    * the hot path pre-hash once and use [[minhashSignatureFromHashes]]).
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+    minhashSignatureFromHashes(transform(shingleCol, s => xxhash64(s)), k)
 
   /** Explode a signature into (band_id, band_hash) rows: `bands` bands of
     * `k/bands` rows each, hashed together.
@@ -63,17 +76,21 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
-    // shingle+signature table: computed once, reused by banding and by
-    // verification (at cluster scale this is the table you'd persist)
+    // shingle+hash table: strings hashed ONCE into a materialized column
+    // (so the k-way permutation below reads longs, never re-hashes
+    // strings), reused by banding and by verification (at cluster scale
+    // this is the table you'd persist)
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
       .cache()
     // cache the banded signatures BEFORE exploding: otherwise Catalyst
     // collapses the projection into the generator and recomputes the full
     // k-hash signature once per band row (bands× the hash work)
     val sig = sh.select(col("id"),
-      bandedSignature(minhashSignature(col("sh"), k), k, bands).as("bands"))
+      bandedSignature(minhashSignatureFromHashes(col("shh"), k), k, bands)
+        .as("bands"))
       .cache()
     val banded = sig
       .select(col("id"), explode(col("bands")).as("b"))

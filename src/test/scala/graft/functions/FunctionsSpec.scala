@@ -52,6 +52,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got.forall(identity))
   }
 
+  test("MinhashSignature matches the builtin xxhash64(h, j) formulation bit-for-bit") {
+    val df = spark.range(200)
+      .selectExpr("transform(sequence(0, cast(id % 7 as int)), i -> xxhash64(concat('s', id, '-', i))) AS shh")
+    val got = df.select(MinhashSignature(col("shh"), 16).as("sig"))
+    val want = df.selectExpr(
+      "transform(sequence(0, 15), j -> array_min(transform(shh, h -> xxhash64(h, j)))) AS sig")
+    assert(got.collect().map(_.getSeq[Long](0)).toSeq ==
+      want.collect().map(_.getSeq[Long](0)).toSeq)
+    // survives inside a larger codegen'd projection
+    val inProj = df.select((element_at(MinhashSignature(col("shh"), 16), 1) + 0L).as("x"))
+    assert(inProj.count() == 200)
+  }
+
   test("KmvSketch estimates distinct counts within the expected error") {
     // 10k distinct ids hashed through the shared md5 hash; k=256 → ~6% σ
     val est = spark.range(10000)

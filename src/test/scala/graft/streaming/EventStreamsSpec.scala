@@ -124,6 +124,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet sink writes exactly-once batches with checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "view", 2.0))
+    val q = input.toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(3, ts(20), 8, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("event_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      graft.sources.FsOps.delete(spark, dir)
+    }
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
