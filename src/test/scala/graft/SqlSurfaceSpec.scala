@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** The engine's second API surface: plain `spark.sql` over registered
+  * views, including graft's injected SQL functions — a user who writes
+  * ANSI SQL instead of the DataFrame API gets the same plans and the
+  * same results.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spark.sql over registered views matches the DataFrame path") {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql("""
+      SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             percentile(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY 1""")
+    val viaDf = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").cast("double").as("sum_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("med_price"))
+    assert(viaSql.orderBy("l_returnflag").collect().map(_.toSeq).toSeq ==
+      viaDf.orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
+  }
+
+  test("injected SQL functions compose with builtin SQL over views") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    val got = spark.sql("""
+      SELECT s_suppkey,
+             concat('POINT (', pandas_float_str(round(s_acctbal, 2), 2), ')') AS wkt_ish
+      FROM supplier ORDER BY s_suppkey LIMIT 3""").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getString(1).matches("""POINT \(-?\d+\.\d+\)""")))
+  }
+}
