@@ -28,13 +28,18 @@ object Dedup {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 18, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Docs with fewer
+    * than n tokens yield an empty array (NOT sequence(1, 0), which is
+    * DESCENDING in Spark and feeds slice an illegal start of 0).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(text), "\\s+")
     array_distinct(
       filter(
-        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-          i => concat_ws(" ", slice(toks, i, lit(n)))),
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>")),
         s => length(s) > 0))
   }
 

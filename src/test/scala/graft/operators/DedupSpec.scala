@@ -45,6 +45,16 @@ class DedupSpec extends SparkSpec {
     assert(dist(sigs(1L), sigs(3L)) > 8)
   }
 
+  test("docs below shingle size are never near-dup candidates") {
+    // < 3 tokens → zero 3-gram shingles → out of MinHash's scope: all
+    // survive, even exact duplicates (exact dedup is q34's job)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L))
+  }
+
   test("simhashCandidates finds hamming-close pairs via 16-bit banding") {
     val docs = Seq(
       (1L, base),
