@@ -68,4 +68,31 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
     assert(out.count() > 0)
   }
+
+  test("AsOfJoin.backward == brute-force range scan on random data") {
+    import graft.operators.AsOfJoin
+    val keys = Seq("k0", "k1", "k2", "k3")
+    // distinct (key, ts) pairs on the right so "latest at-or-before" is
+    // unambiguous (the window picks the later of two equal-ts right rows;
+    // a brute-force max-by does not define which one — not worth pinning)
+    val leftRows = (0 until 300).map { i =>
+      (keys(rnd.nextInt(4)), rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val rightRows = rnd.shuffle(
+      (for (k <- keys; t <- 0 until 1000) yield (k, t.toLong)).toVector)
+      .take(400).map { case (k, t) => (k, t, rnd.nextDouble()) }
+    val left = leftRows.toDF("k", "ts", "lid").repartition(5)
+    val right = rightRows.toDF("k", "ts", "price").repartition(3)
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("price"))
+      .select("k", "ts", "lid", "asof_price")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val byKey = rightRows.groupBy(_._1)
+    leftRows.foreach { case (k, ts, lid) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got((k, ts, lid)) == want, s"key=$k ts=$ts")
+    }
+  }
 }
