@@ -18,6 +18,20 @@ object GridOps {
   def gridIndex(c: Column, origin: Double, res: Double): Column =
     round((c - origin) / res).cast("long")
 
+  /** Z-order (Morton) key of a grid cell: interleaves the low `bits`
+    * bits of the two indices, so 2-D-close cells are 1-D-close in the
+    * key. This is the LAYOUT primitive for grid tables at 100 TB: sort /
+    * range-partition the table by this key and a bbox query touches a
+    * handful of contiguous key ranges (→ file/partition pruning by
+    * min-max stats) instead of one row-major stripe per grid row.
+    * Pure shifts and ors — ANSI-safe, codegen'd.
+    */
+  def mortonKey(i: Column, j: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(i, b).bitwiseAND(1L), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(j, b).bitwiseAND(1L), 2 * b + 1))
+    }.reduce(_.bitwiseOR(_))
+
   /** Nearest-neighbor grid alignment (J8; filter_by_upstream.py:63-67
     * `reindex(method="nearest")`): because both sides live on regular
     * grids, nearest-alignment is an equi-join on the snapped integer grid

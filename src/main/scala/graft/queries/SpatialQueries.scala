@@ -192,6 +192,38 @@ object SpatialQueries {
       FROM (SELECT unnest(generate_series(0, 19)) AS i),
            (SELECT unnest(generate_series(0, 29)) AS j)"""))
 
-  val qs: Seq[Q] = Seq(q65NodataTiles, q66ZonalAssign, q67DenseGrid,
-    q68TreelossBasin, q69GridSource)
+  /** Z-order layout keys over a grid (the 100 TB data-layout primitive):
+    * each cell's Morton key plus its 256-cell z-block — sorting/
+    * partitioning by this key gives bbox queries min-max-prunable
+    * contiguous ranges. The key math is pure bit interleaving, replicated
+    * exactly by the oracle's fold.
+    */
+  val q58ZorderKey = Q(
+    "q58_zorder_key",
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+      val i = col("s_suppkey").cast("long") % 64L
+      val j = (col("s_suppkey").cast("long") * 7L) % 64L
+      sup.select(col("s_suppkey"), i.as("i"), j.as("j"),
+        GridOps.mortonKey(i, j, bits = 6).as("morton"))
+        .withColumn("z_block", expr("morton DIV 256"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey % 64 AS BIGINT) AS i,
+               CAST((s_suppkey * 7) % 64 AS BIGINT) AS j
+        FROM supplier),
+      keyed AS (
+        SELECT s_suppkey, i, j,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   [(((i >> b) & 1) << (2*b)) | (((j >> b) & 1) << (2*b + 1))
+                    for b in generate_series(0, 5)]),
+                 (a, x) -> a | x) AS morton
+        FROM cells)
+      SELECT s_suppkey, i, j, morton, morton // 256 AS z_block FROM keyed"""))
+
+  val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
+    q67DenseGrid, q68TreelossBasin, q69GridSource)
 }

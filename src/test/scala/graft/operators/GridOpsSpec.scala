@@ -86,4 +86,26 @@ class GridOpsSpec extends SparkSpec {
       (10L, 1, 2L), (10L, 2, 0L), (10L, 3, 0L),
       (20L, 1, 0L), (20L, 2, 0L), (20L, 3, 1L)))
   }
+
+  test("mortonKey gives bbox queries better block locality than row-major") {
+    // full 64x64 grid; an 8x8 bbox at (24..31, 40..47)
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("i"),
+        (col("id") % 64).cast("long").as("j"))
+    val box = grid.filter(col("i").between(24, 31) && col("j").between(40, 47))
+    val zBlocks = box
+      .select((expr("0") + GridOps.mortonKey(col("i"), col("j"), 6)).as("m"))
+      .selectExpr("m DIV 64 AS blk").distinct().count()
+    val rowMajorBlocks = box
+      .selectExpr("(i * 64 + j) DIV 64 AS blk").distinct().count()
+    // 64 cells: row-major touches 8 blocks (one per row); z-order packs
+    // the box into at most 4 aligned 8x8 tiles
+    assert(rowMajorBlocks == 8L)
+    assert(zBlocks <= 4L, s"z blocks: $zBlocks")
+    // and the key is a bijection on the grid
+    val distinctKeys = grid
+      .select(GridOps.mortonKey(col("i"), col("j"), 6).as("m"))
+      .distinct().count()
+    assert(distinctKeys == 64L * 64L)
+  }
 }
