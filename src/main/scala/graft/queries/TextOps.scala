@@ -249,7 +249,46 @@ object TextOps {
                (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
       FROM documents"""))
 
+  /** PII redaction (training-data scrubbing): emails and long digit runs
+    * replaced with typed placeholders, with per-doc match counts. The
+    * test corpus carries no PII, so deterministic synthetic contact lines
+    * are appended first — the redaction then provably fires on every row
+    * (counts oracle-checked too).
+    */
+  val q59Redact = Q(
+    "q59_redact",
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val numRe = "\\d{6,}"
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com ref "),
+        ((col("doc_id").cast("long") + 1000000L) * 37L).cast("string"))
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        md5(regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+          numRe, "<NUM>")).as("redacted_digest"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(numRe), lit(0)))
+          .cast("long").as("n_longnums"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com ref ',
+                      CAST((CAST(doc_id AS BIGINT) + 1000000) * 37 AS VARCHAR)) AS t
+        FROM documents)
+      SELECT doc_id,
+             md5(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\d{6,}', '<NUM>', 'g')) AS redacted_digest,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '\d{6,}')) AS BIGINT) AS n_longnums
+      FROM aug"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
-    q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint)
+    q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
+    q59Redact)
 }

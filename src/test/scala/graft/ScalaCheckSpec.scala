@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KmvSketch, MinhashSignature, PandasFloatString}
+
+/** ScalaCheck properties over the pure kernels of the custom functions —
+  * no SparkSession needed, hundreds of generated cases per property
+  * (SURVEY §5 port strategy: generator-based checks alongside the ported
+  * goldens).
+  */
+class ScalaCheckSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PandasFloatString.format round-trips through BigDecimal") {
+    check(Prop.forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) {
+      (d: Double, scale: Int) =>
+        val s = PandasFloatString.format(d, scale)
+        val want = new java.math.BigDecimal(d)
+          .setScale(scale, java.math.RoundingMode.HALF_UP)
+        // parses back to exactly the HALF_UP rounding of d at `scale`,
+        // and carries at least one fractional digit
+        new java.math.BigDecimal(s).compareTo(want) == 0 && s.contains(".")
+    })
+  }
+
+  test("MinhashSignature.compute is the per-permutation min of singletons") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hashes = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(hashes) { (hs: List[Long]) =>
+      val sig = MinhashSignature.compute(new GenericArrayData(hs.toArray), 8)
+      (0 until 8).forall { j =>
+        sig.getLong(j) == hs.map { h =>
+          MinhashSignature
+            .compute(new GenericArrayData(Array(h)), 8).getLong(j)
+        }.min
+      }
+    })
+  }
+
+  test("KmvSketch buffers stay sorted, distinct, bounded; merge is commutative") {
+    val sketch = new KmvSketch(16)
+    val values = Gen.listOf(Gen.chooseNum(0L, 200L)) // dense range → duplicates
+    check(Prop.forAll(values, values) { (a: List[Long], b: List[Long]) =>
+      def build(vs: List[Long]) = vs.foldLeft(sketch.zero)(sketch.reduce)
+      val (ba, bb) = (build(a), build(b))
+      val wellFormed = Seq(ba, bb, sketch.merge(ba, bb)).forall { buf =>
+        buf.length <= 16 &&
+          buf.toSeq == buf.toSeq.sorted &&
+          buf.distinct.length == buf.length
+      }
+      wellFormed &&
+        sketch.merge(ba, bb).toSeq == sketch.merge(bb, ba).toSeq &&
+        sketch.merge(ba, bb).toSeq == build(a ++ b).toSeq
+    })
+  }
+}
