@@ -136,5 +136,65 @@ object PipelineQueries {
       FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag"""),
     headline = true)
 
-  val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch)
+  /** Content-defined chunking (the large-document dedup primitive):
+    * chunk boundaries fall where a token's hash meets a modulus
+    * condition, so insertions shift at most the neighboring chunks —
+    * unlike fixed-size chunking where one edit reflows every boundary.
+    * Emits per-doc chunk stats; chunk digests would feed q34-style exact
+    * dedup at chunk granularity. Boundary hash is the shared md5-derived
+    * hash → fully oracle-checked.
+    */
+  val q48CdcChunks = Q(
+    "q48_cdc_chunks",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val n = size(col("toks"))
+      // boundary AFTER position i when hash(tok_i) % 32 == 0
+      val bounds = concat(
+        array(lit(0)),
+        filter(sequence(lit(1), n),
+          i => Dedup.md5Hash64(element_at(col("toks"), i)) % 32L === 0L),
+        array(n))
+      val gaps = filter(
+        transform(sequence(lit(1), size(col("bounds")) - 1),
+          i => element_at(col("bounds"), i + 1) - element_at(col("bounds"), i)),
+        g => g > 0)
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .withColumn("bounds", bounds)
+        .withColumn("gaps", gaps)
+        .select(col("doc_id"),
+          size(col("gaps")).cast("long").as("n_chunks"),
+          array_max(col("gaps")).cast("long").as("max_chunk_tokens"),
+          array_min(col("gaps")).cast("long").as("min_chunk_tokens"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks,
+               [0] ||
+               list_filter(generate_series(1, len(toks)),
+                 i -> CAST(('0x' || substr(md5(toks[i]), 18, 15)) AS BIGINT) % 32 = 0) ||
+               [len(toks)] AS bounds
+        FROM t WHERE len(toks) > 0),
+      g AS (
+        SELECT doc_id,
+               list_filter(
+                 [bounds[i + 1] - bounds[i]
+                  for i in generate_series(1, len(bounds) - 1)],
+                 x -> x > 0) AS gaps
+        FROM b)
+      SELECT doc_id,
+             CAST(len(gaps) AS BIGINT) AS n_chunks,
+             CAST(list_max(gaps) AS BIGINT) AS max_chunk_tokens,
+             CAST(list_min(gaps) AS BIGINT) AS min_chunk_tokens
+      FROM g"""))
+
+  val qs: Seq[Q] =
+    Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch, q48CdcChunks)
 }
