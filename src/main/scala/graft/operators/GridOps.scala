@@ -25,6 +25,10 @@ object GridOps {
     * handful of contiguous key ranges (→ file/partition pruning by
     * min-max stats) instead of one row-major stripe per grid row.
     * Pure shifts and ors — ANSI-safe, codegen'd.
+    *
+    * Indices must be NON-NEGATIVE and fit in `bits` bits (shift-based
+    * interleaving reads sign bits as data otherwise) — offset
+    * [[gridIndex]] outputs by the grid minimum first.
     */
   def mortonKey(i: Column, j: Column, bits: Int = 16): Column =
     (0 until bits).map { b =>
