@@ -195,6 +195,39 @@ object PipelineQueries {
              CAST(list_min(gaps) AS BIGINT) AS min_chunk_tokens
       FROM g"""))
 
-  val qs: Seq[Q] =
-    Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch, q48CdcChunks)
+  /** Top-3 orders per market segment through the mergeable bounded-state
+    * `TopKBy` Aggregator — the scale form of `row_number() <= k`: the
+    * group shuffle carries k rows per partial instead of window-sorting
+    * whole groups on single tasks. Deterministic tie order (price desc,
+    * orderkey asc) makes it oracle-exact against QUALIFY row_number.
+    */
+  val q49TopkPerGroup = Q(
+    "q49_topk_per_group",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val topk = udaf(new graft.functions.TopKBy(3))
+      val top = orders
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(topk(col("o_totalprice"), col("o_orderkey").cast("long")).as("top"))
+      top.select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("c_mktsegment"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("t.score").as("o_totalprice"),
+          col("t.id").as("o_orderkey"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank,
+             o_totalprice,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      QUALIFY rank <= 3"""))
+
+  val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
+    q48CdcChunks, q49TopkPerGroup)
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{KmvSketch, MinhashSignature, PandasFloatString}
+import graft.functions.{KmvSketch, MinhashSignature, PandasFloatString, TopKBy}
 
 /** ScalaCheck properties over the pure kernels of the custom functions —
   * no SparkSession needed, hundreds of generated cases per property
@@ -41,6 +41,21 @@ class ScalaCheckSpec extends AnyFunSuite {
             .compute(new GenericArrayData(Array(h)), 8).getLong(j)
         }.min
       }
+    })
+  }
+
+  test("TopKBy equals brute-force sort-take under any partitioning") {
+    val agg = new TopKBy(5)
+    val pair = for {
+      s <- Gen.chooseNum(0, 50) // narrow score range → plenty of ties
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield TopKBy.In(s.toDouble, id)
+    check(Prop.forAll(Gen.listOf(pair), Gen.listOf(pair)) {
+      (a: List[TopKBy.In], b: List[TopKBy.In]) =>
+        def build(vs: List[TopKBy.In]) = vs.foldLeft(agg.zero)(agg.reduce)
+        val got = agg.finish(agg.merge(build(a), build(b))).toSeq
+        val want = (a ++ b).sortBy(v => (-v.score, v.id)).take(5)
+        got == want
     })
   }
 
