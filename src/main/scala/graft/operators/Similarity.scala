@@ -68,6 +68,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF top-k: many query vectors served in ONE scan of the
+    * vector table. Queries × centroids is a small cross product (ranked
+    * per query for the nprobe clusters); the probe table broadcasts, so
+    * the big table is scanned once with no shuffle until the final
+    * per-query top-k — which is the mergeable bounded-state
+    * [[graft.functions.TopKBy]] aggregation (k rows per partial), not a
+    * window sort. `queries` must have columns (query_id, qvec).
+    */
+  def ivfSearchBatch(
+      vecs: DataFrame, clusterCol: String, vecCol: String, idCol: String,
+      queries: DataFrame, nprobe: Int, k: Int,
+      precomputedCentroids: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = precomputedCentroids
+      .getOrElse(centroids(vecs, clusterCol, vecCol))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("c_sim").desc, col(clusterCol).asc)
+    val probed = queries.crossJoin(cents)
+      .withColumn("c_sim", cosine(col("centroid"), col("qvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col(clusterCol), col("qvec"))
+    val cand = vecs.join(broadcast(probed), Seq(clusterCol))
+    val scored = (if (excludeSelf) cand.filter(col(idCol) =!= col("query_id"))
+                  else cand)
+      .select(col("query_id"),
+        cosine(col(vecCol), col("qvec")).as("cos"), col(idCol).cast("long").as("cid"))
+    val topk = udaf(new graft.functions.TopKBy(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("cos"), col("cid")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as(idCol),
+        col("t.score").as("cos_sim"))
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions — candidate
     * partitioning for embedding near-dup detection.
     */

@@ -250,6 +250,54 @@ object VectorOps {
       WHERE vec_id NOT IN (SELECT vec_id FROM dups)
       GROUP BY 1"""))
 
+  /** Batch IVF serving (Similarity.ivfSearchBatch): three query vectors
+    * answered in one scan — probe table broadcast, per-query top-5 via
+    * the mergeable TopKBy aggregation.
+    */
+  val q70IvfBatch = Q(
+    "q70_ivf_batch",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      val queries = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").as("qvec"))
+      graft.operators.Similarity
+        .ivfSearchBatch(e, "label", "embedding", "vec_id", queries,
+          nprobe = 2, k = 5)
+        .withColumn("cos_sim", round(col("cos_sim"), 6))
+    },
+    Some("""
+      WITH flat AS (
+        SELECT vec_id, label, i.range AS pos,
+               CAST(embedding[i.range] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i),
+      q AS (SELECT vec_id AS qid, pos, v FROM flat WHERE vec_id IN (0, 1, 2)),
+      cent AS (SELECT label, pos, avg(v) AS c FROM flat GROUP BY 1, 2),
+      csim AS (
+        SELECT q.qid, cent.label,
+               sum(c * q.v) / (sqrt(sum(c * c)) * sqrt(sum(q.v * q.v))) AS cs
+        FROM cent JOIN q ON cent.pos = q.pos GROUP BY 1, 2),
+      probed AS (
+        SELECT qid, label FROM (
+          SELECT qid, label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cs DESC, label ASC) AS rn
+          FROM csim) WHERE rn <= 2),
+      cand AS (
+        SELECT p.qid, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(q2.embedding AS DOUBLE[]) FROM embeddings q2
+                  WHERE q2.vec_id = p.qid)) AS raw_cos
+        FROM embeddings e JOIN probed p ON e.label = p.label
+        WHERE e.vec_id <> p.qid)
+      SELECT CAST(qid AS BIGINT) AS query_id, rank,
+             CAST(vec_id AS BIGINT) AS vec_id,
+             round(raw_cos, 6) AS cos_sim
+      FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY raw_cos DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM cand) WHERE rank <= 5"""))
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
-    q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup)
+    q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch)
 }
