@@ -59,4 +59,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q47_kmv_sketch")
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("q49: top-k per group partial-aggregates, no window sort of groups") {
+    val p = plan("q49_topk_per_group")
+    assert(p.contains("partial_topkby"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q70: batch IVF broadcasts probes and scans the vector table once") {
+    val p = plan("q70_ivf_batch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_topkby"), p)
+  }
 }
