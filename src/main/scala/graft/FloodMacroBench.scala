@@ -23,7 +23,11 @@ object FloodMacroBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      // at full size the quantile groupBy shuffles ~40 GB through an
+      // 8 GB heap: more, smaller partitions keep each sort run in memory
+      // (spill-aware sizing, overridable for experiments)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 12).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
