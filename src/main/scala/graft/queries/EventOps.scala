@@ -129,6 +129,40 @@ object EventOps {
       WHERE event_type IN ('click', 'purchase')
       QUALIFY event_type = 'purchase'"""))
 
+  /** The generic as-of operator (operators.AsOfJoin.backward) through
+    * the gate: purchases enriched with the latest at-or-before click per
+    * user. Differs from q54's inline form only in tie policy (a click at
+    * exactly the purchase timestamp is visible, by (ts, side) ordering),
+    * which the oracle mirrors with an explicit side sort key.
+    */
+  val q71AsofOperator = Q(
+    "q71_asof_operator",
+    (s, dir) => {
+      val e = t(s, dir)("events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("click_us"))
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_us"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("asof_click_us"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts ASC,
+                              (CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_us
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      QUALIFY event_type = 'purchase'"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
-    q53EventPivot, q54AsofJoin)
+    q53EventPivot, q54AsofJoin, q71AsofOperator)
 }
