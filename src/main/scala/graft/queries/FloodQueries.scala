@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Sql, Tables}
 import graft.operators.{FloodOps, FloodPipeline, GridOps}
 
 /** The flood/grid operator library exercised through the driver's DuckDB
@@ -285,6 +285,92 @@ object FloodQueries {
              sum(l_quantity) AS sum_v
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** S4→yes: the reference's REAL NetCDF-4 threshold inputs, end-to-end.
+    * Replays rp_combined_thresh_pq (rp_thresholds.py:108-131): each
+    * RP{2,5,20}ythresholds_GloFASv40.nc unpivots to (latitude, longitude,
+    * threshold) via the graft-netcdf DSv2 source (ranged row-band reads of
+    * the contiguous variable), coordinates round to the 3-decimal GloFAS
+    * grid (as integer milli-keys — the robust float-join form of SURVEY
+    * §7.4), the three grids inner-join, and add_geometry synthesizes the
+    * grid-cell WKT box (transforms.py:268-315).
+    *
+    * The oracle reads parquet produced by a fully INDEPENDENT pure-python
+    * HDF5 parser (tools/nc_to_parquet.py → data/rp_*_thresh.parquet), so a
+    * hash match proves both format parsers and both combine pipelines
+    * agree bit-for-bit on all 644 000 real cells.
+    */
+  private val NcDir = "/root/reference/auxiliary_data/flood"
+  private val PyParquetDir = "/root/repo/data"
+
+  val q72RpCombinedNc = Q(
+    "q72_rp_combined_nc",
+    (s, _) => {
+      import org.apache.spark.sql.types.DecimalType
+      def rp(n: Int): DataFrame =
+        s.read.format("graft-netcdf")
+          .option("path", s"$NcDir/RP${n}ythresholds_GloFASv40.nc")
+          .option("var", s"${n}yRP_GloFASv4")
+          .option("partitions", 16)
+          .load()
+          .select(
+            round(col("latitude") * 1000).cast("long").as("lat_key"),
+            round(col("longitude") * 1000).cast("long").as("lon_key"),
+            col("value").as(s"threshold_${n}y"))
+      val joined = rp(2)
+        .join(rp(5), Seq("lat_key", "lon_key"))
+        .join(rp(20), Seq("lat_key", "lon_key"))
+      // grid-cell WKT box from exact decimal milli-key arithmetic
+      // (half grid = 0.025 = 25 milli-units); q16's engine-stable recipe
+      def edge(key: String, delta: Int): Column = Sql.floatStr(
+        ((col(key) + delta).cast(DecimalType(15, 3)) / 1000)
+          .cast(DecimalType(12, 3)), 3)
+      val (minLat, maxLat) = (edge("lat_key", -25), edge("lat_key", 25))
+      val (minLon, maxLon) = (edge("lon_key", -25), edge("lon_key", 25))
+      joined.select(
+        (col("lat_key") / 1000.0).as("latitude"),
+        (col("lon_key") / 1000.0).as("longitude"),
+        col("threshold_2y"), col("threshold_5y"), col("threshold_20y"),
+        concat(lit("POLYGON (("),
+          minLon, lit(" "), minLat, lit(","),
+          minLon, lit(" "), maxLat, lit(","),
+          maxLon, lit(" "), maxLat, lit(","),
+          maxLon, lit(" "), minLat, lit(","),
+          minLon, lit(" "), minLat, lit("))")).as("wkt"))
+    },
+    Some(s"""
+      WITH t2 AS (
+        SELECT CAST(round(latitude*1000) AS BIGINT) AS lat_key,
+               CAST(round(longitude*1000) AS BIGINT) AS lon_key,
+               "2yRP_GloFASv4" AS threshold_2y
+        FROM '$PyParquetDir/rp_2y_thresh.parquet'),
+      t5 AS (
+        SELECT CAST(round(latitude*1000) AS BIGINT) AS lat_key,
+               CAST(round(longitude*1000) AS BIGINT) AS lon_key,
+               "5yRP_GloFASv4" AS threshold_5y
+        FROM '$PyParquetDir/rp_5y_thresh.parquet'),
+      t20 AS (
+        SELECT CAST(round(latitude*1000) AS BIGINT) AS lat_key,
+               CAST(round(longitude*1000) AS BIGINT) AS lon_key,
+               "20yRP_GloFASv4" AS threshold_20y
+        FROM '$PyParquetDir/rp_20y_thresh.parquet'),
+      j AS (
+        SELECT t2.lat_key, t2.lon_key, threshold_2y, threshold_5y, threshold_20y
+        FROM t2 JOIN t5 USING (lat_key, lon_key) JOIN t20 USING (lat_key, lon_key)),
+      e AS (
+        SELECT lat_key, lon_key, threshold_2y, threshold_5y, threshold_20y,
+          regexp_replace(regexp_replace(CAST(CAST(CAST(lat_key - 25 AS DECIMAL(15,3)) / 1000 AS DECIMAL(12,3)) AS VARCHAR), '(\\.[0-9]*[1-9])0+$$', '\\1'), '\\.0+$$', '.0') AS minlat,
+          regexp_replace(regexp_replace(CAST(CAST(CAST(lat_key + 25 AS DECIMAL(15,3)) / 1000 AS DECIMAL(12,3)) AS VARCHAR), '(\\.[0-9]*[1-9])0+$$', '\\1'), '\\.0+$$', '.0') AS maxlat,
+          regexp_replace(regexp_replace(CAST(CAST(CAST(lon_key - 25 AS DECIMAL(15,3)) / 1000 AS DECIMAL(12,3)) AS VARCHAR), '(\\.[0-9]*[1-9])0+$$', '\\1'), '\\.0+$$', '.0') AS minlon,
+          regexp_replace(regexp_replace(CAST(CAST(CAST(lon_key + 25 AS DECIMAL(15,3)) / 1000 AS DECIMAL(12,3)) AS VARCHAR), '(\\.[0-9]*[1-9])0+$$', '\\1'), '\\.0+$$', '.0') AS maxlon
+        FROM j)
+      SELECT lat_key/1000.0 AS latitude, lon_key/1000.0 AS longitude,
+             threshold_2y, threshold_5y, threshold_20y,
+             'POLYGON ((' || minlon || ' ' || minlat || ',' || minlon || ' ' || maxlat
+             || ',' || maxlon || ' ' || maxlat || ',' || maxlon || ' ' || minlat
+             || ',' || minlon || ' ' || minlat || '))' AS wkt
+      FROM e"""),
+    headline = true)
+
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
-    q63DenseZonal, q64Coarsen)
+    q63DenseZonal, q64Coarsen, q72RpCombinedNc)
 }

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.nc.Hdf5File
+
+/** The graft-netcdf DSv2 source against the reference platform's REAL
+  * NetCDF-4 input files (auxiliary_data/flood/RP*ythresholds_GloFASv40.nc,
+  * consumed by rp_thresholds.py:37-49). The gold standard is a parquet
+  * dump produced by a fully independent pure-python HDF5 parser
+  * (tools/nc_to_parquet.py, committed at data/rp_*_thresh.parquet): two
+  * separate implementations of the format must agree bit-for-bit.
+  */
+class NetcdfSpec extends SparkSpec {
+
+  private val NcDir = "/root/reference/auxiliary_data/flood"
+  private val Nc2y = s"$NcDir/RP2ythresholds_GloFASv40.nc"
+  private val available = new java.io.File(Nc2y).isFile
+
+  private def nc(path: String, varName: String) =
+    spark.read.format("graft-netcdf")
+      .option("path", path).option("var", varName).load()
+
+  test("Hdf5File parses the real threshold file structure") {
+    assume(available)
+    val f = new Hdf5File(Nc2y)
+    try {
+      val ds = f.datasets
+      assert(ds.keySet == Set("lat", "lon", "2yRP_GloFASv4", "wgs_1984"))
+      assert(ds("2yRP_GloFASv4").dims.toSeq == Seq(460L, 1400L))
+      assert(ds("2yRP_GloFASv4").elemSize == 4)
+      assert(ds("lat").dims.toSeq == Seq(460L))
+      assert(ds("lon").dims.toSeq == Seq(1400L))
+      // lat/lon are shuffle+deflate chunked; values descend / ascend
+      val lats = f.readDoubles("lat")
+      val lons = f.readDoubles("lon")
+      assert(lats.length == 460 && lons.length == 1400)
+      assert(math.abs(lats(0) - 16.975) < 1e-9)
+      assert(math.abs(lats.last - (-5.975)) < 1e-9)
+      assert(math.abs(lons(0) - (-17.975)) < 1e-9)
+      assert(math.abs(lons.last - 51.975) < 1e-9)
+      assert(lats.sliding(2).forall(p => p(0) > p(1)))
+      assert(lons.sliding(2).forall(p => p(0) < p(1)))
+    } finally f.close()
+  }
+
+  test("graft-netcdf agrees bit-for-bit with the independent python parser") {
+    assume(available)
+    val viaScala = nc(Nc2y, "2yRP_GloFASv4")
+    val viaPython = spark.read.parquet("data/rp_2y_thresh.parquet")
+      .withColumnRenamed("2yRP_GloFASv4", "pyvalue")
+    assert(viaScala.count() == 644000L)
+    val joined = viaScala.join(viaPython, Seq("latitude", "longitude"))
+    // join keys are raw doubles — exact equality, so a full join means
+    // both parsers produced identical coordinate arrays
+    assert(joined.count() == 644000L)
+    val mismatches = joined.filter(
+      col("value") =!= col("pyvalue") &&
+        !(isnan(col("value")) && isnan(col("pyvalue")))).count()
+    assert(mismatches == 0L)
+  }
+
+  test("graft-netcdf ranged read: latitude pushdown prunes row bands") {
+    assume(available)
+    val full = nc(Nc2y, "2yRP_GloFASv4")
+    val pruned = full.filter(col("latitude") > 16.0)
+    // 16.975 down to 16.025 inclusive = 20 rows of 1400 cols
+    assert(pruned.count() == 20L * 1400)
+    // pruning happened at planning: far fewer rows pass through the scan
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows")
+    pruned.count()
+    assert(scanned.value <= 22L * 1400, s"scan emitted ${scanned.value} rows")
+  }
+
+  test("graft-netcdf column pruning reads value without coordinates") {
+    assume(available)
+    val only = nc(Nc2y, "2yRP_GloFASv4").select("value")
+    val plan = only.queryExecution.executedPlan.toString
+    assert(!plan.contains("latitude#"))
+    assert(only.count() == 644000L)
+  }
+
+  test("all three RP files open and share the grid") {
+    assume(available)
+    Seq("2" -> "2yRP_GloFASv4", "5" -> "5yRP_GloFASv4", "20" -> "20yRP_GloFASv4")
+      .foreach { case (rp, v) =>
+        val df = nc(s"$NcDir/RP${rp}ythresholds_GloFASv40.nc", v)
+        assert(df.count() == 644000L, s"RP$rp")
+      }
+  }
+}
