@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.queries.Registry
 
@@ -8,6 +9,15 @@ import graft.queries.Registry
   * prints ONE JSON line for the driver (BENCH_r{N}.json).
   */
 object Bench {
+
+  /** Full-materialization action: checksum EVERY output column so Catalyst
+    * cannot prune away result-producing work (a bare `count()` lets the
+    * optimizer drop final projections — e.g. WKT string synthesis — and
+    * under-measure). `bit_xor` keeps the fold overflow-free under ANSI.
+    */
+  def materialize(df: DataFrame): Unit =
+    df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,12 +35,12 @@ object Bench {
     val targets = Registry.headlines
     // one warm-up pass so JIT/codegen and file listing don't dominate
     targets.foreach { q =>
-      try q.run(spark, sfDir).count()
+      try materialize(q.run(spark, sfDir))
       catch { case _: Throwable => () }
     }
     val results = targets.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).count()
+      try materialize(q.run(spark, sfDir))
       catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.StructType
   * key before filtering; this is the scalable form at 100 TB).
   *
   * Ties: a right row at exactly `leftTs` IS visible (right sorts before
-  * left at equal timestamps).
+  * left at equal timestamps). Multiple right rows with identical
+  * (keys, ts) resolve deterministically to the one with the LARGEST value
+  * struct (the window orders by the payload as a final sort key), so the
+  * result never depends on partitioning or scheduling.
   */
 object AsOfJoin {
 
@@ -40,8 +43,12 @@ object AsOfJoin {
         left(leftTs).as("_ts"), lit(1).as("_side"),
         lit(null).cast(rType).as("_r"),
         struct(left.columns.map(left(_)): _*).cast(lType).as("_l")): _*)
+    // `_r` as the final sort key breaks ties among right rows that share
+    // (keys, ts) but differ in payload: `last` then always picks the
+    // largest struct instead of an arbitrary one. Left rows all have
+    // `_r` null, so their relative order is unaffected.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = rTagged.union(lTagged)
       .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))

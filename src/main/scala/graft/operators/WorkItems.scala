@@ -24,7 +24,13 @@ object WorkItems {
       it.map { item =>
         try ItemResult(item, ok = true, body(item), "")
         catch {
-          case e: Throwable =>
+          // NonFatal only: OutOfMemoryError and Spark's task-control
+          // throwables (TaskKilledException, InterruptedException) must
+          // propagate or cancellation/speculation breaks and fatal
+          // executor state gets masked as a 'failed item' row.
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e) =>
             ItemResult(item, ok = false, "", String.valueOf(e.getMessage))
         }
       }

@@ -132,8 +132,11 @@ object PipelineQueries {
         SELECT l_returnflag,
                count(DISTINCT l_orderkey) AS exact_distinct_orders
         FROM lineitem GROUP BY 1)
-      SELECT kth.l_returnflag, kmv_distinct_orders, exact_distinct_orders
-      FROM kth JOIN ex ON kth.l_returnflag = ex.l_returnflag"""),
+      SELECT ex.l_returnflag,
+             COALESCE(kmv_distinct_orders,
+                      CAST(exact_distinct_orders AS DOUBLE)) AS kmv_distinct_orders,
+             exact_distinct_orders
+      FROM ex LEFT JOIN kth ON kth.l_returnflag = ex.l_returnflag"""),
     headline = true)
 
   /** Content-defined chunking (the large-document dedup primitive):

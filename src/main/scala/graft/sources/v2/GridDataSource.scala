@@ -100,25 +100,27 @@ class GridScanBuilder(spec: GridSpec)
     * window — the source-side image of the reference's area restriction
     * (SURVEY P3): a bbox query on a 1000-executor cluster plans only the
     * bands inside the box instead of generating the globe and filtering.
-    * Clipping is conservative (±1e-9 index slack), and every filter is
-    * returned as residual so Spark re-applies the exact predicate —
-    * pushdown prunes work, it never decides correctness.
+    * Clipping is conservative by ONE WHOLE CELL on each side: an absolute
+    * epsilon breaks once index magnitudes grow (FP error scales as
+    * |index|·ulp, so fine-resolution global grids would lose boundary
+    * rows), while a cell of slack is correct at any magnitude and free —
+    * every filter is returned as residual so Spark re-applies the exact
+    * predicate; pushdown prunes work, it never decides correctness.
     */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    val eps = 1e-9
     // latitude = latMax - i*res (descending in i); longitude = lonMin + j*res
     def latGe(a: Double) = bounds = bounds.copy(
       iHi = math.min(bounds.iHi,
-        math.floor((spec.latMax - a) / spec.res + eps).toInt + 1))
+        math.floor((spec.latMax - a) / spec.res).toInt + 2))
     def latLe(b: Double) = bounds = bounds.copy(
       iLo = math.max(bounds.iLo,
-        math.ceil((spec.latMax - b) / spec.res - eps).toInt))
+        math.ceil((spec.latMax - b) / spec.res).toInt - 1))
     def lonGe(a: Double) = bounds = bounds.copy(
       jLo = math.max(bounds.jLo,
-        math.ceil((a - spec.lonMin) / spec.res - eps).toInt))
+        math.ceil((a - spec.lonMin) / spec.res).toInt - 1))
     def lonLe(b: Double) = bounds = bounds.copy(
       jHi = math.min(bounds.jHi,
-        math.floor((b - spec.lonMin) / spec.res + eps).toInt + 1))
+        math.floor((b - spec.lonMin) / spec.res).toInt + 2))
     def num(v: Any): Option[Double] = v match {
       case d: Double => Some(d)
       case f: Float => Some(f.toDouble)

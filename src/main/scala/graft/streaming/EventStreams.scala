@@ -40,24 +40,42 @@ object EventStreams {
   /** Gap-based sessionization (streaming image of q51_sessionize) via
     * per-user state: a new session opens after a >30 min gap. Emits the
     * running per-user session/event counts on every update.
+    *
+    * State is BOUNDED: a user idle past `idleExpireMinutes` of event time
+    * has their state dropped (EventTimeTimeout) — if they return later,
+    * their running counts restart from zero. The earlier unbounded
+    * variant (one state entry per user, forever) was a state leak at
+    * 100 TB-scale traffic and is gone; callers that need closed-session
+    * rows instead of running counts use `sessionizeExpiring`.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[UserSessions] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Long = 30,
+      watermarkDelay: String = "10 seconds",
+      idleExpireMinutes: Long = 24 * 60): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            val newSession = st.lastEventUs == Long.MinValue || us - st.lastEventUs > gapUs
-            st = SessionState(st.sessionCount + (if (newSession) 1L else 0L), us)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val newSession = st.lastEventUs == Long.MinValue || us - st.lastEventUs > gapUs
+              st = SessionState(st.sessionCount + (if (newSession) 1L else 0L), us)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastEventUs / 1000L + idleExpireMinutes * 60L * 1000L)
+            Iterator.single(UserSessions(userId, st.sessionCount, sorted.size.toLong))
           }
-          state.update(st)
-          Iterator.single(UserSessions(userId, st.sessionCount, sorted.size.toLong))
       }
   }
 
