@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.QuaternaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Exact ray-casting point-in-polygon containment over packed vertex
+  * arrays — the containment kernel behind arbitrary-polygon zonal
+  * assignment (SURVEY J9/R7; the reference rasterizes real HydroSHEDS
+  * basin POLYGONS, global_forest_watch.py:76-95 `make_geocube`,
+  * hydrobasins.py:79-99 — not the axis-aligned boxes of the fixtures).
+  *
+  * Even-odd rule, DIVISION-FREE: an upward ray from the point toggles on
+  * every edge it crosses, and "ray passes left of the edge at the point's
+  * latitude" is decided by the sign of the 2-D cross product
+  * `(px-xi)(yj-yi) - (xj-xi)(py-yi)` instead of an x-intercept division.
+  * No division means no spurious infinities on horizontal edges and a
+  * fixed IEEE op sequence any engine reproduces bit-for-bit — the DuckDB
+  * oracle evaluates the identical formula.
+  *
+  * Boundary convention: points exactly ON an edge follow the half-open
+  * even-odd rule (top/right edges out, bottom/left in) — callers place
+  * fixture points off polygon boundaries, as the reference's pixel
+  * centers are off basin outlines.
+  *
+  * One primitive while-loop per row inside whole-stage codegen; vertex
+  * arrays stay unboxed ArrayData.
+  */
+case class PointInPolygon(
+    px: Expression, py: Expression, xs: Expression, ys: Expression)
+    extends QuaternaryExpression with QuaternaryLike[Expression] {
+
+  override def first: Expression = px
+  override def second: Expression = py
+  override def third: Expression = xs
+  override def fourth: Expression = ys
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(
+      pxv: Any, pyv: Any, xsv: Any, ysv: Any): Any =
+    PointInPolygon.contains(
+      pxv.asInstanceOf[Double], pyv.asInstanceOf[Double],
+      xsv.asInstanceOf[ArrayData], ysv.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PointInPolygon.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"$cls.contains($a, $b, $c, $d)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PointInPolygon =
+    copy(px = newFirst, py = newSecond, xs = newThird, ys = newFourth)
+}
+
+object PointInPolygon {
+
+  /** Even-odd crossing count; edge i runs prev=(i-1 mod n) → cur=i.
+    * `cross` is the scaled signed distance of the point from the edge
+    * line; the dy sign picks which side means "ray crosses".
+    */
+  def contains(px: Double, py: Double, xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = xs.numElements()
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = xs.getDouble(i); val yi = ys.getDouble(i)
+      val xj = xs.getDouble(j); val yj = ys.getDouble(j)
+      if ((yi > py) != (yj > py)) {
+        val dy = yj - yi
+        val cross = (px - xi) * dy - (xj - xi) * (py - yi)
+        if (if (dy > 0) cross < 0 else cross > 0) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Column-level entry point: (lon, lat, vertex-x array, vertex-y array). */
+  def apply(px: Column, py: Column, xs: Column, ys: Column): Column =
+    GraftColumnBridge.toColumn(PointInPolygon(
+      GraftColumnBridge.toExpression(px), GraftColumnBridge.toExpression(py),
+      GraftColumnBridge.toExpression(xs), GraftColumnBridge.toExpression(ys)))
+}

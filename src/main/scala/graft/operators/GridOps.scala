@@ -197,6 +197,47 @@ object GridOps {
       .drop("_ci", "_cj", "lat_min", "lat_max", "lon_min", "lon_max")
   }
 
+  /** Arbitrary-POLYGON zonal assignment (J9/R7 for real basin shapes;
+    * global_forest_watch.py:76-95, hydrobasins.py:79-99): the reference's
+    * HydroSHEDS basins are concave polygons, not boxes. Same scale shape
+    * as [[gridIndexedAssign]] — polygons explode into the coarse cells
+    * their ENVELOPE overlaps (pick cellSize near the typical polygon
+    * size), that candidate list broadcasts, points equi-join on their
+    * coarse cell — then exact containment is the division-free ray-cast
+    * kernel [[graft.functions.PointInPolygon]] on the packed vertex
+    * arrays. Cost: one pass over points × avg candidate polygons per
+    * coarse cell; never O(points × polygons), never a cartesian.
+    *
+    * `polys` columns: (zoneCol, xs: array<double> lon vertices,
+    * ys: array<double> lat vertices), one row per ring (holes = callers
+    * subtract hole containment); points carry latitude/longitude.
+    */
+  def polygonZonalAssign(
+      points: DataFrame, polys: DataFrame, zoneCol: String,
+      cellSize: Double): DataFrame = {
+    val cand = polys
+      .withColumn("_lat_min", array_min(col("ys")))
+      .withColumn("_lat_max", array_max(col("ys")))
+      .withColumn("_lon_min", array_min(col("xs")))
+      .withColumn("_lon_max", array_max(col("xs")))
+      .withColumn("_ci", explode(sequence(
+        floor(col("_lat_min") / cellSize), floor(col("_lat_max") / cellSize))))
+      .withColumn("_cj", explode(sequence(
+        floor(col("_lon_min") / cellSize), floor(col("_lon_max") / cellSize))))
+    points
+      .withColumn("_ci", floor(col("latitude") / cellSize).cast("long"))
+      .withColumn("_cj", floor(col("longitude") / cellSize).cast("long"))
+      .join(broadcast(cand), Seq("_ci", "_cj"))
+      // envelope prefilter is cheap scalar compares; the ray-cast loop
+      // only runs on rows that survive it
+      .filter(col("latitude").between(col("_lat_min"), col("_lat_max")) &&
+        col("longitude").between(col("_lon_min"), col("_lon_max")))
+      .filter(graft.functions.PointInPolygon(
+        col("longitude"), col("latitude"), col("xs"), col("ys")))
+      .drop("_ci", "_cj", "_lat_min", "_lat_max", "_lon_min", "_lon_max",
+        "xs", "ys")
+  }
+
   /** Zonal assignment (J9): pixels ⋈ rasterized zone dimension on the
     * snapped cell index.
     */

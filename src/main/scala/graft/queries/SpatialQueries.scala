@@ -224,6 +224,66 @@ object SpatialQueries {
         FROM cells)
       SELECT s_suppkey, i, j, morton, morton // 256 AS z_block FROM keyed"""))
 
+  /** J9/R7 for REAL shapes: arbitrary-polygon zonal assignment. The
+    * reference rasterizes concave HydroSHEDS basin polygons
+    * (global_forest_watch.py:76-95 `make_geocube`, hydrobasins.py:79-99),
+    * not boxes — so the fixture is a concave L per zone and the
+    * containment is exact even-odd ray-casting
+    * ([[graft.functions.PointInPolygon]], codegen'd). Every vertex and
+    * point coordinate is a multiple of 0.25 with |v| < 32, so each cross
+    * product is exact in IEEE doubles and the DuckDB oracle — evaluating
+    * the identical division-free formula via `list_filter` over the
+    * closed ring — reproduces the containment bit-for-bit. Points in the
+    * L's notch (the concave quadrant) are the cases a bbox join gets
+    * wrong.
+    */
+  val q73PolygonZonal = Q(
+    "q73_polygon_zonal",
+    (s, dir) => {
+      val ox = floor(col("n_nationkey") / 5) * 2.0
+      val oy = (col("n_nationkey") % 5) * 2.0
+      val polys = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("zone"),
+        array(ox, ox + 1.5, ox + 1.5, ox + 0.5, ox + 0.5, ox).as("xs"),
+        array(oy, oy, oy + 0.5, oy + 0.5, oy + 1.5, oy + 1.5).as("ys"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") % 20) * 0.5 + 0.25).as("latitude"),
+        (expr("(c_custkey div 20) % 20") * 0.5 + 0.25).as("longitude"))
+      GridOps.polygonZonalAssign(points, polys, "zone", cellSize = 2.0)
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_points"),
+          Sql.exactSum(col("c_acctbal")).as("sum_bal"))
+    },
+    Some("""
+      WITH shapes AS (
+        SELECT n_nationkey AS zone,
+               [ox, ox + 1.5, ox + 1.5, ox + 0.5, ox + 0.5, ox, ox] AS xs,
+               [oy, oy, oy + 0.5, oy + 0.5, oy + 1.5, oy + 1.5, oy] AS ys
+        FROM (SELECT n_nationkey,
+                     floor(n_nationkey / 5) * 2.0 AS ox,
+                     (n_nationkey % 5) * 2.0 AS oy
+              FROM nation)),
+      points AS (
+        SELECT c_custkey, c_acctbal,
+               (c_custkey % 20) * 0.5 + 0.25 AS latitude,
+               ((c_custkey // 20) % 20) * 0.5 + 0.25 AS longitude
+        FROM customer),
+      hits AS (
+        SELECT s.zone, p.c_acctbal
+        FROM points p JOIN shapes s
+          ON len(list_filter(generate_series(1, 6), i ->
+               ((s.ys[i] > p.latitude) <> (s.ys[i+1] > p.latitude))
+               AND (CASE WHEN s.ys[i+1] - s.ys[i] > 0
+                    THEN (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         - (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i]) < 0
+                    ELSE (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         - (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i]) > 0
+                    END))) % 2 = 1)
+      SELECT zone, count(*) AS n_points,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+      FROM hits GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
-    q67DenseGrid, q68TreelossBasin, q69GridSource)
+    q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal)
 }

@@ -108,4 +108,24 @@ class GridOpsSpec extends SparkSpec {
       .distinct().count()
     assert(distinctKeys == 64L * 64L)
   }
+
+  test("polygonZonalAssign assigns by exact containment, not envelope") {
+    // two disjoint concave Ls; zone 1 at origin, zone 2 shifted +10 lon.
+    // cellSize 1.0 < polygon extent 3.0 ⇒ envelopes span many coarse
+    // cells, exercising the explode/candidate path.
+    val polys = Seq(
+      (1L, Seq(0.0, 3.0, 3.0, 1.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0, 1.0, 3.0, 3.0)),
+      (2L, Seq(10.0, 13.0, 13.0, 11.0, 11.0, 10.0), Seq(0.0, 0.0, 1.0, 1.0, 3.0, 3.0)))
+      .toDF("zone", "xs", "ys")
+    val points = Seq(
+      (101L, 2.5, 0.5),   // zone 1, bottom arm
+      (102L, 0.5, 2.5),   // zone 1, left arm
+      (103L, 2.0, 2.0),   // zone 1 ENVELOPE but in the notch → unassigned
+      (104L, 12.5, 0.5),  // zone 2, bottom arm
+      (105L, 5.0, 5.0))   // nowhere
+      .toDF("id", "longitude", "latitude")
+    val got = GridOps.polygonZonalAssign(points, polys, "zone", cellSize = 1.0)
+      .select("id", "zone").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L), (102L, 1L), (104L, 2L)))
+  }
 }
