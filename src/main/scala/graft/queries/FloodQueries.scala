@@ -371,6 +371,36 @@ object FloodQueries {
       FROM e"""),
     headline = true)
 
+  /** Partition-column layout + pruned read (SURVEY §1.3): the forecast
+    * written hive-partitioned by `leadtime_hour` (the reference's 30
+    * lead-time objects, partitions.py:20-53, discharge.py:198-207), then
+    * read back with a lead-time predicate that prunes to 3/30 partitions
+    * at file listing (`PartitionFilters` — PlanSpec pins this). The
+    * layout write is idempotent per JVM; the oracle computes the same
+    * answer from the flat table.
+    */
+  val q74PartitionPruned = Q(
+    "q74_partition_pruned",
+    (s, dir) => {
+      val forecast = Tables.load(s, dir, "lineitem").select(
+        ((col("l_partkey") % 30 + 1) * 24).cast("int").as("leadtime_hour"),
+        col("l_orderkey"), col("l_quantity"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_leadtime_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.sources.Layout.partitionedView(forecast, path, "leadtime_hour")
+        .filter(col("leadtime_hour") <= 72)
+        .groupBy("leadtime_hour")
+        .agg(count(lit(1)).as("n_rows"),
+          Sql.exactSum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""
+      SELECT CAST((l_partkey % 30 + 1) * 24 AS INTEGER) AS leadtime_hour,
+             count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE (l_partkey % 30 + 1) * 24 <= 72
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
-    q63DenseZonal, q64Coarsen, q72RpCombinedNc)
+    q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned)
 }

@@ -1,0 +1,30 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-column data layout (SURVEY §1.3). The reference stores the
+  * forecast as one object per lead time — 30 separate files fanned out by
+  * a partition key (partitions.py:20-53, discharge.py:198-207) — and its
+  * jobs open only the lead times they need. The Spark-native image of
+  * that layout is a hive-partitioned directory: the partition column
+  * lives in directory names (never in row payloads), and a predicate on
+  * it prunes at FILE LISTING time (`PartitionFilters`), before a single
+  * byte of parquet is opened. At 100 TB this is the difference between
+  * touching 3/30ths of the data and scanning all of it to filter.
+  */
+object Layout {
+
+  private val written = ConcurrentHashMap.newKeySet[String]()
+
+  /** Write `df` hive-partitioned by `cols` under `path` (idempotent —
+    * once per JVM per path), then return a fresh reader over the layout
+    * so downstream predicates on `cols` become partition filters.
+    */
+  def partitionedView(df: DataFrame, path: String, cols: String*): DataFrame = {
+    if (written.add(path))
+      df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

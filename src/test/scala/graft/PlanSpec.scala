@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q74: lead-time predicate prunes PARTITIONS at file listing, not just row groups") {
+    val df = Registry.queries("q74_partition_pruned")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val f = scans.head
+    assert(f.partitionFilters.map(_.toString).exists(_.contains("leadtime_hour")),
+      f.partitionFilters.mkString(", "))
+    // the listing itself returns only the 3 selected lead-time directories
+    val selected = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+    assert(selected.length == 3, s"selected ${selected.length} partitions")
+    // ... out of the 30 the layout holds
+    val all = f.relation.location.listFiles(Nil, Nil)
+    assert(all.length == 30, s"layout has ${all.length} partitions")
+  }
+
   test("q70: batch IVF broadcasts probes and scans the vector table once") {
     val p = plan("q70_ivf_batch")
     assert(p.contains("BroadcastHashJoin"), p)
