@@ -106,7 +106,8 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket over the first `bits` dimensions — candidate
-    * partitioning for embedding near-dup detection.
+    * partitioning for embedding near-dup detection (single-table form;
+    * the dedup path uses the banded [[graft.functions.HyperplaneBands]]).
     */
   def signBucket(v: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>
@@ -115,19 +116,33 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate removal: vectors whose cosine
     * similarity to a lower-id vector reaches `threshold` are dropped.
-    * Candidates meet only inside a sign-bit LSH bucket (one shuffle on the
-    * bucket), then verify with exact cosine — same shape as MinHash dedup
-    * but in embedding space.
+    * Candidates meet when ANY of `nBands` hyperplane-LSH bands matches
+    * (one shuffle on compact (band, signature) keys — the heavy vectors
+    * never travel through the self-join), then the much smaller
+    * candidate set verifies with exact cosine. Multi-table banding is
+    * what makes this 100 TB-safe: a single fixed-width bucket grows
+    * in-bucket pairs O((n/2^bits)²); here bucket width (`bitsPerBand`)
+    * bounds collision density while the union over bands keeps recall.
     */
   def embeddingDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8): DataFrame = {
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signBucket(col("v"), bits))
-    val lhs = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val rhs = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    val dupIds = lhs.join(rhs, Seq("bucket"))
+      threshold: Double, nBands: Int = 8, bitsPerBand: Int = 16): DataFrame = {
+    // cache BEFORE posexplode: otherwise projection collapse re-runs the
+    // full bands×bits signature kernel once per generated band row
+    val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig",
+        graft.functions.HyperplaneBands(col("v"), nBands, bitsPerBand))
+      .cache()
+    val banded = sig.select(col("id"),
+      posexplode(col("sig")).as(Seq("band", "bv")))
+    val lhs = banded.select(col("band"), col("bv"), col("id").as("id_a"))
+    val rhs = banded.select(col("band"), col("bv"), col("id").as("id_b"))
+    val pairs = lhs.join(rhs, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dupIds = pairs
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .filter(cosine(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     vecs.join(dupIds, Seq(idCol), "left_anti")

@@ -216,35 +216,55 @@ object VectorOps {
     headline = true)
 
   /** Embedding-cosine near-dup dedup (Similarity.embeddingDedup): drop
-    * vectors cosine-similar (>= 0.95) to a lower-id vector within their
-    * LSH bucket; count survivors per label.
+    * vectors cosine-similar (>= 0.95) to a lower-id vector that share
+    * ANY of 8 hyperplane-LSH bands (16 sign-bits each); count survivors
+    * per label. The oracle rebuilds the EXACT signatures: ±1 weights
+    * from the shared md5 recipe, and each sign bit's double sum folded
+    * in d order via `list_reduce(list(t ORDER BY d))` — bit-identical to
+    * the kernel's index-order accumulation (a bare SQL sum() would be
+    * order-nondeterministic).
     */
   val q46EmbeddingDedup = Q(
     "q46_embedding_dedup",
     (s, dir) => {
       val e = t(s, dir)("embeddings")
       graft.operators.Similarity
-        .embeddingDedup(e, "vec_id", "embedding", threshold = 0.95)
+        .embeddingDedup(e, "vec_id", "embedding", threshold = 0.95,
+          nBands = 8, bitsPerBand = 16)
         .groupBy("label")
         .agg(count(lit(1)).as("n_survivors"))
     },
     Some("""
-      WITH b AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
-          || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
+      w AS (
+        SELECT b.range AS b, i.range AS i, d.range AS d,
+               CASE WHEN CAST('0x' || substr(md5(
+                      b.range || '_' || i.range || '_' || d.range), 18, 15)
+                    AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS wt
+        FROM range(0, 8) b, range(0, 16) i, range(0, 64) d),
+      terms AS (
+        SELECT e.vec_id, w.b, w.i, w.d, w.wt * e.v[w.d + 1] AS t
+        FROM e CROSS JOIN w),
+      folds AS (
+        SELECT vec_id, b, i,
+               list_reduce(list_prepend(0.0, list(t ORDER BY d)),
+                           (a, x) -> a + x) AS s
+        FROM terms GROUP BY 1, 2, 3),
+      bands AS (
+        SELECT vec_id, b,
+               CAST(sum(CASE WHEN s >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bv
+        FROM folds GROUP BY 1, 2),
       dups AS (
         SELECT DISTINCT b2.vec_id
-        FROM b b1 JOIN b b2
-          ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-        WHERE list_cosine_similarity(b1.v, b2.v) >= 0.95)
+        FROM bands b1
+        JOIN bands b2 ON b1.b = b2.b AND b1.bv = b2.bv
+                     AND b1.vec_id < b2.vec_id
+        JOIN e e1 ON e1.vec_id = b1.vec_id
+        JOIN e e2 ON e2.vec_id = b2.vec_id
+        WHERE list_cosine_similarity(e1.v, e2.v) >= 0.95)
       SELECT label, count(*) AS n_survivors
       FROM embeddings
       WHERE vec_id NOT IN (SELECT vec_id FROM dups)

@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q46: banded embedding dedup never degenerates to a cross join") {
+    val p = plan("q46_embedding_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q47: KMV sketch never sorts globally (per-group window only)") {
     val p = plan("q47_kmv_sketch")
     assert(!p.contains("rangepartitioning"), p)

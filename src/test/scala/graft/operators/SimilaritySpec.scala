@@ -47,12 +47,55 @@ class SimilaritySpec extends SparkSpec {
     val docs = Seq(
       (1L, base.toSeq),
       (2L, base.map(_ * 1.01f).toSeq),        // same direction → cosine ≈ 1
-      (3L, base.map(v => -v).toSeq),           // opposite → cosine -1, different bucket anyway
+      (3L, base.map(v => -v).toSeq),           // opposite → cosine -1, no shared band
       (4L, Array.tabulate(12)(i => if (i == 3) 5.0f else 0.01f).toSeq))
       .toDF("vec_id", "vec")
-    val kept = Similarity.embeddingDedup(docs, "vec_id", "vec", 0.95, bits = 4)
+    val kept = Similarity.embeddingDedup(docs, "vec_id", "vec", 0.95,
+      nBands = 4, bitsPerBand = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L)) // 2 dropped as near-dup of 1
+  }
+
+  test("banded dedup recall 1.0 on a planted near-dup corpus") {
+    // 300 random unit-ish vectors, 40 of them near-duplicated (tiny
+    // perturbation → cosine > 0.99); banding must catch every pair that
+    // brute-force exact cosine finds
+    val rnd = new scala.util.Random(17)
+    val originals = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(32)(_ => rnd.nextFloat() * 2 - 1).toSeq)
+    }
+    val dups = (0 until 40).map { i =>
+      (1000L + i, originals(i * 7)._2.map(v => v * 1.001f + 0.0005f).toSeq)
+    }
+    val docs = (originals ++ dups).toDF("vec_id", "vec")
+    val kept = Similarity.embeddingDedup(docs, "vec_id", "vec", 0.95,
+      nBands = 8, bitsPerBand = 16)
+      .select("vec_id").as[Long].collect().toSet
+    // ground truth: brute-force all-pairs cosine
+    val a = docs.select(col("vec_id").as("id_a"), col("vec").as("v_a"))
+    val b = docs.select(col("vec_id").as("id_b"), col("vec").as("v_b"))
+    val expectDropped = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= 0.95)
+      .select(col("id_b")).as[Long].collect().toSet
+    assert(kept == (0 until 300).map(_.toLong).toSet ++
+      (1000L until 1040L).toSet -- expectDropped)
+    assert(expectDropped.size >= 40) // every planted dup found
+  }
+
+  test("HyperplaneBands signature is stable and bucket-bounded") {
+    // signature deterministic across invocations and partitionings
+    val docs = clustered
+    val s1 = docs.select(col("vec_id"),
+      graft.functions.HyperplaneBands(col("vec"), 8, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val s2 = docs.repartition(7).select(col("vec_id"),
+      graft.functions.HyperplaneBands(col("vec"), 8, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(_.length == 8))
+    // 16-bit band values stay in [0, 65536)
+    assert(s1.values.flatten.forall(v => v >= 0 && v < 65536))
   }
 
   test("ivfSearch with nprobe=all equals brute force everywhere") {
