@@ -98,6 +98,29 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.values.flatten.forall(v => v >= 0 && v < 65536))
   }
 
+  test("centroids on an empty input returns an empty frame, not an exception") {
+    val empty = clustered.filter(col("vec_id") < 0)
+    val out = Similarity.centroids(empty, "cluster", "vec")
+    assert(out.columns.toSeq == Seq("cluster", "centroid"))
+    assert(out.count() == 0)
+  }
+
+  test("ivfSearch through the persisted index equals the build-per-query path") {
+    val query = Seq.tabulate(12)(i => if (i == 4) 10.0 else 0.1)
+    val idx = Similarity.ivfIndex(clustered, "cluster", "vec",
+      key = "spec-clustered", dim = 12)
+    val viaIndex = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
+      query, nprobe = 1, k = 5, precomputedCentroids = Some(idx))
+      .select("vec_id").as[Long].collect().toSeq
+    val rebuilt = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
+      query, nprobe = 1, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == rebuilt)
+    // second lookup is the SAME cached plan (no rebuild)
+    assert(Similarity.ivfIndex(clustered, "cluster", "vec",
+      key = "spec-clustered") eq idx)
+  }
+
   test("ivfSearch with nprobe=all equals brute force everywhere") {
     val query = Seq.tabulate(12)(i => 1.0 + i * 0.1)
     val ivf = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
