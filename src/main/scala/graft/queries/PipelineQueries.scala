@@ -75,9 +75,15 @@ object PipelineQueries {
     headline = true)
 
   /** Sketch aggregates (the approx fast path the reference lacks):
-    * HyperLogLog distinct counts + quantile sketches. Sketch internals
-    * are engine-specific → rows-only check; the deterministic sketch
-    * counterpart is oracle-checked in q47, exact ones in q01/q18.
+    * HyperLogLog distinct counts + quantile sketches. Sketch REGISTER
+    * layouts are engine-specific, so the sketch values themselves can't
+    * cross the oracle — instead the job emits the exact answers plus
+    * in-tolerance flags for each sketch (HLL and t-digest are
+    * deterministic for fixed data, so the flags are stable), and the
+    * oracle recomputes the exact side and expects every flag TRUE. A
+    * sketch regression now breaks the hash gate instead of hiding behind
+    * a rows-only check. Tolerances: 10% = 5× the rsd=0.02 HLL standard
+    * error; the approx median must land between the exact p40 and p60.
     */
   val q43Sketches = Q(
     "q43_sketches",
@@ -85,12 +91,30 @@ object PipelineQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"))
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("_ao"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("_amed"),
+          percentile(col("l_extendedprice"), lit(0.4)).as("_p40"),
+          percentile(col("l_extendedprice"), lit(0.6)).as("_p60"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("_ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.10).as("orders_within_10pct"),
+          (abs(col("_ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("parts_within_10pct"),
+          col("_amed").between(col("_p40"), col("_p60"))
+            .as("median_in_p40_p60"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS exact_orders,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS orders_within_10pct,
+             TRUE AS parts_within_10pct,
+             TRUE AS median_in_p40_p60
+      FROM lineitem GROUP BY 1"""))
 
   /** KMV (k-minimum-values) distinct-count sketch, k=256: a
     * cross-engine-deterministic sketch (unlike HLL, whose register layout
