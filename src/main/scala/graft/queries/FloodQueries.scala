@@ -401,6 +401,35 @@ object FloodQueries {
       WHERE (l_partkey % 30 + 1) * 24 <= 72
       GROUP BY 1"""))
 
+  /** S3→yes: REAL GRIB2 ensemble ingest, end-to-end. Replays the
+    * reference's cf/pf assembly (io_managers.py:193-210): the control
+    * file and perturbed file are read through the graft-grib DSv2 source
+    * (byte-level GRIB2 parse: grid template 3.0, ensemble product
+    * template 4.1, simple packing), filtered by dataType exactly as
+    * cfgrib's filter_by_keys (pushed down to message-level pruning), and
+    * concatenated along `number` with the control renumbered to 0.
+    *
+    * The oracle reads parquet produced by the INDEPENDENT pure-python
+    * GRIB2 writer from the value formula (tools/grib2_fixture.py), so a
+    * hash match cross-validates both implementations of the format.
+    */
+  val q75GribEnsemble = Q(
+    "q75_grib_ensemble",
+    (s, _) => {
+      def read(path: String, dt: String): DataFrame =
+        s.read.format("graft-grib").option("path", path).load()
+          .filter(col("data_type") === dt).drop("data_type")
+      val ens = graft.sources.RasterContract.concatEnsemble(
+        read("/root/repo/data/ens_cf.grib2", "cf"),
+        read("/root/repo/data/ens_pf.grib2", "pf"))
+      ens.select(col("number"), col("latitude"), col("longitude"),
+        col("value").as("dis24"))
+    },
+    Some("""
+      SELECT number, latitude, longitude, dis24
+      FROM '/root/repo/data/ens_expected.parquet'"""))
+
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
-    q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned)
+    q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
+    q75GribEnsemble)
 }

@@ -1,0 +1,174 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.grib.Grib2File
+
+/** DataSource V2 over real GRIB2 ensemble files (graft.sources.grib),
+  * unpivoting each message's grid to long-form rows
+  * `(data_type, number, latitude, longitude, value)` — the shape the
+  * reference produces with cfgrib + `to_dataframe()` before analytics
+  * (io_managers.py:193-210).
+  *
+  * Scale design:
+  *  - the MESSAGE is the work unit: planning walks only section headers
+  *    (the standard GRIB index pass), then one InputPartition decodes one
+  *    message's packed payload — on a 1000-executor cluster each task
+  *    positional-reads only its message's byte range;
+  *  - `data_type` / `number` equality predicates prune whole MESSAGES at
+  *    planning (the engine image of cfgrib's `filter_by_keys`
+  *    cf/pf split); every filter stays residual, so pruning only skips
+  *    work, never decides correctness;
+  *  - column pruning: projecting `value` alone still decodes the payload
+  *    but skips coordinate synthesis.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft-grib")
+  *   .option("path", "/data/forecast.grib2")   // comma-separated ok
+  *   .load()
+  * }}}
+  */
+class GribDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-grib"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GribDataSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GribTable(properties.asScala.toMap)
+}
+
+object GribDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("data_type", StringType, nullable = false),
+    StructField("number", IntegerType, nullable = false),
+    StructField("latitude", DoubleType, nullable = false),
+    StructField("longitude", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+class GribTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val paths: Seq[String] =
+    props.getOrElse("path", sys.error("graft-grib: 'path' option required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  override def name(): String = s"graft_grib(${paths.mkString(",")})"
+  override def schema(): StructType = GribDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GribScanBuilder(paths)
+}
+
+class GribScanBuilder(paths: Seq[String])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = GribDataSource.Schema
+  private var wantType: Option[String] = None
+  private var wantNumbers: Option[Set[Int]] = None
+  private var accepted: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Message-level pruning on the ensemble keys (cfgrib filter_by_keys
+    * image). Filters stay residual: Spark re-applies the exact
+    * predicate, pushdown only skips messages.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def int(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case l: Long => Some(l.toInt)
+      case _ => None
+    }
+    accepted = filters.filter {
+      case sources.EqualTo("data_type", s: String) =>
+        wantType = Some(s); true
+      case sources.EqualTo("number", v) =>
+        int(v).exists { n => wantNumbers = Some(Set(n)); true }
+      case sources.In("number", vs) =>
+        val ns = vs.flatMap(int).toSet
+        if (ns.size == vs.length) { wantNumbers = Some(ns); true } else false
+      case _ => false
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def build(): Scan = new GribScan(paths, required, wantType, wantNumbers)
+}
+
+class GribScan(paths: Seq[String], required: StructType,
+    wantType: Option[String], wantNumbers: Option[Set[Int]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  @transient private lazy val planned: Seq[(String, Grib2File.MessageInfo)] =
+    for {
+      p <- paths
+      m <- Grib2File.index(p)
+      if wantType.forall(_ == m.dataType)
+      if wantNumbers.forall(_.contains(m.number))
+    } yield (p, m)
+
+  override def description(): String =
+    s"graft-grib ${paths.mkString(",")} messages=${planned.size}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned.map { case (p, m) => GribInputPartition(p, m) }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GribReaderFactory(required.fieldNames)
+}
+
+case class GribInputPartition(path: String, info: Grib2File.MessageInfo)
+    extends InputPartition
+
+class GribReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GribInputPartition]
+    new PartitionReader[InternalRow] {
+      private val info = part.info
+      private val values: Array[Double] =
+        if (cols.contains("value")) Grib2File.read(part.path, info).values
+        else null
+      private val dt = UTF8String.fromString(info.dataType)
+      private var k = -1
+
+      override def next(): Boolean = {
+        k += 1
+        k < info.ni * info.nj
+      }
+
+      override def get(): InternalRow = {
+        val j = k / info.ni
+        val i = k % info.ni
+        InternalRow.fromSeq(cols.toIndexedSeq.map {
+          case "data_type" => dt
+          case "number" => info.number
+          case "latitude" => info.la1 - j * info.dj
+          case "longitude" => info.lo1 + i * info.di
+          case "value" => values(k)
+        })
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

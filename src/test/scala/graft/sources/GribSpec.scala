@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.grib.Grib2File
+
+/** Byte-level GRIB2 fixture tests: the fixtures are written by the
+  * INDEPENDENT pure-python spec implementation (tools/grib2_fixture.py),
+  * so agreement here cross-validates both sides of the format.
+  */
+class GribSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfPath = "/root/repo/data/ens_cf.grib2"
+  private val pfPath = "/root/repo/data/ens_pf.grib2"
+
+  test("index walks messages and reads ensemble + grid headers") {
+    val cf = Grib2File.index(cfPath)
+    assert(cf.map(m => (m.dataType, m.number)) == Seq(("cf", 0)))
+    val pf = Grib2File.index(pfPath)
+    assert(pf.map(m => (m.dataType, m.number)) == Seq(("pf", 1), ("pf", 2)))
+    val g = cf.head
+    assert((g.ni, g.nj, g.la1, g.lo1, g.di, g.dj) == (4, 3, 60.0, 10.0, 0.5, 0.5))
+  }
+
+  test("simple-packing decode reproduces the formula values exactly") {
+    val pf = Grib2File.index(pfPath)
+    val m2 = Grib2File.read(pfPath, pf.find(_.number == 2).get)
+    val expected = (for (j <- 0 until 3; i <- 0 until 4)
+      yield 2000.0 + j * 10 + i).toArray
+    assert(m2.values.toSeq == expected.toSeq)
+  }
+
+  test("graft-grib source unpivots messages to long rows") {
+    val df = spark.read.format("graft-grib").option("path", pfPath).load()
+    assert(df.columns.toSeq ==
+      Seq("data_type", "number", "latitude", "longitude", "value"))
+    assert(df.count() == 2 * 12)
+    val row = df.filter(col("number") === 1 &&
+        col("latitude") === 59.5 && col("longitude") === 11.0)
+      .select("value").as[Double].head()
+    assert(row == 1000.0 + 10 + 2) // member 1, j=1, i=2
+  }
+
+  test("data_type/number predicates prune whole messages at planning") {
+    val both = spark.read.format("graft-grib")
+      .option("path", s"$cfPath,$pfPath").load()
+    assert(both.rdd.getNumPartitions == 3) // one partition per message
+    val onlyPf2 = both.filter(col("data_type") === "pf" && col("number") === 2)
+    assert(onlyPf2.rdd.getNumPartitions == 1)
+    assert(onlyPf2.count() == 12)
+    // pruning never loses rows the residual filter should keep
+    assert(both.filter(col("number") >= 1).count() == 24)
+  }
+
+  test("cf+pf concat matches the reference's ensemble assembly golden") {
+    val cf = spark.read.format("graft-grib").option("path", cfPath).load()
+      .filter(col("data_type") === "cf").drop("data_type")
+    val pf = spark.read.format("graft-grib").option("path", pfPath).load()
+      .filter(col("data_type") === "pf").drop("data_type")
+    val ens = RasterContract.concatEnsemble(cf, pf)
+    assert(ens.count() == 36)
+    assert(ens.select("number").distinct().as[Int].collect().toSet == Set(0, 1, 2))
+    // spot golden: member 0 keeps its control values after renumbering
+    val v = ens.filter(col("number") === 0 &&
+        col("latitude") === 60.0 && col("longitude") === 10.0)
+      .select("value").as[Double].head()
+    assert(v == 0.0)
+  }
+}
