@@ -32,7 +32,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q47_kmv_sketch,q60_flood_detailed → time just those
+    // (iterating on one query without paying for the whole suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val targets = Registry.headlines
+      .filter(q => only.forall(_.contains(q.name)))
     // one warm-up pass so JIT/codegen and file listing don't dominate
     targets.foreach { q =>
       try materialize(q.run(spark, sfDir))

@@ -25,6 +25,9 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
   override def zero: Array[Long] = Array.empty
 
   override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+    // saturated fast path: after the buffer fills, almost every value is
+    // >= the k-th minimum — one compare instead of a binary search
+    if (buf.length == k && v >= buf(k - 1)) return buf
     val pos = java.util.Arrays.binarySearch(buf, v)
     if (pos >= 0) buf // already present
     else if (buf.length < k) {
