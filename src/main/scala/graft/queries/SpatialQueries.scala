@@ -284,6 +284,30 @@ object SpatialQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
       FROM hits GROUP BY 1"""))
 
+  /** S5→yes: REAL GeoTIFF/COG ingest, end-to-end. Replays the
+    * reference's lossyear tile read (global_forest_watch.py:66,156
+    * rioxarray → long rows, with lossyear=0 "no loss" dropped): the
+    * graft-cog DSv2 source parses the byte-level TIFF (IFD, 32x16
+    * deflate tiles, GeoTIFF pixel-scale/tiepoint georeferencing),
+    * clips edge-tile padding, and drops the nodata sentinel at the
+    * scan. The oracle reads parquet computed from the value FORMULA by
+    * the independent pure-python writer (tools/tiff_fixture.py), so the
+    * hash match cross-validates both format implementations.
+    */
+  val q76CogLossyear = Q(
+    "q76_cog_lossyear",
+    (s, _) =>
+      s.read.format("graft-cog")
+        .option("path", "/root/repo/data/lossyear_tiled.tif")
+        .option("nodata", "0")
+        .load()
+        .select(col("x"), col("y"), col("value").as("lossyear")),
+    Some("""
+      SELECT x, y, lossyear
+      FROM '/root/repo/data/lossyear_expected.parquet'
+      WHERE lossyear <> 0"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
-    q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal)
+    q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
+    q76CogLossyear)
 }
