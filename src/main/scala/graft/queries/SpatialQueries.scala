@@ -307,7 +307,28 @@ object SpatialQueries {
       FROM '/root/repo/data/lossyear_expected.parquet'
       WHERE lossyear <> 0"""))
 
+  /** S6→yes: REAL Zarr v2 store ingest (io_managers.py:119-129). The
+    * graft-zarr DSv2 source reads the chunked store (one task per
+    * chunk, zlib inflate, NaN fills dropped per the converter
+    * contract); the oracle reads parquet computed from the value
+    * FORMULA by the independent pure-python store writer
+    * (tools/zarr_fixture.py) — the hash match cross-validates both
+    * implementations. The Scala writer's round-trip is spec-tested
+    * (ZarrSpec).
+    */
+  val q77ZarrUparea = Q(
+    "q77_zarr_uparea",
+    (s, _) =>
+      s.read.format("graft-zarr")
+        .option("path", "/root/repo/data/uparea.zarr")
+        .option("var", "uparea")
+        .load()
+        .select(col("latitude"), col("longitude"), col("value").as("uparea")),
+    Some("""
+      SELECT latitude, longitude, uparea
+      FROM '/root/repo/data/uparea_expected.parquet'"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
-    q76CogLossyear)
+    q76CogLossyear, q77ZarrUparea)
 }
