@@ -328,7 +328,57 @@ object SpatialQueries {
       SELECT latitude, longitude, uparea
       FROM '/root/repo/data/uparea_expected.parquet'"""))
 
+  /** S7→yes + the reference's real basin flow end-to-end: polygons come
+    * from an actual ESRI shapefile (graft-shp DSv2 — .shx-indexed
+    * ranged record reads, HYBAS_ID from the .dbf sidecar,
+    * hydrobasins.py:77-99), then exact ray-cast zonal assignment and
+    * per-basin aggregation. The oracle reads ring vertex arrays from
+    * parquet computed by the independent pure-python shapefile writer
+    * (tools/shp_fixture.py) and ray-casts the identical division-free
+    * formula, so the hash match cross-validates the file format AND the
+    * containment kernel together.
+    */
+  val q78ShpZonal = Q(
+    "q78_shp_zonal",
+    (s, dir) => {
+      val polys = s.read.format("graft-shp")
+        .option("path", "/root/repo/data/basins.shp")
+        .option("idfield", "HYBAS_ID")
+        .load()
+        .select(col("zone"), col("xs"), col("ys"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") % 20) * 0.5 + 0.25).as("latitude"),
+        (expr("(c_custkey div 20) % 20") * 0.5 + 0.25).as("longitude"))
+      GridOps.polygonZonalAssign(points, polys, "zone", cellSize = 2.0)
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_points"),
+          Sql.exactSum(col("c_acctbal")).as("sum_bal"))
+    },
+    Some("""
+      WITH shapes AS (
+        SELECT zone, xs, ys FROM '/root/repo/data/basins_expected.parquet'),
+      points AS (
+        SELECT c_custkey, c_acctbal,
+               (c_custkey % 20) * 0.5 + 0.25 AS latitude,
+               ((c_custkey // 20) % 20) * 0.5 + 0.25 AS longitude
+        FROM customer),
+      hits AS (
+        SELECT s.zone, p.c_acctbal
+        FROM points p JOIN shapes s
+          ON len(list_filter(generate_series(1, 6), i ->
+               ((s.ys[i] > p.latitude) <> (s.ys[i+1] > p.latitude))
+               AND (CASE WHEN s.ys[i+1] - s.ys[i] > 0
+                    THEN (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         - (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i]) < 0
+                    ELSE (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         - (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i]) > 0
+                    END))) % 2 = 1)
+      SELECT zone, count(*) AS n_points,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+      FROM hits GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
-    q76CogLossyear, q77ZarrUparea)
+    q76CogLossyear, q77ZarrUparea, q78ShpZonal)
 }
