@@ -72,6 +72,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q73/q78: polygon zonal assignment broadcasts candidates, never a cartesian") {
+    for (name <- Seq("q73_polygon_zonal", "q78_shp_zonal")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: $p")
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+    }
+  }
+
   test("q74: lead-time predicate prunes PARTITIONS at file listing, not just row groups") {
     val df = Registry.queries("q74_partition_pruned")(spark, dir)
     val scans = df.queryExecution.sparkPlan.collect {
