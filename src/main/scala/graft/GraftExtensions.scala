@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.PandasFloatString
+import graft.functions.{HyperplaneBands, PandasFloatString, PointInPolygon}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -16,6 +16,8 @@ import graft.functions.PandasFloatString
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.pandasFloatStr)
+    ext.injectFunction(GraftExtensions.pointInPolygon)
+    ext.injectFunction(GraftExtensions.hyperplaneBands)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -25,10 +27,11 @@ object GraftExtensions {
   /** Register the same functions into an already-running session (the
     * extensions class covers `spark.sql.extensions` at session build).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = pandasFloatStr
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(pandasFloatStr, pointInPolygon, hyperplaneBands).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 
   /** pandas_float_str(expr, scale): shortest pandas-style decimal string
     * of a double rounded to `scale` decimals.
@@ -43,5 +46,31 @@ object GraftExtensions {
         case other => other.eval().asInstanceOf[Int]
       }
       PandasFloatString(args.head, scale)
+    })
+
+  /** point_in_polygon(px, py, xs, ys): exact even-odd ray-cast
+    * containment over packed vertex arrays.
+    */
+  val pointInPolygon: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("point_in_polygon"),
+    new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4, "point_in_polygon(px, py, xs, ys)")
+      PointInPolygon(args(0), args(1), args(2), args(3))
+    })
+
+  /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH
+    * signatures (one packed long per band).
+    */
+  val hyperplaneBands: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_bands"),
+    new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "hyperplane_bands(vec, bands, bits)")
+      def int(e: Expression): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      }
+      HyperplaneBands(args.head, int(args(1)), int(args(2)))
     })
 }

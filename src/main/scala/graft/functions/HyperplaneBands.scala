@@ -4,10 +4,10 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Banded random-hyperplane LSH signature of an embedding vector:
   * `bands` independent hash tables of `bits` sign-bits each, returned as
@@ -31,9 +31,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * each boxing every element).
   */
 case class HyperplaneBands(child: Expression, bands: Int, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(bands >= 1 && bits >= 1 && bits <= 62,
     s"HyperplaneBands needs bands >= 1 and 1 <= bits <= 62, got ($bands, $bits)")
+
+  // SQL callers pass float/decimal arrays; coerce to doubles
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

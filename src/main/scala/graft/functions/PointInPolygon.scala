@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.QuaternaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType}
 
 /** Exact ray-casting point-in-polygon containment over packed vertex
   * arrays — the containment kernel behind arbitrary-polygon zonal
@@ -32,12 +32,17 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   */
 case class PointInPolygon(
     px: Expression, py: Expression, xs: Expression, ys: Expression)
-    extends QuaternaryExpression with QuaternaryLike[Expression] {
+    extends QuaternaryExpression with QuaternaryLike[Expression]
+    with ImplicitCastInputTypes {
 
   override def first: Expression = px
   override def second: Expression = py
   override def third: Expression = xs
   override def fourth: Expression = ys
+
+  // SQL callers pass decimal literals / float arrays; coerce to doubles
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType,
+    ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true

@@ -27,6 +27,22 @@ class SqlSurfaceSpec extends SparkSpec {
       viaDf.orderBy("l_returnflag").collect().map(_.toSeq).toSeq)
   }
 
+  test("point_in_polygon and hyperplane_bands are callable from SQL") {
+    GraftExtensions.register(spark)
+    val in = spark.sql("""
+      SELECT point_in_polygon(2.0, 0.5,
+        array(0.0, 3.0, 3.0, 1.0, 1.0, 0.0),
+        array(0.0, 0.0, 1.0, 1.0, 3.0, 3.0)) AS arm,
+             point_in_polygon(2.0, 2.0,
+        array(0.0, 3.0, 3.0, 1.0, 1.0, 0.0),
+        array(0.0, 0.0, 1.0, 1.0, 3.0, 3.0)) AS notch""").collect()(0)
+    assert(in.getBoolean(0) && !in.getBoolean(1))
+    val sig = spark.sql("""
+      SELECT hyperplane_bands(array(0.5, -0.25, 0.125, 1.0), 4, 8) AS sig""")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(v => v >= 0 && v < 256))
+  }
+
   test("injected SQL functions compose with builtin SQL over views") {
     GraftExtensions.register(spark)
     Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
