@@ -255,7 +255,8 @@ object SpatialQueries {
         .agg(count(lit(1)).as("n_points"),
           Sql.exactSum(col("c_acctbal")).as("sum_bal"))
     },
-    Some("""
+    headline = true,
+    oracle = Some("""
       WITH shapes AS (
         SELECT n_nationkey AS zone,
                [ox, ox + 1.5, ox + 1.5, ox + 0.5, ox + 0.5, ox, ox] AS xs,
