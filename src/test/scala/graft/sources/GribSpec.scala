@@ -32,6 +32,19 @@ class GribSpec extends SparkSpec {
     assert(m2.values.toSeq == expected.toSeq)
   }
 
+  test("scaled simple packing decodes (R, binary, decimal scales all nonzero)") {
+    // fixture: R=50.0, E=-2 (sign-magnitude), D=1, 12-bit X = k
+    // value = (50.0 + k * 2^-2) * 10^-1
+    val path = "/root/repo/data/ens_scaled.grib2"
+    val infos = Grib2File.index(path)
+    assert(infos.map(m => (m.dataType, m.number)) == Seq(("pf", 7)))
+    val m = Grib2File.read(path, infos.head)
+    val expected = (0 until 12).map(k => (50.0 + k * 0.25) * 0.1)
+    m.values.toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+    }
+  }
+
   test("graft-grib source unpivots messages to long rows") {
     val df = spark.read.format("graft-grib").option("path", pfPath).load()
     assert(df.columns.toSeq ==

@@ -45,6 +45,27 @@ class ShapefileSpec extends SparkSpec {
     assert(df.select("record").as[Int].collect().toSet == Set(1, 2, 6, 7))
   }
 
+  test("multi-part records yield one ring per part (holes)") {
+    val df = spark.read.format("graft-shp")
+      .option("path", "/root/repo/data/holes.shp")
+      .option("idfield", "ZONE").load()
+    val rings = df.select("record", "part", "xs", "zone")
+      .as[(Int, Int, Seq[Double], Long)].collect().sortBy(_._2)
+    assert(rings.length == 2) // outer + hole, same record
+    assert(rings.forall(r => r._1 == 1 && r._4 == 42L))
+    assert(rings(0)._3 == Seq(0.0, 4.0, 4.0, 0.0, 0.0)) // outer ring xs
+    assert(rings(1)._3 == Seq(1.0, 1.0, 3.0, 3.0, 1.0)) // hole ring xs
+    // even-odd containment over BOTH rings excludes the hole: a point in
+    // the hole is inside the outer ring AND inside the hole ring
+    import graft.functions.PointInPolygon
+    val pt = Seq((2.0, 2.0), (0.5, 0.5)).toDF("px", "py")
+    val hits = pt.crossJoin(df)
+      .filter(PointInPolygon(col("px"), col("py"), col("xs"), col("ys")))
+      .groupBy("px").count().as[(Double, Long)].collect().toMap
+    assert(hits(2.0) == 2L) // in outer + in hole → even ring count = outside
+    assert(hits(0.5) == 1L) // in outer only → odd ring count = inside
+  }
+
   test("record ranges split into partitions") {
     val df = spark.read.format("graft-shp")
       .option("path", shp).option("idfield", "HYBAS_ID")
