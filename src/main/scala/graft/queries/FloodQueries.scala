@@ -28,11 +28,24 @@ object FloodQueries {
         .as("valid_for"),
       col("l_quantity").as("dis24"))
 
-  private def syntheticThresholds(forecast: DataFrame): DataFrame =
-    forecast.select("latitude", "longitude").distinct()
+  /** Threshold dimension generated directly over the closed 50×40 cell
+    * lattice the forecast's (partkey%50, suppkey%40) construction can
+    * reach — no second fact-table scan, no distinct shuffle. Output-
+    * identical to `SELECT DISTINCT lat, lon FROM forecast` under the
+    * LEFT join (extra unmatched dim rows never surface; every forecast
+    * cell is in the lattice by construction), and truer to the
+    * reference, where thresholds are an independent small table
+    * (rp_thresholds.py), not an aggregate of the forecast.
+    */
+  private def syntheticThresholds(forecast: DataFrame): DataFrame = {
+    val s = forecast.sparkSession
+    s.range(50L * 40L).select(
+      ((col("id") % 50) * 0.5).as("latitude"),
+      (expr("id div 50") * 0.5).as("longitude"))
       .withColumn("threshold_2y", lit(20.0) + col("latitude") * 0.1)
       .withColumn("threshold_5y", lit(35.0) + col("longitude") * 0.1)
       .withColumn("threshold_20y", lit(48.0) + col("latitude") * 0.05)
+  }
 
   private val forecastCte = """
     forecast AS (

@@ -42,12 +42,20 @@ object Relational {
         .agg(
           count(lit(1)).as("n_rows"),
           min("l_quantity").as("min_qty"),
-          round(percentile(col("l_quantity"), lit(0.25)), 6).as("q1_qty"),
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
-          round(percentile(col("l_quantity"), lit(0.75)), 6).as("q3_qty"),
+          // one percentile buffer serves all three quantiles (the array
+          // form sorts the per-group counts map once; three scalar calls
+          // each keep and sort their own copy of every value)
+          percentile(col("l_quantity"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("_q"),
           max("l_quantity").as("max_qty"),
           Sql.exactSum(col("l_extendedprice")).as("sum_price"),
           round(Sql.exactAvg(col("l_discount")), 8).as("avg_disc"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("min_qty"),
+          round(element_at(col("_q"), 1), 6).as("q1_qty"),
+          round(element_at(col("_q"), 2), 6).as("median_qty"),
+          round(element_at(col("_q"), 3), 6).as("q3_qty"),
+          col("max_qty"), col("sum_price"), col("avg_disc"))
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
