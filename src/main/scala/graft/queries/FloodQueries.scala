@@ -456,7 +456,26 @@ object FloodQueries {
       SELECT number, latitude, longitude, dis24
       FROM '/root/repo/data/ens_expected.parquet'"""))
 
+  /** S3 depth: complex packing — the representation genuine CDS GloFAS
+    * downloads actually use (the reference opens them with cfgrib,
+    * io_managers.py:193-210). One file carries template 5.2 (grid-point
+    * complex), 5.3 with spatial differencing orders 1 and 2, and the
+    * deterministic product template 4.0 (mapped to cf/0 as cfgrib
+    * does). The oracle reads parquet computed from the value FORMULA by
+    * the independent pure-python GRIB2 writer (tools/grib2_fixture.py),
+    * so a hash match cross-validates group splitting, width/length
+    * vectors, and the differencing reconstruction on both sides.
+    */
+  val q79GribComplex = Q(
+    "q79_grib_complex",
+    (s, _) =>
+      s.read.format("graft-grib")
+        .option("path", "/root/repo/data/ens_complex.grib2").load(),
+    Some("""
+      SELECT data_type, number, latitude, longitude, value
+      FROM '/root/repo/data/ens_complex_expected.parquet'"""))
+
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
-    q75GribEnsemble)
+    q75GribEnsemble, q79GribComplex)
 }

@@ -6,12 +6,16 @@ import java.nio.file.{Paths, StandardOpenOption}
 
 /** Minimal pure-JVM GRIB2 reader for the subset ECMWF ensemble output
   * uses (format: the public WMO FM 92 GRIB edition 2 specification):
-  * regular lat/lon grids (grid definition template 3.0), individual
-  * ensemble forecasts (product definition template 4.1 — carries the
-  * control/perturbed flag and the member number the reference filters on
-  * with `filter_by_keys={'dataType': 'cf'|'pf'}`,
-  * io_managers.py:193-210), simple packing (data representation template
-  * 5.0), no bitmap.
+  * regular lat/lon grids (grid definition template 3.0), deterministic
+  * and individual-ensemble forecasts (product definition templates 4.0
+  * and 4.1 — 4.1 carries the control/perturbed flag and the member
+  * number the reference filters on with
+  * `filter_by_keys={'dataType': 'cf'|'pf'}`, io_managers.py:193-210;
+  * 4.0 is the plain-forecast form real CDS control downloads sometimes
+  * use and maps to cf/0), simple packing (data representation template
+  * 5.0) plus grid-point complex packing without and with spatial
+  * differencing (5.2 and 5.3, orders 1-2 — what actual CDS GloFAS GRIBs
+  * ship), no bitmap.
   *
   * A GRIB2 file is a sequence of self-contained messages — one per
   * (member, step) field — which makes the natural cluster read unit the
@@ -124,16 +128,25 @@ object Grib2File {
               s"scanning mode $scan unsupported (need 0: +i, -j, i fastest)")
           case 4 =>
             val s = readAt(ch, cur, secLen.toInt)
-            require(u16(s, 7) == 1,
-              s"product template ${u16(s, 7)} unsupported (need 4.1 ensemble)")
-            val ensType = u8(s, 34)
-            number = u8(s, 35)
-            // WMO code table 4.6: 0/1 = unperturbed control, 2/3 = perturbed
-            dataType = if (ensType <= 1) "cf" else "pf"
+            u16(s, 7) match {
+              case 0 =>
+                // plain deterministic forecast: the shape CDS serves when
+                // the control member is requested alone — cfgrib exposes
+                // it as dataType=cf, number=0
+                dataType = "cf"; number = 0
+              case 1 =>
+                val ensType = u8(s, 34)
+                number = u8(s, 35)
+                // WMO code table 4.6: 0/1 = unperturbed control, 2/3 = perturbed
+                dataType = if (ensType <= 1) "cf" else "pf"
+              case t =>
+                sys.error(s"product template $t unsupported (need 4.0 or 4.1)")
+            }
           case 5 =>
             val s = readAt(ch, cur, secLen.toInt)
-            require(u16(s, 9) == 0,
-              s"packing template ${u16(s, 9)} unsupported (need 5.0 simple)")
+            val t = u16(s, 9)
+            require(t == 0 || t == 2 || t == 3,
+              s"packing template $t unsupported (need 5.0 simple or 5.2/5.3 complex)")
           case _ => () // 1 identification, 6 bitmap, 7 data: not needed here
         }
         cur += secLen
@@ -144,17 +157,168 @@ object Grib2File {
     MessageInfo(off, msgLen, dataType, number, ni, nj, la1, lo1, di, dj)
   }
 
+  /** Big-endian bitstream over a section buffer, starting at byte
+    * `base` — the shape every GRIB2 packed payload uses.
+    */
+  private final class BitReader(buf: ByteBuffer, base: Int) {
+    private var bitPos = 0
+    def take(bits: Int): Long = {
+      var x = 0L
+      var taken = 0
+      while (taken < bits) {
+        val byteIdx = base + (bitPos >> 3)
+        val bitInByte = bitPos & 7
+        val avail = 8 - bitInByte
+        val t = math.min(avail, bits - taken)
+        val chunk = (u8(buf, byteIdx) >> (avail - t)) & ((1 << t) - 1)
+        x = (x << t) | chunk
+        taken += t
+        bitPos += t
+      }
+      x
+    }
+    /** Skip to the next byte boundary (the spec pads each of the group
+      * reference/width/length vectors to whole octets).
+      */
+    def align(): Unit = bitPos = (bitPos + 7) & ~7
+    /** Sign-and-magnitude integer stored in `octets` whole bytes (the
+      * encoding template 7.3's extra descriptors use).
+      */
+    def signMagnitude(octets: Int): Long = {
+      val raw = take(octets * 8)
+      val signBit = 1L << (octets * 8 - 1)
+      if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
+    }
+  }
+
+  /** All of data-representation section 5 needed to decode section 7. */
+  private case class Packing(
+      template: Int, nVals: Int, refVal: Float, binScale: Int, decScale: Int,
+      bpv: Int,
+      // complex packing (5.2/5.3)
+      nGroups: Int, refGroupWidth: Int, bitsGroupWidth: Int,
+      refGroupLen: Long, lenIncrement: Int, lastGroupLen: Long,
+      bitsGroupLen: Int,
+      // spatial differencing (5.3)
+      sdOrder: Int, sdOctets: Int)
+
+  private def parseSection5(s: ByteBuffer): Packing = {
+    val template = u16(s, 9)
+    val base = Packing(
+      template = template,
+      nVals = u32(s, 5).toInt,
+      refVal = java.lang.Float.intBitsToFloat(u32(s, 11).toInt),
+      binScale = s16(s, 15), decScale = s16(s, 17), bpv = u8(s, 19),
+      nGroups = 0, refGroupWidth = 0, bitsGroupWidth = 0,
+      refGroupLen = 0L, lenIncrement = 0, lastGroupLen = 0L, bitsGroupLen = 0,
+      sdOrder = 0, sdOctets = 0)
+    template match {
+      case 0 => base
+      case 2 | 3 =>
+        require(u8(s, 22) == 0,
+          "missing-value management unsupported (octet 23 != 0)")
+        val withGroups = base.copy(
+          nGroups = u32(s, 31).toInt,
+          refGroupWidth = u8(s, 35), bitsGroupWidth = u8(s, 36),
+          refGroupLen = u32(s, 37), lenIncrement = u8(s, 41),
+          lastGroupLen = u32(s, 42), bitsGroupLen = u8(s, 46))
+        if (template == 2) withGroups
+        else {
+          val order = u8(s, 47)
+          require(order == 1 || order == 2,
+            s"spatial differencing order $order unsupported (need 1 or 2)")
+          withGroups.copy(sdOrder = order, sdOctets = u8(s, 48))
+        }
+      case t => sys.error(s"packing template $t unsupported")
+    }
+  }
+
+  /** Grid-point complex packing (templates 7.2/7.3): NG per-group
+    * reference values, then NG group widths, then NG scaled group
+    * lengths (each vector byte-padded), then each group's values packed
+    * contiguously at its own width. Template 7.3 prefixes the stream
+    * with the first `order` original scaled values and the overall
+    * minimum of the differences (sign-and-magnitude, `sdOctets` bytes
+    * each) and stores differenced data in the groups.
+    */
+  private def decodeComplex(s: ByteBuffer, p: Packing): Array[Long] = {
+    val br = new BitReader(s, 5)
+    var h1 = 0L; var h2 = 0L; var gmin = 0L
+    if (p.template == 3) {
+      h1 = br.signMagnitude(p.sdOctets)
+      if (p.sdOrder == 2) h2 = br.signMagnitude(p.sdOctets)
+      gmin = br.signMagnitude(p.sdOctets)
+    }
+    val ng = p.nGroups
+    val grefs = new Array[Long](ng)
+    var g = 0
+    while (g < ng) { grefs(g) = if (p.bpv > 0) br.take(p.bpv) else 0L; g += 1 }
+    br.align()
+    val gwidths = new Array[Int](ng)
+    g = 0
+    while (g < ng) {
+      gwidths(g) = p.refGroupWidth +
+        (if (p.bitsGroupWidth > 0) br.take(p.bitsGroupWidth).toInt else 0)
+      g += 1
+    }
+    br.align()
+    val glens = new Array[Long](ng)
+    g = 0
+    while (g < ng) {
+      glens(g) = p.refGroupLen + p.lenIncrement *
+        (if (p.bitsGroupLen > 0) br.take(p.bitsGroupLen) else 0L)
+      g += 1
+    }
+    if (ng > 0) glens(ng - 1) = p.lastGroupLen
+    br.align()
+    val xs = new Array[Long](p.nVals)
+    var k = 0
+    g = 0
+    while (g < ng) {
+      val w = gwidths(g)
+      var n = 0L
+      while (n < glens(g)) {
+        require(k < p.nVals, s"group lengths exceed $k >= ${p.nVals} values")
+        xs(k) = grefs(g) + (if (w > 0) br.take(w) else 0L)
+        k += 1
+        n += 1
+      }
+      g += 1
+    }
+    require(k == p.nVals, s"group lengths cover $k of ${p.nVals} values")
+    if (p.template == 3) {
+      // undo spatial differencing (template 7.3 reconstruction):
+      // first `order` values arrive verbatim in the prelude; every later
+      // value is its difference-from-prediction plus the stored minimum
+      if (p.sdOrder == 1) {
+        xs(0) = h1
+        k = 1
+        while (k < p.nVals) { xs(k) = xs(k) + gmin + xs(k - 1); k += 1 }
+      } else {
+        xs(0) = h1
+        if (p.nVals > 1) xs(1) = h2
+        k = 2
+        while (k < p.nVals) {
+          xs(k) = xs(k) + gmin + 2 * xs(k - 1) - xs(k - 2)
+          k += 1
+        }
+      }
+    }
+    xs
+  }
+
   /** Decode the packed payload of one message:
-    * value = (R + X * 2^E) * 10^-D with X read as a big-endian
-    * `bitsPerValue`-wide bitstream. Bitmap section must be absent (255).
+    * value = (R + X * 2^E) * 10^-D with X either a flat big-endian
+    * `bitsPerValue`-wide bitstream (template 7.0) or group-unpacked
+    * complex data, optionally spatially differenced (7.2/7.3). Bitmap
+    * section must be absent (255).
     */
   def read(path: String, info: MessageInfo): Message = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {
       var cur = info.offset + 16
       val end = info.offset + info.length
-      var refVal = 0.0f; var binScale = 0; var decScale = 0; var bpv = 0
-      var nVals = 0
+      var packing: Packing = null
       var values: Array[Double] = null
       var done = false
       while (!done && cur < end) {
@@ -164,39 +328,26 @@ object Grib2File {
         else {
           u8(readAt(ch, cur + 4, 1), 0) match {
             case 5 =>
-              val s = readAt(ch, cur, secLen.toInt)
-              nVals = u32(s, 5).toInt
-              refVal = java.lang.Float.intBitsToFloat(u32(s, 11).toInt)
-              binScale = s16(s, 15)
-              decScale = s16(s, 17)
-              bpv = u8(s, 19)
+              packing = parseSection5(readAt(ch, cur, secLen.toInt))
             case 6 =>
               val s = readAt(ch, cur, secLen.toInt)
               require(u8(s, 5) == 255, "bitmaps unsupported (indicator != 255)")
             case 7 =>
               val s = readAt(ch, cur, secLen.toInt)
-              require(bpv > 0 && bpv <= 32, s"bits-per-value $bpv unsupported")
-              val scale = math.pow(2.0, binScale) * math.pow(10.0, -decScale)
-              val r = refVal * math.pow(10.0, -decScale)
-              values = new Array[Double](nVals)
-              var bitPos = 0
+              val p = packing
+              require(p != null, "data section before representation section")
+              val scale = math.pow(2.0, p.binScale) * math.pow(10.0, -p.decScale)
+              val r = p.refVal * math.pow(10.0, -p.decScale)
+              val xs: Array[Long] =
+                if (p.template == 0) {
+                  require(p.bpv > 0 && p.bpv <= 32,
+                    s"bits-per-value ${p.bpv} unsupported")
+                  val br = new BitReader(s, 5)
+                  Array.fill(p.nVals)(br.take(p.bpv))
+                } else decodeComplex(s, p)
+              values = new Array[Double](p.nVals)
               var k = 0
-              while (k < nVals) {
-                var x = 0L
-                var taken = 0
-                while (taken < bpv) {
-                  val byteIdx = 5 + (bitPos >> 3)
-                  val bitInByte = bitPos & 7
-                  val avail = 8 - bitInByte
-                  val take = math.min(avail, bpv - taken)
-                  val chunk = (u8(s, byteIdx) >> (avail - take)) & ((1 << take) - 1)
-                  x = (x << take) | chunk
-                  taken += take
-                  bitPos += take
-                }
-                values(k) = r + x * scale
-                k += 1
-              }
+              while (k < p.nVals) { values(k) = r + xs(k) * scale; k += 1 }
             case _ => ()
           }
           cur += secLen

@@ -45,6 +45,32 @@ class GribSpec extends SparkSpec {
     }
   }
 
+  private val complexPath = "/root/repo/data/ens_complex.grib2"
+
+  test("complex packing (template 5.2) decodes group-packed values exactly") {
+    val infos = Grib2File.index(complexPath)
+    assert(infos.map(m => (m.dataType, m.number)) ==
+      Seq(("pf", 11), ("pf", 12), ("cf", 0)))
+    val m = Grib2File.read(complexPath, infos(0))
+    val expected = (0 until 12).map(k => 50.0 + (k * 37) % 101)
+    assert(m.values.toSeq == expected)
+  }
+
+  test("complex packing + spatial differencing order 1 (template 5.3)") {
+    val infos = Grib2File.index(complexPath)
+    val m = Grib2File.read(complexPath, infos(1))
+    val expected = (0 until 12).map(k => 500.0 + (k * k * 13) % 89)
+    assert(m.values.toSeq == expected)
+  }
+
+  test("spatial differencing order 2 on product template 4.0 -> cf/0") {
+    val infos = Grib2File.index(complexPath)
+    assert((infos(2).dataType, infos(2).number) == ("cf", 0))
+    val m = Grib2File.read(complexPath, infos(2))
+    val expected = (0 until 12).map(k => 300.0 + (k * 29) % 53)
+    assert(m.values.toSeq == expected)
+  }
+
   test("graft-grib source unpivots messages to long rows") {
     val df = spark.read.format("graft-grib").option("path", pfPath).load()
     assert(df.columns.toSeq ==

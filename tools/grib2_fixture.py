@@ -66,6 +66,115 @@ def values(m: int) -> list:
     return [m * 1000 + j * 10 + i for j in range(NJ) for i in range(NI)]
 
 
+# ---------------------------------------------------------------------------
+# Complex packing (data representation templates 5.2 / 5.3) and the plain
+# deterministic product template 4.0 — the combination genuine CDS GloFAS
+# downloads use. Packing decisions (group split, widths, scaled lengths,
+# spatial differencing prelude) are made HERE from the WMO spec text, fully
+# independent of the Scala decoder.
+# ---------------------------------------------------------------------------
+
+def _pad_bits(bitstr: str) -> bytes:
+    bitstr += "0" * (-len(bitstr) % 8)
+    return bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+
+
+def _sm_bytes(v: int, octets: int) -> bytes:
+    """GRIB sign-and-magnitude integer in `octets` whole bytes."""
+    mag = -v if v < 0 else v
+    raw = mag | (1 << (octets * 8 - 1)) if v < 0 else mag
+    return raw.to_bytes(octets, "big")
+
+
+def message_complex(product, vals: list, order: int, ngroups: int = 3) -> bytes:
+    """One GRIB2 message with complex packing (template 5.2 if order==0,
+    else 5.3 with spatial differencing of the given order). `product` is
+    None for product template 4.0 (deterministic) or (ens_type, number)
+    for 4.1. R=0, E=0, D=0 so integer values survive exactly.
+    """
+    n = len(vals)
+    assert n == NI * NJ
+    if order:
+        if order == 1:
+            d = [vals[k] - vals[k - 1] for k in range(1, n)]
+        else:
+            d = [vals[k] - 2 * vals[k - 1] + vals[k - 2] for k in range(2, n)]
+        gmin = min(d)
+        xs = [0] * order + [v - gmin for v in d]
+    else:
+        assert min(vals) >= 0
+        xs = list(vals)
+
+    # deliberately uneven group lengths to exercise the scaled-length path
+    lens = [n // ngroups + (1 if g < n % ngroups else 0) for g in range(ngroups)]
+    lens[0] += lens[-1] - 1
+    lens[-1] = 1
+    assert sum(lens) == n
+    groups, pos = [], 0
+    for L in lens:
+        groups.append(xs[pos:pos + L])
+        pos += L
+    grefs = [min(g) for g in groups]
+    gwidths = [(max(g) - min(g)).bit_length() for g in groups]
+    bpv = max(max(r.bit_length() for r in grefs), 1)
+    bits_gw = max(max(w.bit_length() for w in gwidths), 1)
+    reflen, inc = min(lens), 1
+    scaled = [(L - reflen) // inc for L in lens]
+    bits_gl = max(max(s.bit_length() for s in scaled), 1)
+
+    s1 = sec(1, struct.pack(">HHBBBHBBBBBBB", 98, 0, 2, 1, 1,
+                            2026, 1, 1, 0, 0, 0, 0, 1))
+    tmpl3 = struct.pack(">BBIBIBIIIII", 6, 0, 0, 0, 0, 0, 0, NI, NJ, 0, 0)
+    tmpl3 += struct.pack(">iI", int(LA1 * 1e6), int(LO1 * 1e6))
+    tmpl3 += struct.pack(">B", 0x30)
+    tmpl3 += struct.pack(">iI", int((LA1 - (NJ - 1) * DJ) * 1e6),
+                         int((LO1 + (NI - 1) * DI) * 1e6))
+    tmpl3 += struct.pack(">IIB", int(DI * 1e6), int(DJ * 1e6), 0)
+    s3 = sec(3, struct.pack(">BIBBH", 0, NI * NJ, 0, 0, 0) + tmpl3)
+
+    tmpl4 = struct.pack(">BBBBBHBBi", 0, 192, 2, 0, 0, 0, 0, 1, 24)
+    tmpl4 += struct.pack(">BbI", 1, 0, 0) + struct.pack(">BbI", 255, 0, 0)
+    if product is None:
+        s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl4)  # template 4.0
+    else:
+        ens_type, number = product
+        s4 = sec(4, struct.pack(">HH", 0, 1) + tmpl4 +
+                 struct.pack(">BBB", ens_type, number, 3))
+
+    tmpl5 = struct.pack(">IHfhhBB", n, 3 if order else 2, 0.0, 0, 0, bpv, 0)
+    tmpl5 += struct.pack(">BBIIIBBIBIB", 1, 0, 0, 0, ngroups, 0, bits_gw,
+                         reflen, inc, lens[-1], bits_gl)
+    ww = 2
+    if order:
+        tmpl5 += struct.pack(">BB", order, ww)
+    s5 = sec(5, tmpl5)
+    s6 = sec(6, struct.pack(">B", 255))
+
+    body = b""
+    if order:
+        body += b"".join(_sm_bytes(v, ww) for v in vals[:order])
+        body += _sm_bytes(gmin, ww)
+    body += _pad_bits("".join(format(r, f"0{bpv}b") for r in grefs))
+    body += _pad_bits("".join(format(w, f"0{bits_gw}b") for w in gwidths))
+    body += _pad_bits("".join(format(s, f"0{bits_gl}b") for s in scaled))
+    data_bits = ""
+    for g, gref, w in zip(groups, grefs, gwidths):
+        data_bits += "".join(format(v - gref, f"0{w}b") if w else "" for v in g)
+    body += _pad_bits(data_bits)
+    s7 = sec(7, body)
+
+    full = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
+    return b"GRIB" + struct.pack(">HBBQ", 0, 0, 2, 16 + len(full)) + full
+
+
+def complex_values(spec: str) -> list:
+    if spec == "A":   # template 5.2, varied magnitudes
+        return [50 + (k * 37) % 101 for k in range(NI * NJ)]
+    if spec == "B":   # 5.3 order 1, non-monotone differences
+        return [500 + (k * k * 13) % 89 for k in range(NI * NJ)]
+    return [300 + (k * 29) % 53 for k in range(NI * NJ)]  # "C": 5.3 order 2
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "ens_cf.grib2"), "wb") as f:
@@ -85,7 +194,30 @@ def main() -> None:
         "dis24": pa.array([r[3] for r in rows], pa.float64()),
     })
     pq.write_table(table, os.path.join(OUT, "ens_expected.parquet"))
-    print("wrote ens_cf.grib2, ens_pf.grib2, ens_expected.parquet")
+
+    # complex packing: 5.2 (pf 11), 5.3 order 1 (pf 12), 5.3 order 2 on
+    # the deterministic product template 4.0 (-> cf 0)
+    msgs = [
+        ("pf", 11, complex_values("A"), (3, 11), 0),
+        ("pf", 12, complex_values("B"), (3, 12), 1),
+        ("cf", 0, complex_values("C"), None, 2),
+    ]
+    with open(os.path.join(OUT, "ens_complex.grib2"), "wb") as f:
+        for _, _, vals, product, order in msgs:
+            f.write(message_complex(product, vals, order))
+    crows = [(dt, num, LA1 - j * DJ, LO1 + i * DI, float(vals[j * NI + i]))
+             for dt, num, vals, _, _ in msgs
+             for j in range(NJ) for i in range(NI)]
+    ctable = pa.table({
+        "data_type": pa.array([r[0] for r in crows], pa.string()),
+        "number": pa.array([r[1] for r in crows], pa.int32()),
+        "latitude": pa.array([r[2] for r in crows], pa.float64()),
+        "longitude": pa.array([r[3] for r in crows], pa.float64()),
+        "value": pa.array([r[4] for r in crows], pa.float64()),
+    })
+    pq.write_table(ctable, os.path.join(OUT, "ens_complex_expected.parquet"))
+    print("wrote ens_cf.grib2, ens_pf.grib2, ens_expected.parquet, "
+          "ens_complex.grib2, ens_complex_expected.parquet")
 
 
 if __name__ == "__main__":
