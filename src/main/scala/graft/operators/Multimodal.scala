@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs; decode / feature-extract
   * / frame-sample are per-row transforms over the binary payload.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake dimensions from
-  * the payload digest. Everything around it — schema, batching,
+  * IMAGE decode is REAL (`decodeImages`: javax.imageio PNG/JPEG behind
+  * the batched seam, emitting dimensions + an exact pooled-intensity
+  * embedding). Audio/video codecs stay STUBBED (`decodeStub` derives
+  * deterministic fake dimensions from the payload digest — no such libs
+  * in this environment). Everything around both — schema, batching,
   * partitioning, the explode shape of frame sampling — is real Spark and
   * is what matters at 100 TB: payloads stay distributed, metadata is
-  * columnar, and per-row decode parallelizes embarrassingly. On a real
-  * cluster the stub body is replaced by a vectorized decode over the same
-  * (payload: binary) → (struct) signature.
+  * columnar, and per-row decode parallelizes embarrassingly.
   */
 object Multimodal {
 
@@ -93,6 +93,66 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, payload: Array[Byte])
   final case class DecodedRow(media_id: Long, width: Int, height: Int, channels: Int)
+
+  final case class ImageDecoded(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      pix_sum: Long, mean_intensity: Double,
+      p00: Double, p01: Double, p10: Double, p11: Double)
+
+  /** REAL image decode (javax.imageio — PNG/JPEG/GIF/BMP, pure JVM, no
+    * native deps) through the same batched-partition seam as
+    * `batchDecode`: payloads never leave the executors, each task decodes
+    * its rows independently, and the output is narrow columnar metadata —
+    * the 100 TB-safe shape. Emits dimensions, the exact integer sum over
+    * all samples, mean intensity, and a 2x2 pooled-intensity grid (the
+    * minimal "pixel embedding"; pixel x belongs to pool column x*2/w).
+    * Integer sample sums plus a single double division keep every output
+    * bit-reproducible by an independent implementation of the formula.
+    */
+  def decodeImages(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val grid = 2
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { m =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            require(img != null, s"media_id=${m.media_id}: undecodable image")
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val c = raster.getNumBands
+            var total = 0L
+            val cellSum = new Array[Long](grid * grid)
+            val cellN = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val cy = y * grid / h
+              var x = 0
+              while (x < w) {
+                val cell = cy * grid + x * grid / w
+                var b = 0
+                while (b < c) {
+                  val v = raster.getSample(x, y, b)
+                  total += v
+                  cellSum(cell) += v
+                  b += 1
+                }
+                cellN(cell) += c
+                x += 1
+              }
+              y += 1
+            }
+            def pool(i: Int): Double = cellSum(i).toDouble / cellN(i)
+            ImageDecoded(m.media_id, w, h, c, total,
+              total.toDouble / (w.toLong * h * c),
+              pool(0), pool(1), pool(2), pool(3))
+          }
+        }
+      }.toDF()
+  }
 
   /** Batch-shaped decode: the Scala analog of `mapInPandas` — partitions
     * stream through as bounded batches, so a real implementation can hand

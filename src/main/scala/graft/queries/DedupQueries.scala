@@ -154,6 +154,33 @@ object DedupQueries {
       FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""),
     headline = true)
 
+  /** REAL image decode end-to-end: PNG bytes ingested through Spark's
+    * binaryFile source (the 100 TB media-lake read path: one task per
+    * file, payloads never hit the driver), decoded with javax.imageio
+    * behind the batched partition seam, reduced to columnar dims + an
+    * exact pooled-intensity embedding. The oracle reads parquet computed
+    * from the pixel FORMULA by the independent pure-python PNG writer
+    * (tools/png_fixture.py implements the PNG spec with stdlib zlib), so
+    * a hash match cross-validates both implementations of the format —
+    * the same pattern as the GRIB/TIFF/Zarr sources.
+    */
+  val q80PngDecode = Q(
+    "q80_png_decode",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/png/*.png")
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.decodeImages(media)
+    },
+    Some("""
+      SELECT media_id, width, height, channels, pix_sum, mean_intensity,
+             p00, p01, p10, p11
+      FROM '/root/repo/data/png_expected.parquet'"""))
+
   val qs: Seq[Q] =
-    Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim)
+    Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
+      q80PngDecode)
 }

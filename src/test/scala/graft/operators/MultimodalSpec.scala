@@ -55,6 +55,35 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(_.getLong(0)).map(_.getInt(1)).toSeq)
   }
 
+  test("decodeImages decodes real PNG bytes (gray, RGB, RGBA)") {
+    // fixtures from tools/png_fixture.py: pixel = (x*7+y*13+c*29+id*31)%256
+    val pngs = spark.read.format("binaryFile")
+      .load("/root/repo/data/png/*.png")
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+    val out = Multimodal.decodeImages(pngs, batchSize = 2)
+      .orderBy("media_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSeq == Seq((1L, 17, 11, 3), (2L, 8, 8, 1), (3L, 5, 9, 4), (4L, 23, 6, 3)))
+    // exact sample sum for img_2 (8x8 gray): sum (x*7+y*13+2*31) % 256
+    val want2 = (for (y <- 0 until 8; x <- 0 until 8)
+      yield (x * 7 + y * 13 + 62) % 256).sum.toLong
+    assert(out(1).getAs[Long]("pix_sum") == want2)
+    assert(out(1).getAs[Double]("mean_intensity") == want2.toDouble / 64)
+  }
+
+  test("decodeImages rejects undecodable payloads loudly") {
+    val junk = Multimodal.asMedia(
+      Seq((9L, "not an image")).toDF("id", "txt"), "id", "txt")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(junk).collect()
+    }
+    assert(ex.getMessage.contains("undecodable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("embedStub emits integer-valued bounded components, deterministic") {
     val e = media.select(Multimodal.embedStub(col("payload"), 8).as("emb"))
       .selectExpr("explode(emb) AS c").collect().map(_.getDouble(0))
