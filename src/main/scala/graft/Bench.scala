@@ -38,23 +38,35 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val targets = Registry.headlines
       .filter(q => only.forall(_.contains(q.name)))
-    // one warm-up pass so JIT/codegen and file listing don't dominate
+    // one warm-up pass so JIT/codegen and file listing don't dominate;
+    // warm-up failures are tolerated (the timed pass reports them)
     targets.foreach { q =>
       try materialize(q.run(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
+    // timed pass: a failing query must surface as status=err and a
+    // nonzero exit, never as a silently-near-zero timing
     val results = targets.map { q =>
       val t0 = System.nanoTime()
-      try materialize(q.run(spark, sfDir))
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val status =
+        try { materialize(q.run(spark, sfDir)); "ok" }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] ${q.name} FAILED: $e")
+            "err"
+        }
+      (q.name, (System.nanoTime() - t0) / 1e9, status)
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + f"""\":$v%.4f""" }
+      .map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val statuses = results
+      .map { case (k, _, st) => "\"" + k + "\":\"" + st + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"status":$statuses,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3 == "err")) sys.exit(1)
   }
 }

@@ -14,14 +14,25 @@ import graft.operators.{FloodOps, FloodPipeline, GridOps}
   */
 object FloodQueries {
 
+  /** The closed synthetic cell lattice both the forecast construction
+    * and the threshold dimension draw from: a forecast cell is
+    * (partkey % LatCells, suppkey % LonCells) scaled by CellSize, so a
+    * LatCells x LonCells threshold lattice covers every reachable cell
+    * (ThresholdCoverageSpec pins this — if the construction drifts, the
+    * LEFT join in thresholdPercentages would silently null thresholds).
+    */
+  private[queries] val LatCells = 50
+  private[queries] val LonCells = 40
+  private[queries] val CellSize = 0.5
+
   /** Synthetic ensemble forecast derived from lineitem (shared with the
     * oracle CTE below; keep in sync).
     */
-  private def syntheticForecast(s: SparkSession, dir: String): DataFrame =
+  private[queries] def syntheticForecast(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem").select(
       col("l_linenumber").as("number"),
-      ((col("l_partkey") % 50) * 0.5).as("latitude"),
-      ((col("l_suppkey") % 40) * 0.5).as("longitude"),
+      ((col("l_partkey") % LatCells) * CellSize).as("latitude"),
+      ((col("l_suppkey") % LonCells) * CellSize).as("longitude"),
       lit("2023-10-01").cast("date").as("issued_on"),
       ((col("l_orderkey") % 5) + 1).cast("int").as("step"),
       expr("date_add(DATE'2023-10-01', CAST(l_orderkey % 5 AS INT) + 1)")
@@ -37,11 +48,10 @@ object FloodQueries {
     * reference, where thresholds are an independent small table
     * (rp_thresholds.py), not an aggregate of the forecast.
     */
-  private def syntheticThresholds(forecast: DataFrame): DataFrame = {
-    val s = forecast.sparkSession
-    s.range(50L * 40L).select(
-      ((col("id") % 50) * 0.5).as("latitude"),
-      (expr("id div 50") * 0.5).as("longitude"))
+  private[queries] def syntheticThresholds(s: SparkSession): DataFrame = {
+    s.range(LatCells.toLong * LonCells).select(
+      ((col("id") % LatCells) * CellSize).as("latitude"),
+      (expr(s"id div $LatCells") * CellSize).as("longitude"))
       .withColumn("threshold_2y", lit(20.0) + col("latitude") * 0.1)
       .withColumn("threshold_5y", lit(35.0) + col("longitude") * 0.1)
       .withColumn("threshold_20y", lit(48.0) + col("latitude") * 0.05)
@@ -86,7 +96,7 @@ object FloodQueries {
     "q60_flood_detailed",
     (s, dir) => {
       val fc = syntheticForecast(s, dir)
-      FloodOps.thresholdPercentages(fc, syntheticThresholds(fc))
+      FloodOps.thresholdPercentages(fc, syntheticThresholds(s))
         .select(col("latitude"), col("longitude"), col("issued_on"),
           col("valid_for"), col("step"),
           col("min_dis"),
@@ -125,7 +135,7 @@ object FloodQueries {
     "q61_flood_summary",
     (s, dir) => {
       val fc = syntheticForecast(s, dir)
-      val (_, summary) = FloodPipeline.run(fc, syntheticThresholds(fc))
+      val (_, summary) = FloodPipeline.run(fc, syntheticThresholds(s))
       summary.select(
         col("latitude"), col("longitude"), col("issued_on"),
         col("peak_step"), col("peak_day"), col("peak_timing"),

@@ -303,8 +303,11 @@ object Relational {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      top.withColumn("rn", row_number().over(w).cast("long"))
+      // rank = position in TakeOrderedAndProject's single sorted output
+      // partition (ties broken by the sort keys) — no global window, so
+      // no WindowExec all-to-one warning; the oracle's row_number
+      // cross-checks the ordering on every round
+      top.withColumn("rn", (monotonically_increasing_id() + 1).cast("long"))
     },
     Some("""
       SELECT o_orderkey, o_totalprice, rn FROM (

@@ -45,8 +45,10 @@ object VectorOps {
       val top = sims.filter(col("vec_id") =!= 0)
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
-      val w = Window.orderBy(col("cos_sim").desc, col("vec_id").asc)
-      top.withColumn("rn", row_number().over(w).cast("long"))
+      // rank = position in TakeOrderedAndProject's single sorted output
+      // partition — no global window, no WindowExec all-to-one warning;
+      // the oracle's row_number cross-checks the ordering every round
+      top.withColumn("rn", (monotonically_increasing_id() + 1).cast("long"))
     },
     Some("""
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -121,6 +121,27 @@ class SimilaritySpec extends SparkSpec {
       key = "spec-clustered") eq idx)
   }
 
+  test("indexCache is keyed by sessionUUID and evictable per session") {
+    val s2 = spark.newSession()
+    val clustered2 = s2.createDataFrame(
+      java.util.Arrays.asList(clustered.collect(): _*), clustered.schema)
+    val before = Similarity.cachedIndexCount
+    val idx2 = Similarity.ivfIndex(clustered2, "cluster", "vec",
+      key = "evict-spec", dim = 12)
+    assert(Similarity.cachedIndexCount == before + 1)
+    // a different session with the same logical key gets its own entry
+    assert(!(Similarity.ivfIndex(clustered, "cluster", "vec",
+      key = "evict-spec", dim = 12) eq idx2))
+    assert(Similarity.cachedIndexCount == before + 2)
+    // the context-stop listener calls exactly this: the session's
+    // entries vanish while other sessions' (incl. any earlier tests')
+    // survive, and re-evicting is a no-op
+    Similarity.evictSession(s2)
+    assert(Similarity.cachedIndexCount == before + 1)
+    Similarity.evictSession(s2)
+    assert(Similarity.cachedIndexCount == before + 1)
+  }
+
   test("ivfSearch with nprobe=all equals brute force everywhere") {
     val query = Seq.tabulate(12)(i => 1.0 + i * 0.1)
     val ivf = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
