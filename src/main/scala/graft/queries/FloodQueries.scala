@@ -485,7 +485,46 @@ object FloodQueries {
       SELECT data_type, number, latitude, longitude, value
       FROM '/root/repo/data/ens_complex_expected.parquet'"""))
 
+  /** S4 write-back: the NetCDF SINK (reference: upstream.py:52
+    * `to_netcdf`, io_managers.py:222-223), exercised LIVE end-to-end:
+    * a grid aggregated from `orders` is written as a single .nc by the
+    * distributed Hdf5Writer (tasks deflate full-width chunks through
+    * the Hadoop FS, driver streams header + B-tree + staged bytes),
+    * then read back through the graft-netcdf DSv2 source. The oracle
+    * recomputes the grid directly in SQL, so the hash match proves
+    * write∘read is the identity on every Verify run — on top of the
+    * one-time cross-validation of the written bytes by the independent
+    * python parser (tools/nc_to_parquet.py, see FIXTURES.md).
+    * `max` keeps cell values < 97 — f4-exact at any scale factor.
+    */
+  val q81NcSink = Q(
+    "q81_nc_sink",
+    (s, dir) => {
+      val lats = Array.tabulate(40)(i => 10.0 + i * 0.25)
+      val lons = Array.tabulate(60)(j => 20.0 + j * 0.25)
+      val grid = Tables.load(s, dir, "orders").select(
+        (lit(10.0) + (col("o_custkey") % 40) * 0.25).as("latitude"),
+        (lit(20.0) + expr("(o_custkey div 40) % 60") * 0.25).as("longitude"),
+        (col("o_orderkey") % 97).as("v"))
+        .groupBy("latitude", "longitude")
+        .agg(max(col("v")).as("max_v"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_nc_sink_" + Integer.toHexString(dir.hashCode) + ".nc")
+        .getAbsolutePath
+      graft.sources.nc.Hdf5Writer.writeGrid(grid, path, "max_v",
+        "latitude", "longitude", "max_v", lats, lons, chunkRows = 16)
+      s.read.format("graft-netcdf")
+        .option("path", path).option("var", "max_v").load()
+        .filter(!isnan(col("value")))
+        .select(col("latitude"), col("longitude"), col("value").as("max_v"))
+    },
+    Some("""
+      SELECT 10.0 + (o_custkey % 40) * 0.25 AS latitude,
+             20.0 + ((o_custkey // 40) % 60) * 0.25 AS longitude,
+             CAST(max(o_orderkey % 97) AS REAL) AS max_v
+      FROM orders GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
-    q75GribEnsemble, q79GribComplex)
+    q75GribEnsemble, q79GribComplex, q81NcSink)
 }

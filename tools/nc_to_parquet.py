@@ -207,7 +207,9 @@ class Hdf5:
                     strides.reverse()
                     for j in range(len(dims)):
                         lin += coffs[j] * strides[j]
-                    raw[lin * dsize:lin * dsize + len(buf)] = buf
+                    # HDF5 stores full-size edge chunks; clip the padding
+                    nb = min(len(buf), len(raw) - lin * dsize)
+                    raw[lin * dsize:lin * dsize + nb] = buf[:nb]
 
             walk(bt)
         fmt = {4: "f", 8: "d"}[dsize]
