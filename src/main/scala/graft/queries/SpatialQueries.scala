@@ -379,7 +379,48 @@ object SpatialQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
       FROM hits GROUP BY 1"""))
 
+  /** S5 write-back: the COG SINK (io_managers.py:103-110 `to_raster` +
+    * `cog_translate`), exercised LIVE end-to-end: a pixel grid
+    * aggregated from `lineitem` is written as a tiled-deflate GeoTIFF
+    * by the distributed TiffWriter (tasks deflate their own tiles
+    * through the Hadoop FS, driver streams header + IFD + staged
+    * bytes), then read back through the graft-cog DSv2 source with the
+    * nodata sentinel dropped. The oracle recomputes the grid directly
+    * in SQL, so the hash match proves write∘read is the identity on
+    * every Verify run. 100x72 pixels over 32x32 tiles exercises padded
+    * edge tiles; `max(l_partkey % 999) + 1` keeps values 16-bit-safe
+    * and nonzero at any scale factor.
+    */
+  val q82CogSink = Q(
+    "q82_cog_sink",
+    (s, dir) => {
+      val (ox, oy, sx, sy) = (500000.0, 7000000.0, 30.0, 30.0)
+      val grid = Tables.load(s, dir, "lineitem").select(
+        (col("l_suppkey") % 100).as("pc"),
+        (col("l_partkey") % 72).as("pr"),
+        (col("l_partkey") % 999 + 1).as("v"))
+        .groupBy("pc", "pr").agg(max(col("v")).as("value"))
+        .select(
+          (lit(ox) + (col("pc") + 0.5) * sx).as("x"),
+          (lit(oy) - (col("pr") + 0.5) * sy).as("y"),
+          col("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cog_sink_" + Integer.toHexString(dir.hashCode) + ".tif")
+        .getAbsolutePath
+      graft.sources.tiff.TiffWriter.writeGrid(grid, path, "x", "y", "value",
+        ox, oy, sx, sy, width = 100, height = 72,
+        tileW = 32, tileH = 32, bits = 16)
+      s.read.format("graft-cog")
+        .option("path", path).option("nodata", "0").load()
+        .select(col("x"), col("y"), col("value").cast("int").as("max_pk"))
+    },
+    Some("""
+      SELECT 500000.0 + ((l_suppkey % 100) + 0.5) * 30.0 AS x,
+             7000000.0 - ((l_partkey % 72) + 0.5) * 30.0 AS y,
+             CAST(max(l_partkey % 999) + 1 AS INTEGER) AS max_pk
+      FROM lineitem GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
-    q76CogLossyear, q77ZarrUparea, q78ShpZonal)
+    q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink)
 }

@@ -1,0 +1,205 @@
+package graft.sources.tiff
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed cloud-optimized GeoTIFF SINK — the write-back half of the
+  * COG surface (reference: io_managers.py:103-110 `to_raster` +
+  * `cog_translate`). Writes a classic little-endian TIFF: single band,
+  * 8/16/32-bit unsigned samples, TILED layout with DEFLATE compression,
+  * georeferenced by ModelPixelScaleTag + ModelTiepointTag — exactly the
+  * subset `TiffFile` and the `graft-cog` DSv2 source read, and the tile
+  * grid that makes the result cloud-optimized (any reader fetches one
+  * tile's byte range from the IFD alone). Format: public TIFF 6.0 +
+  * GeoTIFF 1.1 specs.
+  *
+  * Scale design (mirrors Hdf5Writer/ZarrStore): pixels shuffle ONCE on
+  * their tile id; each task encodes + deflates its own tile and stages
+  * it as one file through the Hadoop FS API. The driver writes the tiny
+  * header/IFD/georef arrays and STREAMS staged tiles into the final
+  * file in tile order — O(header) driver memory. Absent tiles (no
+  * pixels) become all-nodata tiles; edge tiles are stored full-size
+  * with nodata padding (the TIFF tile rule; readers clip by image dims).
+  */
+object TiffWriter {
+
+  /** Deflate-compress one tile of samples at the given bit depth. */
+  private[tiff] def encodeTile(samples: Array[Int], bits: Int, level: Int): Array[Byte] = {
+    val bytesPer = bits / 8
+    val bb = ByteBuffer.allocate(samples.length * bytesPer)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    samples.foreach { v =>
+      bits match {
+        case 8 => bb.put(v.toByte)
+        case 16 => bb.putShort(v.toShort)
+        case 32 => bb.putInt(v)
+      }
+    }
+    val d = new Deflater(level)
+    d.setInput(bb.array())
+    d.finish()
+    val out = new ByteArrayOutputStream(samples.length * bytesPer / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private class Buf {
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Buf = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF); this }
+    def u32(v: Long): Buf = {
+      var i = 0
+      while (i < 4) { out.write(((v >> (8 * i)) & 0xFF).toInt); i += 1 }
+      this
+    }
+    def f64(v: Double): Buf = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { out.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
+      this
+    }
+    def bytes(b: Array[Byte]): Buf = { out.write(b); this }
+    def toArray: Array[Byte] = out.toByteArray
+  }
+
+  /** Distributed write of `df` (xCol, yCol, valCol ints) as a tiled
+    * GeoTIFF at `path`. The grid is `width`×`height` pixels with pixel
+    * CENTERS at `originX + (col+0.5)*scaleX`, `originY - (row+0.5)*scaleY`
+    * (the graft-cog read-back convention). Missing pixels and edge-tile
+    * padding become `nodata`.
+    */
+  def writeGrid(df: DataFrame, path: String,
+      xCol: String, yCol: String, valCol: String,
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double,
+      width: Int, height: Int, tileW: Int, tileH: Int,
+      bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6): Unit = {
+    require(bits == 8 || bits == 16 || bits == 32, s"bits $bits")
+    require(tileW % 16 == 0 && tileH % 16 == 0,
+      "TIFF tiles must be multiples of 16") // TIFF 6.0 §15
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tilesAcross = (width + tileW - 1) / tileW
+    val tilesDown = (height + tileH - 1) / tileH
+    val nTiles = tilesAcross * tilesDown
+    val outPath = new Path(path)
+    val fs = outPath.getFileSystem(hconf)
+    val staging = new Path(path + ".staging")
+    fs.mkdirs(staging)
+
+    // ------ stage tiles: ONE shuffle on the tile id ------
+    val bConf = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
+    val stagingStr = staging.toString
+    df.select(col(xCol).cast("double"), col(yCol).cast("double"),
+        col(valCol).cast("int"))
+      .rdd
+      .map { r: Row =>
+        // invert the pixel-center mapping; exact when centers were
+        // produced by the same affine (rint absorbs float noise)
+        val pCol = math.rint((r.getDouble(0) - originX) / scaleX - 0.5).toInt
+        val pRow = math.rint((originY - r.getDouble(1)) / scaleY - 0.5).toInt
+        require(pCol >= 0 && pCol < width && pRow >= 0 && pRow < height,
+          s"pixel ($pCol,$pRow) outside ${width}x$height")
+        ((pRow / tileH) * tilesAcross + pCol / tileW,
+          (pRow % tileH * tileW + pCol % tileW, r.getInt(2)))
+      }
+      .groupByKey(math.min(nTiles, spark.sparkContext.defaultParallelism))
+      .foreachPartition { it =>
+        val conf = bConf.value.value
+        it.foreach { case (t, pixels) =>
+          val buf = new Array[Int](tileW * tileH)
+          java.util.Arrays.fill(buf, nodata)
+          pixels.foreach { case (k, v) => buf(k) = v }
+          val bytes = encodeTile(buf, bits, deflateLevel)
+          val p = new Path(s"$stagingStr/tile-%05d".format(t))
+          val out = p.getFileSystem(conf).create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+
+    val emptyTile = {
+      val buf = new Array[Int](tileW * tileH)
+      java.util.Arrays.fill(buf, nodata)
+      encodeTile(buf, bits, deflateLevel)
+    }
+    val tileSizes: Array[Long] = (0 until nTiles).map { t =>
+      val p = new Path(s"$stagingStr/tile-%05d".format(t))
+      if (fs.exists(p)) fs.getFileStatus(p).getLen else emptyTile.length.toLong
+    }.toArray
+
+    // ------ layout ------
+    // header(8) + IFD(2 + 13*12 + 4) + offsets(4n) + counts(4n)
+    //   + scale(24) + tiepoint(48) + tiles
+    val nEntries = 13
+    val ifdOff = 8L
+    val ifdSize = 2 + nEntries * 12 + 4
+    val offsetsOff = ifdOff + ifdSize
+    val countsOff = offsetsOff + 4L * nTiles
+    val scaleOff = countsOff + 4L * nTiles
+    val tiepointOff = scaleOff + 24L
+    val tile0Off = tiepointOff + 48L
+    val tileOffs = tileSizes.scanLeft(tile0Off)(_ + _)
+
+    val head = {
+      val b = new Buf
+      b.bytes(Array('I', 'I').map(_.toByte)).u16(42).u32(ifdOff)
+      b.u16(nEntries)
+      // entries MUST be ascending by tag (TIFF 6.0 §2)
+      def entry(tag: Int, typ: Int, cnt: Long, value: Long): Unit =
+        b.u16(tag).u16(typ).u32(cnt).u32(value)
+      def shortEntry(tag: Int, v: Int): Unit = entry(tag, 3, 1, v.toLong)
+      entry(256, 4, 1, width.toLong)
+      entry(257, 4, 1, height.toLong)
+      shortEntry(258, bits)
+      shortEntry(259, 8) // deflate
+      shortEntry(262, 1) // BlackIsZero
+      shortEntry(277, 1) // one sample per pixel
+      shortEntry(322, tileW)
+      shortEntry(323, tileH)
+      if (nTiles == 1) { // count-1 LONG values live inline
+        entry(324, 4, 1, tileOffs(0))
+        entry(325, 4, 1, tileSizes(0))
+      } else {
+        entry(324, 4, nTiles.toLong, offsetsOff)
+        entry(325, 4, nTiles.toLong, countsOff)
+      }
+      shortEntry(339, 1) // SampleFormat: unsigned
+      entry(33550, 12, 3, scaleOff)
+      entry(33922, 12, 6, tiepointOff)
+      b.u32(0L) // no next IFD
+      // external value arrays (written even in the 1-tile inline case —
+      // the fixed layout keeps offsets simple; 8 dead bytes at most)
+      tileOffs.take(nTiles).foreach(b.u32)
+      tileSizes.foreach(b.u32)
+      b.f64(scaleX).f64(scaleY).f64(0.0)
+      // tiepoint: raster (0,0) -> geo (originX, originY)
+      b.f64(0.0).f64(0.0).f64(0.0).f64(originX).f64(originY).f64(0.0)
+      b.toArray
+    }
+    require(head.length == tile0Off, s"header ${head.length} != $tile0Off")
+
+    // ------ driver pass: header, then stream staged tiles ------
+    val out = fs.create(outPath, true)
+    try {
+      out.write(head)
+      val copyBuf = new Array[Byte](256 * 1024)
+      for (t <- 0 until nTiles) {
+        val p = new Path(s"$stagingStr/tile-%05d".format(t))
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try {
+            var n = in.read(copyBuf)
+            while (n > 0) { out.write(copyBuf, 0, n); n = in.read(copyBuf) }
+          } finally in.close()
+        } else out.write(emptyTile)
+      }
+    } finally out.close()
+    fs.delete(staging, true)
+  }
+}
