@@ -163,6 +163,89 @@ object EventOps {
       WHERE event_type IN ('click', 'purchase')
       QUALIFY event_type = 'purchase'"""))
 
+  /** The STREAMING sessionizer through the correctness gate: the whole
+    * events table replays as a file-source micro-batch stream (one
+    * time-range file per trigger, oldest first, so the event-time
+    * watermark only ever advances), `sessionizeExpiring` emits closed
+    * sessions as state expires (EventTimeTimeout), two far-future
+    * sentinel events flush the final open sessions, and the closed
+    * sessions re-aggregate to exactly q51's per-user (n_sessions,
+    * n_events) shape. The oracle is q51's batch SQL verbatim — a hash
+    * match proves the bounded-state streaming path computes the same
+    * sessionization as the batch window plan, end-to-end through a real
+    * micro-batch executor (the round-4 verdict's "oracle-check
+    * streaming" gap).
+    */
+  val q83StreamSessionize = Q(
+    "q83_stream_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.EventStreams
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val srcDir = new java.io.File(tmp, s"graft_stream_src_$h")
+      if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+      srcDir.mkdirs()
+      val stage = new java.io.File(tmp, s"graft_stream_stage_$h").getAbsolutePath
+
+      // time-ordered replay files: 5 equal event-time ranges + 2 flushes
+      val bounds = sel
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val step = (hi - lo) / 5 + 1
+      def stageFile(df: DataFrame, k: Int): Unit = {
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1704067200000L + k * 1000L) // strict mod-time order
+      }
+      for (k <- 0 until 5) {
+        val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
+        stageFile(sel.filter(unix_micros(col("ts")) >= bLo &&
+          unix_micros(col("ts")) < bHi), k)
+      }
+      // sentinels advance the watermark past every real timeout (file 5)
+      // and then fire those timeouts in a guaranteed data batch (file 6)
+      for (k <- 5 to 6) {
+        import s.implicits._
+        stageFile(Seq((-k.toLong, new java.sql.Timestamp(
+            (hi / 1000) + k.toLong * 10 * 86400 * 1000),
+          -k.toLong, "flush", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"), k)
+      }
+
+      import s.implicits._
+      val stream = s.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getAbsolutePath)
+        .as[EventStreams.Event]
+      val qn = s"graft_stream_sessions_$h"
+      val sq = EventStreams.sessionizeExpiring(stream)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(qn).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS gap_us
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM l GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
-    q53EventPivot, q54AsofJoin, q71AsofOperator)
+    q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize)
 }
