@@ -287,8 +287,127 @@ object TextOps {
              CAST(len(regexp_extract_all(t, '\d{6,}')) AS BIGINT) AS n_longnums
       FROM aug"""))
 
+  /** Eval-set DECONTAMINATION — the standard LLM training-data hygiene
+    * pass: flag every training document sharing a word-trigram with the
+    * held-out set (docs with doc_id % 199 == 0 stand in for the eval
+    * split). Scale design: documents explode to DISTINCT md5-derived
+    * 64-bit gram keys and meet the (tiny) eval-gram set in ONE hash
+    * join on compact longs — never a doc x doc comparison, and the gram
+    * key space is what shuffles, so skewed grams salt/AQE-split like
+    * any hot key. Output: contaminated doc + how many distinct eval
+    * grams it carries.
+    */
+  val q84Decontaminate = Q(
+    "q84_decontaminate",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val grams = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w) - 2)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+            " ' ', element_at(w, i + 2)))")).as("gs"))
+        .select(col("doc_id"),
+          explode(col("gs")).as("g"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
+      val eval_ = grams.filter(col("doc_id") % 199 === 0)
+        .select(col("gk")).distinct()
+      grams.filter(col("doc_id") % 199 =!= 0)
+        .join(eval_, "gk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_eval_grams"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)])) AS g
+        FROM toks WHERE len(w) >= 3),
+      keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 18, 15)) AS BIGINT) AS gk
+        FROM grams),
+      ev AS (SELECT DISTINCT gk FROM keyed WHERE doc_id % 199 = 0)
+      SELECT k.doc_id, count(*) AS n_eval_grams
+      FROM keyed k JOIN ev USING (gk)
+      WHERE k.doc_id % 199 <> 0
+      GROUP BY 1"""))
+
+  /** Deterministic hash-based train/val/test split — reproducible at any
+    * scale and under any partitioning because the assignment is a pure
+    * function of doc_id (md5-derived bucket), never of row order or
+    * RNG state. 90/5/5.
+    */
+  val q85HashSplit = Q(
+    "q85_hash_split",
+    (s, dir) => {
+      val bucket = pmod(
+        graft.operators.Dedup.md5Hash64(col("doc_id").cast("string")),
+        lit(100L))
+      t(s, dir)("documents").select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                      AS BIGINT) % 100) + 100) % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b"""))
+
+  /** Repetition signals (the Gopher/C4 quality-filter family): per-doc
+    * duplicate-word fraction and most-frequent-word share. One explode +
+    * two partial-aggregating groupBys on doc_id — map-side combine keeps
+    * the shuffle at distinct-(doc, word) width, and no windows.
+    */
+  val q86Repetition = Q(
+    "q86_repetition",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      t(s, dir)("documents")
+        .select(col("doc_id"), explode(toks).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+          max("c").as("max_c"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          round(col("max_c") / col("n_words"), 6).as("top_word_frac"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  tk -> len(tk) > 0)) AS word
+        FROM documents),
+      wc AS (
+        SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS max_c
+        FROM wc GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct,
+             round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+             round(CAST(max_c AS DOUBLE) / n_words, 6) AS top_word_frac
+      FROM agg"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
-    q59Redact)
+    q59Redact, q84Decontaminate, q85HashSplit, q86Repetition)
 }
