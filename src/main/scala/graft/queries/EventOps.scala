@@ -179,58 +179,20 @@ object EventOps {
   val q83StreamSessionize = Q(
     "q83_stream_sessionize",
     (s, dir) => {
-      import org.apache.spark.sql.streaming.OutputMode
-      import graft.streaming.EventStreams
+      import graft.streaming.{EventStreams, FileReplay}
       val sel = t(s, dir)("events").select(
         col("event_id").cast("long"), col("ts"),
         col("user_id").cast("long"), col("event_type"), col("value"))
       val h = Integer.toHexString(dir.hashCode)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      val srcDir = new java.io.File(tmp, s"graft_stream_src_$h")
-      if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
-      srcDir.mkdirs()
-      val stage = new java.io.File(tmp, s"graft_stream_stage_$h").getAbsolutePath
-
-      // time-ordered replay files: 5 equal event-time ranges + 2 flushes
-      val bounds = sel
-        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val step = (hi - lo) / 5 + 1
-      def stageFile(df: DataFrame, k: Int): Unit = {
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1704067200000L + k * 1000L) // strict mod-time order
-      }
-      for (k <- 0 until 5) {
-        val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
-        stageFile(sel.filter(unix_micros(col("ts")) >= bLo &&
-          unix_micros(col("ts")) < bHi), k)
-      }
-      // sentinels advance the watermark past every real timeout (file 5)
-      // and then fire those timeouts in a guaranteed data batch (file 6)
-      for (k <- 5 to 6) {
-        import s.implicits._
-        stageFile(Seq((-k.toLong, new java.sql.Timestamp(
-            (hi / 1000) + k.toLong * 10 * 86400 * 1000),
-          -k.toLong, "flush", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value"), k)
-      }
-
-      import s.implicits._
-      val stream = s.readStream.schema(sel.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.getAbsolutePath)
-        .as[EventStreams.Event]
-      val qn = s"graft_stream_sessions_$h"
-      val sq = EventStreams.sessionizeExpiring(stream)
-        .writeStream.format("memory").queryName(qn)
-        .outputMode(OutputMode.Append()).start()
-      try sq.processAllAvailable() finally sq.stop()
-      s.table(qn).filter(col("user_id") >= 0)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft_stream_src_$h")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_sessions_$h") { stream =>
+          import s.implicits._
+          EventStreams.sessionizeExpiring(stream.as[EventStreams.Event]).toDF()
+        }
+        .filter(col("user_id") >= 0)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
     },
@@ -246,6 +208,42 @@ object EventOps {
              count(*) AS n_events
       FROM l GROUP BY 1"""))
 
+  /** The STREAMING watermarked window aggregation through the gate: the
+    * events table replays as a micro-batch stream (FileReplay), hourly
+    * windows close and emit in Append mode as the watermark passes them,
+    * and the closed windows must hash-match q50's batch SQL. `value`
+    * casts to decimal BEFORE the streaming sum so the accumulation is
+    * order-exact (the CLAUDE.md exactSum rule, applied inside the
+    * stateful operator).
+    */
+  val q87StreamHourly = Q(
+    "q87_stream_hourly",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_hr")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_hourly_$h") { stream =>
+          EventStreams.hourlyCounts(
+            stream.withColumn("value", col("value").cast("decimal(27,4)")))
+        }
+        .filter(col("event_type") =!= "flush")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
-    q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize)
+    q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
+    q87StreamHourly)
 }

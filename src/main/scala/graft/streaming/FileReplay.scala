@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic micro-batch REPLAY harness: stages a bounded event
+  * table as time-ordered parquet files so a file-source stream consumes
+  * it one time-range per trigger — the event-time watermark then only
+  * ever advances, which makes watermark-dependent operators (windowed
+  * aggregation, EventTimeTimeout sessionization) produce exactly the
+  * batch answer. Two far-future "flush" sentinel rows advance the
+  * watermark past every real timeout/window and then fire them in a
+  * guaranteed data batch (no reliance on no-data micro-batches). Used
+  * by the streaming correctness-gate queries (q83, q87); results filter
+  * `event_type != 'flush'` / `user_id >= 0` to drop the sentinels.
+  */
+object FileReplay {
+
+  /** Stage `sel` — (event_id long, ts timestamp, user_id long,
+    * event_type string, value double/decimal) — into `srcDir` as
+    * `nBuckets` equal event-time ranges plus two sentinel files, with
+    * strictly increasing modification times (the file source's oldest-
+    * first order). Idempotent: clears `srcDir` first.
+    */
+  def stageEventReplay(sel: DataFrame, srcDir: java.io.File,
+      nBuckets: Int = 5): Unit = {
+    val s = sel.sparkSession
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    val stage = new java.io.File(srcDir.getParentFile,
+      srcDir.getName + "_stage").getAbsolutePath
+
+    val bounds = sel
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (hi - lo) / nBuckets + 1
+
+    def stageFile(df: DataFrame, k: Int): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1704067200000L + k * 1000L)
+    }
+    for (k <- 0 until nBuckets) {
+      val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
+      stageFile(sel.filter(unix_micros(col("ts")) >= bLo &&
+        unix_micros(col("ts")) < bHi), k)
+    }
+    import s.implicits._
+    for (k <- nBuckets to nBuckets + 1) {
+      stageFile(Seq((-k.toLong, new java.sql.Timestamp(
+          (hi / 1000) + k.toLong * 10 * 86400 * 1000),
+        -k.toLong, "flush", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), k)
+    }
+  }
+
+  /** Run a streaming transform of the staged replay to completion and
+    * return the memory-sink table. `build` maps the file-source stream
+    * (schema = `schema`) to the streaming result.
+    */
+  def runToTable(s: org.apache.spark.sql.SparkSession,
+      srcDir: java.io.File, schema: org.apache.spark.sql.types.StructType,
+      queryName: String)(build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val sq = build(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+    try sq.processAllAvailable() finally sq.stop()
+    s.table(queryName)
+  }
+}
