@@ -243,7 +243,44 @@ object EventOps {
              CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
+  /** The STREAM-STREAM interval join through the gate: purchases and
+    * clicks are two filtered branches of the same replayed micro-batch
+    * stream, joined on user within a 60-minute event-time lag window
+    * (watermarks on both sides bound the join state). Inner-join matches
+    * emit as soon as both sides arrive, so the closed result set must
+    * equal the batch interval join exactly — which the DuckDB oracle
+    * computes directly. Timestamps surface as epoch micros (the
+    * tz-mismatch rule).
+    */
+  val q88StreamAttribution = Q(
+    "q88_stream_attribution",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_attr")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_attr_$h") { stream =>
+          EventStreams.clickAttribution(stream, maxLagMinutes = 60)
+        }
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("value"), unix_micros(col("click_ts")).as("click_us"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us, p.value,
+             epoch_us(c.ts) AS click_us
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
-    q87StreamHourly)
+    q87StreamHourly, q88StreamAttribution)
 }
