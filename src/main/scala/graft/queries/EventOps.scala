@@ -280,7 +280,76 @@ object EventOps {
        AND p.event_type = 'purchase' AND c.event_type = 'click'
        AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts"""))
 
+  /** STREAMING exact dedup through the gate: dropDuplicatesWithinWatermark
+    * on (user_id, event_type, ts). Duplicate keys can only ever share a
+    * timestamp, so every duplicate pair is inside the watermark horizon by
+    * construction and the streaming result must equal batch DISTINCT —
+    * which the oracle computes. Output re-aggregates to per-user distinct
+    * (type, ts) counts so the result is small and order-free.
+    */
+  val q89StreamDedup = Q(
+    "q89_stream_dedup",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_dd")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_dedup_$h") { stream =>
+          EventStreams.dedupWithinWatermark(
+            stream, Seq("user_id", "event_type", "ts"))
+        }
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_distinct_type_ts"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_distinct_type_ts
+      FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+      GROUP BY 1"""))
+
+  /** STREAMING as-of enrichment through the gate: asofPurchases keeps one
+    * last-click timestamp per user (mapGroupsWithState) across the
+    * time-ordered micro-batches; because the replay never reorders event
+    * time across batches, the running state reproduces exactly q54's
+    * batch window (same (ts, event_id) tie policy). Same oracle as q54.
+    */
+  val q90StreamAsof = Q(
+    "q90_stream_asof",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_asof")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_asof_$h") { stream =>
+          import s.implicits._
+          EventStreams.asofPurchases(stream.as[EventStreams.Event]).toDF()
+        }
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          col("purchase_us"), col("last_click_us"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      QUALIFY event_type = 'purchase'"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
-    q87StreamHourly, q88StreamAttribution)
+    q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof)
 }

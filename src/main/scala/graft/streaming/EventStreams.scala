@@ -22,6 +22,14 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Full-microsecond epoch of a Timestamp. `getTime` alone is MILLIS —
+    * using it truncates the sub-milli digits the batch plans keep
+    * (unix_micros), which both misorders same-milli events and shifts
+    * emitted epochs; q90's oracle caught exactly that.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   case class SessionState(sessionCount: Long, lastEventUs: Long)
 
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
@@ -65,10 +73,10 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               val newSession = st.lastEventUs == Long.MinValue || us - st.lastEventUs > gapUs
               st = SessionState(st.sessionCount + (if (newSession) 1L else 0L), us)
             }
@@ -108,11 +116,11 @@ object EventStreams {
             Iterator.single(
               SessionClosed(userId, s.startUs, s.lastUs, s.nEvents))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
             var open = state.getOption
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               open match {
                 case Some(s) if us - s.lastUs <= gapMs * 1000L =>
                   open = Some(OpenSession(s.startUs, us, s.nEvents + 1))
@@ -187,11 +195,11 @@ object EventStreams {
       .flatMapGroupsWithState[LastClick, PurchaseWithClick](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[LastClick]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseWithClick]
           var last = state.getOption
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             if (e.event_type == "click") last = Some(LastClick(us))
             else out += PurchaseWithClick(e.event_id, userId, us, last.map(_.us))
           }
