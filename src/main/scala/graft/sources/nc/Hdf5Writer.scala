@@ -198,33 +198,56 @@ object Hdf5Writer {
     val staging = new Path(path + ".staging")
     fs.mkdirs(staging)
 
-    // ------ stage chunk files: ONE shuffle on the chunk-row-band id ------
+    // ------ stage chunk files: ONE shuffle on the chunk-row-band id.
+    // repartition + sortWithinPartitions + streaming foreachPartition,
+    // NOT groupByKey: rows shuffle Tungsten-encoded and each task holds
+    // exactly ONE chunk buffer — a groupByKey here materializes a whole
+    // chunk's cells as a boxed Iterable, which OOMs past ~50M cells on
+    // an 8 GB heap (measured) and would not survive cluster scale. ------
     val latIdx = lats.zipWithIndex.toMap
     val lonIdx = lons.zipWithIndex.toMap
     val bLat = spark.sparkContext.broadcast(latIdx)
     val bLon = spark.sparkContext.broadcast(lonIdx)
     val bConf = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     val stagingStr = staging.toString
+    val parts = math.min(nChunks,
+      spark.sparkContext.defaultParallelism).max(1)
+    import spark.implicits._
     df.select(col(latCol).cast("double"), col(lonCol).cast("double"),
         col(valCol).cast("float"))
-      .rdd
-      .map { r: Row =>
-        val i = bLat.value(r.getDouble(0))
-        val j = bLon.value(r.getDouble(1))
-        (i / chunkRows, (i, j, r.getFloat(2)))
+      .as[(Double, Double, Float)]
+      .mapPartitions { it =>
+        val latI = bLat.value
+        val lonI = bLon.value
+        it.map { case (la, lo, v) =>
+          val i = latI(la)
+          (i / chunkRows, (i % chunkRows) * nLon + lonI(lo), v)
+        }
       }
-      .groupByKey(math.min(nChunks, df.sparkSession.sparkContext.defaultParallelism))
-      .foreachPartition { it =>
+      .toDF("ci", "local", "v")
+      .repartition(parts, col("ci"))
+      .sortWithinPartitions("ci")
+      .foreachPartition { rows: Iterator[Row] =>
         val conf = bConf.value.value
-        it.foreach { case (ci, cells) =>
-          val buf = new Array[Float](chunkRows * nLon)
-          java.util.Arrays.fill(buf, fill)
-          cells.foreach { case (i, j, v) => buf((i - ci * chunkRows) * nLon + j) = v }
+        var cur = -1
+        var buf: Array[Float] = null
+        def flush(): Unit = if (cur >= 0) {
           val bytes = encodeChunk(buf, deflateLevel)
-          val p = new Path(s"$stagingStr/chunk-%05d".format(ci))
+          val p = new Path(s"$stagingStr/chunk-%05d".format(cur))
           val out = p.getFileSystem(conf).create(p, true)
           try out.write(bytes) finally out.close()
         }
+        rows.foreach { r =>
+          val ci = r.getInt(0)
+          if (ci != cur) {
+            flush()
+            cur = ci
+            buf = new Array[Float](chunkRows * nLon)
+            java.util.Arrays.fill(buf, fill)
+          }
+          buf(r.getInt(1)) = r.getFloat(2)
+        }
+        flush()
       }
 
     // staged sizes → B-tree keys; a band with no rows has no staged file

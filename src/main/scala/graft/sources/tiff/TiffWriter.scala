@@ -93,34 +93,52 @@ object TiffWriter {
     val staging = new Path(path + ".staging")
     fs.mkdirs(staging)
 
-    // ------ stage tiles: ONE shuffle on the tile id ------
+    // ------ stage tiles: ONE shuffle on the tile id. Same streaming
+    // repartition + sortWithinPartitions shape as Hdf5Writer — one tile
+    // buffer per task, no per-key Iterable materialization. ------
     val bConf = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     val stagingStr = staging.toString
+    val parts = math.min(nTiles, spark.sparkContext.defaultParallelism).max(1)
+    import spark.implicits._
     df.select(col(xCol).cast("double"), col(yCol).cast("double"),
         col(valCol).cast("int"))
-      .rdd
-      .map { r: Row =>
-        // invert the pixel-center mapping; exact when centers were
-        // produced by the same affine (rint absorbs float noise)
-        val pCol = math.rint((r.getDouble(0) - originX) / scaleX - 0.5).toInt
-        val pRow = math.rint((originY - r.getDouble(1)) / scaleY - 0.5).toInt
-        require(pCol >= 0 && pCol < width && pRow >= 0 && pRow < height,
-          s"pixel ($pCol,$pRow) outside ${width}x$height")
-        ((pRow / tileH) * tilesAcross + pCol / tileW,
-          (pRow % tileH * tileW + pCol % tileW, r.getInt(2)))
+      .as[(Double, Double, Int)]
+      .mapPartitions { it =>
+        it.map { case (x, y, v) =>
+          // invert the pixel-center mapping; exact when centers were
+          // produced by the same affine (rint absorbs float noise)
+          val pCol = math.rint((x - originX) / scaleX - 0.5).toInt
+          val pRow = math.rint((originY - y) / scaleY - 0.5).toInt
+          require(pCol >= 0 && pCol < width && pRow >= 0 && pRow < height,
+            s"pixel ($pCol,$pRow) outside ${width}x$height")
+          ((pRow / tileH) * tilesAcross + pCol / tileW,
+            pRow % tileH * tileW + pCol % tileW, v)
+        }
       }
-      .groupByKey(math.min(nTiles, spark.sparkContext.defaultParallelism))
-      .foreachPartition { it =>
+      .toDF("t", "local", "v")
+      .repartition(parts, col("t"))
+      .sortWithinPartitions("t")
+      .foreachPartition { rows: Iterator[Row] =>
         val conf = bConf.value.value
-        it.foreach { case (t, pixels) =>
-          val buf = new Array[Int](tileW * tileH)
-          java.util.Arrays.fill(buf, nodata)
-          pixels.foreach { case (k, v) => buf(k) = v }
+        var cur = -1
+        var buf: Array[Int] = null
+        def flush(): Unit = if (cur >= 0) {
           val bytes = encodeTile(buf, bits, deflateLevel)
-          val p = new Path(s"$stagingStr/tile-%05d".format(t))
+          val p = new Path(s"$stagingStr/tile-%05d".format(cur))
           val out = p.getFileSystem(conf).create(p, true)
           try out.write(bytes) finally out.close()
         }
+        rows.foreach { r =>
+          val t = r.getInt(0)
+          if (t != cur) {
+            flush()
+            cur = t
+            buf = new Array[Int](tileW * tileH)
+            java.util.Arrays.fill(buf, nodata)
+          }
+          buf(r.getInt(1)) = r.getInt(2)
+        }
+        flush()
       }
 
     val emptyTile = {
