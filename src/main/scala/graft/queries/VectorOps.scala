@@ -328,6 +328,69 @@ object VectorOps {
                  ORDER BY raw_cos DESC, vec_id ASC) AS BIGINT) AS rank
         FROM cand) WHERE rank <= 5"""))
 
+  /** The IVF partition-by-cluster LAYOUT realized (Similarity.scala's
+    * documented 100 TB posture): the vector table persists
+    * hive-partitioned by cluster id (Layout.partitionedView), probe
+    * routing resolves the 2 nearest centroid labels (a 2-row driver
+    * probe, like a vector DB's router), and the search filters on the
+    * PARTITION column — so unprobed clusters are pruned at FILE LISTING,
+    * before any scan task launches (PlanSpec pins listFiles counts).
+    * Same semantics as q45, same oracle shape; at cluster scale this is
+    * the difference between scanning nprobe/nClusters of the data and
+    * scanning all of it.
+    */
+  val q91IvfPartitioned = Q(
+    "q91_ivf_partitioned",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      val q = array(qv.map(lit): _*)
+      val idx = graft.operators.Similarity
+        .ivfIndex(e, "label", "embedding", key = s"emb:$dir", dim = 64)
+      val probedLabels = idx
+        .withColumn("c_sim", graft.operators.Similarity.cosine(col("centroid"), q))
+        .orderBy(col("c_sim").desc, col("label").asc)
+        .limit(2).select("label").collect().map(_.getInt(0))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_part_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val parted = graft.sources.Layout.partitionedView(
+        e.select(col("vec_id"), col("embedding"), col("label")), path, "label")
+      parted
+        .filter(col("label").isin(probedLabels.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("label"),
+          round(graft.operators.Similarity.cosine(col("embedding"), q), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH flat AS (
+        SELECT vec_id, label, i.range AS pos,
+               CAST(embedding[i.range] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) i),
+      q AS (SELECT pos, v FROM flat WHERE vec_id = 0),
+      cent AS (SELECT label, pos, avg(v) AS c FROM flat GROUP BY 1, 2),
+      csim AS (
+        SELECT cent.label,
+               sum(c * q.v) / (sqrt(sum(c * c)) * sqrt(sum(q.v * q.v))) AS cs
+        FROM cent JOIN q USING (pos) GROUP BY 1),
+      probed AS (
+        SELECT label FROM (
+          SELECT label, row_number() OVER (ORDER BY cs DESC, label ASC) AS rn
+          FROM csim) WHERE rn <= 2),
+      cand AS (
+        SELECT e.vec_id, e.label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)) AS raw_cos
+        FROM embeddings e
+        WHERE e.label IN (SELECT label FROM probed))
+      SELECT vec_id, label, round(raw_cos, 6) AS cos_sim FROM (
+        SELECT *, row_number() OVER (ORDER BY raw_cos DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn <= 10"""))
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
-    q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch)
+    q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
+    q91IvfPartitioned)
 }

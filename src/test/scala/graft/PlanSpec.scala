@@ -98,6 +98,22 @@ class PlanSpec extends SparkSpec {
     assert(all.length == 30, s"layout has ${all.length} partitions")
   }
 
+  test("q91: IVF probe prunes unprobed cluster PARTITIONS at file listing") {
+    val df = Registry.queries("q91_ivf_partitioned")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the partitioned-layout scan is the one whose location holds >1 dir
+    val f = scans.find(_.relation.location.listFiles(Nil, Nil).length > 1)
+      .getOrElse(fail(s"no partitioned scan in ${df.queryExecution.sparkPlan}"))
+    assert(f.partitionFilters.map(_.toString).exists(_.contains("label")),
+      f.partitionFilters.mkString(", "))
+    val selected = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+    assert(selected.length == 2, s"selected ${selected.length} partitions")
+    val all = f.relation.location.listFiles(Nil, Nil)
+    assert(all.length > 2, s"layout has only ${all.length} partitions")
+  }
+
   test("q70: batch IVF broadcasts probes and scans the vector table once") {
     val p = plan("q70_ivf_batch")
     assert(p.contains("BroadcastHashJoin"), p)
