@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL (`decodeImages`: javax.imageio PNG/JPEG behind
   * the batched seam, emitting dimensions + an exact pooled-intensity
-  * embedding). Audio/video codecs stay STUBBED (`decodeStub` derives
-  * deterministic fake dimensions from the payload digest — no such libs
-  * in this environment). Everything around both — schema, batching,
+  * embedding). AUDIO decode is REAL (`decodeWav`: pure-JVM RIFF/WAVE
+  * 16-bit PCM parser, same seam, pooled |sample| profile). VIDEO stays
+  * STUBBED (`decodeStub` derives deterministic fake dimensions from the
+  * payload digest — no pure-JVM video codec exists, and this container
+  * has no native libs). Everything around all three — schema, batching,
   * partitioning, the explode shape of frame sampling — is real Spark and
   * is what matters at 100 TB: payloads stay distributed, metadata is
   * columnar, and per-row decode parallelizes embarrassingly.
@@ -149,6 +151,85 @@ object Multimodal {
             ImageDecoded(m.media_id, w, h, c, total,
               total.toDouble / (w.toLong * h * c),
               pool(0), pool(1), pool(2), pool(3))
+          }
+        }
+      }.toDF()
+  }
+
+  final case class WavDecoded(
+      media_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      abs_sum: Long, peak: Int, b0: Double, b1: Double, b2: Double, b3: Double)
+
+  /** REAL audio decode: a pure-JVM RIFF/WAVE PCM parser (format: the
+    * public WAVE/RIFF spec; 16-bit integer PCM, any channel count)
+    * through the same batched-partition seam as `decodeImages`. Emits
+    * rate/channels/frames, the exact integer sum of absolute sample
+    * values, the peak, and a 4-bin pooled |sample| profile (frame k of n
+    * belongs to bin k*4/n; each bin mean is one exact integer sum over
+    * one division) — every output bit-reproducible by an independent
+    * implementation of the formula, same as the image path.
+    */
+  def decodeWav(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bins = 4
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { m =>
+            val bb = java.nio.ByteBuffer.wrap(m.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bb.getInt(0) == 0x46464952, // "RIFF"
+              s"media_id=${m.media_id}: not RIFF")
+            require(bb.getInt(8) == 0x45564157, // "WAVE"
+              s"media_id=${m.media_id}: not WAVE")
+            var off = 12
+            var channels = 0
+            var rate = 0
+            var blockAlign = 0
+            var dataOff = -1
+            var dataLen = 0
+            while (off + 8 <= m.payload.length && dataOff < 0) {
+              val id = bb.getInt(off)
+              val size = bb.getInt(off + 4)
+              if (id == 0x20746D66) { // "fmt "
+                require((bb.getShort(off + 8) & 0xFFFF) == 1,
+                  s"media_id=${m.media_id}: not integer PCM")
+                channels = bb.getShort(off + 10) & 0xFFFF
+                rate = bb.getInt(off + 12)
+                blockAlign = bb.getShort(off + 20) & 0xFFFF
+                require((bb.getShort(off + 22) & 0xFFFF) == 16,
+                  s"media_id=${m.media_id}: only 16-bit PCM supported")
+              } else if (id == 0x61746164) { // "data"
+                dataOff = off + 8
+                dataLen = size
+              }
+              off += 8 + size + (size & 1) // RIFF chunks pad to even
+            }
+            require(dataOff > 0 && channels > 0,
+              s"media_id=${m.media_id}: missing fmt/data chunk")
+            val nFrames = dataLen / blockAlign
+            var absSum = 0L
+            var peak = 0
+            val binSum = new Array[Long](bins)
+            val binN = new Array[Long](bins)
+            var k = 0
+            while (k < nFrames) {
+              val bin = (k.toLong * bins / nFrames).toInt
+              var c = 0
+              while (c < channels) {
+                val v = math.abs(bb.getShort(dataOff + k * blockAlign + c * 2).toInt)
+                absSum += v
+                if (v > peak) peak = v
+                binSum(bin) += v
+                c += 1
+              }
+              binN(bin) += channels
+              k += 1
+            }
+            def b(i: Int): Double = binSum(i).toDouble / binN(i)
+            WavDecoded(m.media_id, rate, channels, nFrames.toLong,
+              absSum, peak, b(0), b(1), b(2), b(3))
           }
         }
       }.toDF()

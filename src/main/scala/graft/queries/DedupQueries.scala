@@ -180,7 +180,33 @@ object DedupQueries {
              p00, p01, p10, p11
       FROM '/root/repo/data/png_expected.parquet'"""))
 
+  /** REAL audio decode end-to-end: WAV bytes through Spark's binaryFile
+    * source, parsed by the pure-JVM RIFF/WAVE PCM reader behind the
+    * batched partition seam (Multimodal.decodeWav), reduced to
+    * rate/frames/abs-sum/peak + a 4-bin pooled |sample| profile. The
+    * oracle reads parquet computed from the sample FORMULA by the
+    * independent python writer (tools/wav_fixture.py uses the stdlib
+    * `wave` module to emit the bytes), so the hash match cross-validates
+    * both implementations of the format — the audio leg of the same
+    * triangle as q80's PNG decode.
+    */
+  val q92WavDecode = Q(
+    "q92_wav_decode",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/wav/*.wav")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.decodeWav(media)
+    },
+    Some("""
+      SELECT media_id, sample_rate, channels, n_frames, abs_sum, peak,
+             b0, b1, b2, b3
+      FROM '/root/repo/data/wav_expected.parquet'"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
-      q80PngDecode)
+      q80PngDecode, q92WavDecode)
 }
