@@ -560,10 +560,42 @@ object Relational {
       SELECT li.price_bucket, n_lines, n_orders
       FROM li JOIN o ON li.price_bucket = o.price_bucket"""))
 
+  /** CO-LOCATED join via bucketed layout (the shuffle-minimization row
+    * of SURVEY §2's scale posture, realized): orders and customer
+    * persist as catalog tables bucketed AND bucket-sorted on the join
+    * key (Layout.bucketedTable), so the fact-fact join plans as a
+    * SortMergeJoin with NO exchange and NO sort on either side — the
+    * repeated-big-join layout a 100 TB warehouse uses where per-query
+    * repartition would pay the full shuffle every time (PlanSpec pins
+    * the exchange-free join). The only shuffle left in the query is the
+    * final small aggregation.
+    */
+  val q93BucketedJoin = Q(
+    "q93_bucketed_join",
+    (s, dir) => {
+      val h = Integer.toHexString(dir.hashCode)
+      val tmp = sys.props("java.io.tmpdir")
+      val orders = graft.sources.Layout.bucketedTable(
+        t(s, dir)("orders").select("o_custkey", "o_totalprice"),
+        s"graft_orders_b_$h", s"$tmp/graft_orders_b_$h", 8, "o_custkey")
+      val cust = graft.sources.Layout.bucketedTable(
+        t(s, dir)("customer").select("c_custkey", "c_mktsegment"),
+        s"graft_cust_b_$h", s"$tmp/graft_cust_b_$h", 8, "c_custkey")
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Sql.exactSum(col("o_totalprice")).as("sum_price"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q01AggQuantiles, q02FilterProject, q03CaseLadder, q04JoinBroadcast,
     q05JoinMulti, q06Top1PerGroup, q07WindowMax, q08ControlJoinBack,
     q09Union, q10DenseUniverse, q11SortTopK, q12DateDerive, q13ExceedFlags,
     q14Haversine, q15Md5, q16Wkt, q17TileParse, q18MinMaxProbe,
-    q19SemiJoin, q20RoundedKeyJoin)
+    q19SemiJoin, q20RoundedKeyJoin, q93BucketedJoin)
 }

@@ -27,4 +27,23 @@ object Layout {
       df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Persist `df` as a BUCKETED (and bucket-sorted) catalog table at an
+    * explicit external `path` (idempotent — once per JVM per table name),
+    * and return it. Two tables bucketed the same way on their join key
+    * co-locate: the join needs NO shuffle and (being sortBy'd) no sort —
+    * the 100 TB answer to repeated large-fact joins, where a partition
+    * column is too coarse and a per-query repartition pays the shuffle
+    * every time. PlanSpec pins the exchange-free plan.
+    */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+      nBuckets: Int, keyCol: String): DataFrame = {
+    val s = df.sparkSession
+    if (written.add(s"table:$table") && !s.catalog.tableExists(table))
+      df.write.mode("overwrite")
+        .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+        .option("path", path)
+        .saveAsTable(table)
+    s.table(table)
+  }
 }

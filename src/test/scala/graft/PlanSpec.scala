@@ -114,6 +114,28 @@ class PlanSpec extends SparkSpec {
     assert(all.length > 2, s"layout has only ${all.length} partitions")
   }
 
+  test("q93: bucketed tables join with no exchange and no sort on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val df = Registry.queries("q93_bucketed_join")(spark, dir)
+      val p = df.queryExecution.sparkPlan
+      val smj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"no SortMergeJoin in $p")
+      // both join inputs read bucketed scans directly: no shuffle, no sort
+      smj.head.children.foreach { side =>
+        assert(side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty, s"join side shuffles: $side")
+        assert(side.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.isEmpty, s"join side sorts: $side")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q70: batch IVF broadcasts probes and scans the vector table once") {
     val p = plan("q70_ivf_batch")
     assert(p.contains("BroadcastHashJoin"), p)
