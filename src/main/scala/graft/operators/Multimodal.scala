@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL (`decodeImages`: javax.imageio PNG/JPEG behind
   * the batched seam, emitting dimensions + an exact pooled-intensity
   * embedding). AUDIO decode is REAL (`decodeWav`: pure-JVM RIFF/WAVE
-  * 16-bit PCM parser, same seam, pooled |sample| profile). VIDEO stays
-  * STUBBED (`decodeStub` derives deterministic fake dimensions from the
-  * payload digest — no pure-JVM video codec exists, and this container
-  * has no native libs). Everything around all three — schema, batching,
+  * 16-bit PCM parser, same seam, pooled |sample| profile). VIDEO decode
+  * is REAL for RIFF/AVI containers with uncompressed DIB frames
+  * (`decodeAviFrames`: container walk + bottom-up BGR row decode +
+  * frame sampling); compressed video codecs have no pure-JVM decoder —
+  * they would slot in at the same seam, and `decodeStub` remains as the
+  * documented placeholder. Everything around all three — schema, batching,
   * partitioning, the explode shape of frame sampling — is real Spark and
   * is what matters at 100 TB: payloads stay distributed, metadata is
   * columnar, and per-row decode parallelizes embarrassingly.
@@ -230,6 +232,90 @@ object Multimodal {
             def b(i: Int): Double = binSum(i).toDouble / binN(i)
             WavDecoded(m.media_id, rate, channels, nFrames.toLong,
               absSum, peak, b(0), b(1), b(2), b(3))
+          }
+        }
+      }.toDF()
+  }
+
+  final case class AviFrame(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, n_frames: Int,
+      pix_sum: Long, p00: Double, p01: Double, p10: Double, p11: Double)
+
+  /** REAL video decode: pure-JVM RIFF/AVI container parse with
+    * UNCOMPRESSED 24-bit DIB frames (biCompression=0 — the codec a JVM
+    * can decode without native libs; compressed codecs would slot in at
+    * the same seam), frame-sampled every `everyNth` frame. One output
+    * row per sampled frame — the explode shape of `sampleFrames` with a
+    * real decoder behind it. DIB rows are bottom-up BGR padded to 4
+    * bytes; outputs use top-down image coordinates and the same exact
+    * integer-sum + 2x2 pooled-mean contract as `decodeImages`.
+    */
+  def decodeAviFrames(media: DataFrame, everyNth: Int = 3,
+      batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val grid = 2
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { m =>
+            val bb = java.nio.ByteBuffer.wrap(m.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x20495641,
+              s"media_id=${m.media_id}: not a RIFF/AVI file")
+            var w = 0
+            var h = 0
+            val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+            // walk chunks, descending into LIST payloads
+            def walk(from: Int, to: Int): Unit = {
+              var off = from
+              while (off + 8 <= to) {
+                val id = bb.getInt(off)
+                val size = bb.getInt(off + 4)
+                if (id == 0x5453494C) walk(off + 12, off + 8 + size) // LIST
+                else if (id == 0x66727473) { // "strf" = BITMAPINFOHEADER
+                  w = bb.getInt(off + 12)
+                  h = bb.getInt(off + 16)
+                  require((bb.getShort(off + 22) & 0xFFFF) == 24,
+                    s"media_id=${m.media_id}: only 24-bit DIB supported")
+                  require(bb.getInt(off + 24) == 0,
+                    s"media_id=${m.media_id}: compressed AVI unsupported")
+                } else if (id == 0x62643030) frames += off + 8 // "00db"
+                off += 8 + size + (size & 1)
+              }
+            }
+            walk(12, m.payload.length)
+            require(w > 0 && h > 0 && frames.nonEmpty,
+              s"media_id=${m.media_id}: missing strf/frames")
+            val rowLen = (w * 3 + 3) / 4 * 4
+            (0 until frames.length by everyNth).map { f =>
+              val base = frames(f)
+              var total = 0L
+              val cellSum = new Array[Long](grid * grid)
+              val cellN = new Array[Long](grid * grid)
+              var y = 0
+              while (y < h) {
+                val rowOff = base + (h - 1 - y) * rowLen // bottom-up rows
+                val cy = y * grid / h
+                var x = 0
+                while (x < w) {
+                  val cell = cy * grid + x * grid / w
+                  var ch = 0
+                  while (ch < 3) {
+                    val v = m.payload(rowOff + x * 3 + ch) & 0xFF
+                    total += v
+                    cellSum(cell) += v
+                    ch += 1
+                  }
+                  cellN(cell) += 3
+                  x += 1
+                }
+                y += 1
+              }
+              def pool(i: Int): Double = cellSum(i).toDouble / cellN(i)
+              AviFrame(m.media_id, f, w, h, frames.length, total,
+                pool(0), pool(1), pool(2), pool(3))
+            }
           }
         }
       }.toDF()

@@ -206,7 +206,33 @@ object DedupQueries {
              b0, b1, b2, b3
       FROM '/root/repo/data/wav_expected.parquet'"""))
 
+  /** REAL video decode end-to-end: RIFF/AVI containers with uncompressed
+    * 24-bit DIB frames through binaryFile → the pure-JVM container+frame
+    * parser (Multimodal.decodeAviFrames), frame-sampled every 3rd frame —
+    * one row per sampled frame with exact pixel sums and the 2x2 pooled
+    * grid. The oracle reads parquet computed from the pixel FORMULA by
+    * the independent stdlib-struct AVI writer (tools/avi_fixture.py), so
+    * the hash match cross-validates both implementations of the
+    * container AND the bottom-up padded DIB row layout — the video leg
+    * of the q80/q92 triangle.
+    */
+  val q94AviDecode = Q(
+    "q94_avi_decode",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/avi/*.avi")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.decodeAviFrames(media, everyNth = 3)
+    },
+    Some("""
+      SELECT media_id, frame_idx, width, height, n_frames, pix_sum,
+             p00, p01, p10, p11
+      FROM '/root/repo/data/avi_expected.parquet'"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
-      q80PngDecode, q92WavDecode)
+      q80PngDecode, q92WavDecode, q94AviDecode)
 }
