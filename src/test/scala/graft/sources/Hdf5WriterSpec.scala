@@ -86,6 +86,38 @@ class Hdf5WriterSpec extends SparkSpec {
     assert(present == expected)
   }
 
+  test("seeded randomized geometries round-trip exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    for (case_ <- 1 to 6) {
+      val nla = 1 + rnd.nextInt(37)
+      val nlo = 1 + rnd.nextInt(29)
+      val cr = 1 + rnd.nextInt(nla)
+      val la = Array.tabulate(nla)(i => 89.0 - i * 0.125)
+      val lo = Array.tabulate(nlo)(j => -179.0 + j * 0.125)
+      val cells = for {
+        i <- 0 until nla; j <- 0 until nlo
+        if rnd.nextDouble() > 0.3
+      } yield (la(i), lo(j), rnd.nextInt(100000) * 0.25f)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_nc_rnd.nc"
+      Hdf5Writer.writeGrid(cells.toDF("latitude", "longitude", "value"),
+        out, "v", "latitude", "longitude", "value", la, lo, chunkRows = cr)
+      val f = new Hdf5File(out)
+      try {
+        val band = f.readRowBand("v", 0, nla)
+        val bb = java.nio.ByteBuffer.wrap(band)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val want = cells.map { case (a, b, v) => (a, b) -> v }.toMap
+        for (i <- 0 until nla; j <- 0 until nlo) {
+          val got = bb.getFloat((i * nlo + j) * 4)
+          want.get((la(i), lo(j))) match {
+            case Some(v) => assert(got == v, s"case $case_ ($i,$j)")
+            case None => assert(got.isNaN, s"case $case_ ($i,$j)")
+          }
+        }
+      } finally f.close()
+    }
+  }
+
   test("empty row bands become all-fill chunks, not holes") {
     val df = Seq((lats(0), lons(0), 1.0f), (lats(22), lons(3), 2.5f))
       .toDF("latitude", "longitude", "value")

@@ -65,6 +65,28 @@ class TiffWriterSpec extends SparkSpec {
     assert(back == expected)
   }
 
+  test("seeded randomized geometries round-trip exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    for (case_ <- 1 to 6) {
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(50)
+      val bits = Seq(8, 16, 32)(rnd.nextInt(3))
+      val maxV = if (bits == 8) 255 else 65535
+      val px = for {
+        r <- 0 until h; c <- 0 until w
+        if rnd.nextDouble() > 0.3
+      } yield (ox + (c + 0.5) * sx, oy - (r + 0.5) * sy, 1 + rnd.nextInt(maxV))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_cog_rnd.tif"
+      TiffWriter.writeGrid(px.toDF("x", "y", "value"), out, "x", "y", "value",
+        ox, oy, sx, sy, w, h, tileW = 16, tileH = 16, bits = bits)
+      val back = spark.read.format("graft-cog")
+        .option("path", out).option("nodata", "0").load()
+        .select($"x", $"y", $"value").as[(Double, Double, Int)]
+        .collect().toSet
+      assert(back == px.toSet, s"case $case_ (${w}x$h bits=$bits)")
+    }
+  }
+
   test("tiles with no pixels are written as all-nodata, not holes") {
     // only two pixels, in opposite corner tiles of a 3x2 tile grid
     val df = Seq(
