@@ -163,6 +163,11 @@ object TiffWriter {
     val tiepointOff = scaleOff + 24L
     val tile0Off = tiepointOff + 48L
     val tileOffs = tileSizes.scanLeft(tile0Off)(_ + _)
+    // classic TIFF carries 32-bit offsets; past 4 GB the format is
+    // BigTIFF, which this writer does not emit — fail loudly rather
+    // than wrap the offsets
+    require(tileOffs.last <= 0xFFFFFFFFL,
+      s"$path would be ${tileOffs.last} bytes — classic TIFF tops out at 4 GB (BigTIFF unsupported)")
 
     val head = {
       val b = new Buf
