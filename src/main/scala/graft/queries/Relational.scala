@@ -592,10 +592,67 @@ object Relational {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1"""))
 
+  /** Salted two-phase aggregation through the gate (SkewOps — the hot-
+    * key aggregation case AQE does not cover): l_returnflag has only 3
+    * values, so every reducer key is hot; the salt spreads each over 16
+    * partials before the tiny final combine. Salting must be invisible
+    * in the result — the oracle is the PLAIN single-phase aggregate,
+    * and exact decimal accumulation makes the double sum identical
+    * across any (salt, partition) split.
+    */
+  val q95SaltedAgg = Q(
+    "q95_salted_agg",
+    (s, dir) => {
+      graft.operators.SkewOps.saltedAggregate(
+        t(s, dir)("lineitem"),
+        keys = Seq("l_returnflag"),
+        salt = 16,
+        partial = Seq(
+          "n_rows" -> count(lit(1)),
+          "sum_qty" -> sum(col("l_quantity").cast(DecimalType(27, 4)))),
+        fin = Seq(
+          "n_rows" -> ((c: org.apache.spark.sql.Column) => sum(c)),
+          "sum_qty" -> ((c: org.apache.spark.sql.Column) =>
+            sum(c).cast("double"))))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1"""))
+
+  /** Salted join through the gate (SkewOps — the broadcast-ineligible
+    * skewed-join shape): every lineitem row carries one of 3 flag
+    * values, the classic one-hot-reducer join; the right side
+    * replicates `salt` ways so each hot key lands on 16 reducers. The
+    * oracle is the PLAIN join — salting must not change a single row.
+    */
+  val q96SaltedJoin = Q(
+    "q96_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(("A", "returned"), ("N", "kept"), ("R", "refunded"))
+        .toDF("l_returnflag", "flag_name")
+      graft.operators.SkewOps.saltedJoin(
+          t(s, dir)("lineitem").select("l_returnflag", "l_quantity"),
+          dim, "l_returnflag", salt = 16)
+        .groupBy("flag_name")
+        .agg(count(lit(1)).as("n_rows"),
+          Sql.exactSum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""
+      WITH dim AS (
+        SELECT * FROM (VALUES ('A', 'returned'), ('N', 'kept'),
+                              ('R', 'refunded')) d(l_returnflag, flag_name))
+      SELECT flag_name, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN dim USING (l_returnflag)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q01AggQuantiles, q02FilterProject, q03CaseLadder, q04JoinBroadcast,
     q05JoinMulti, q06Top1PerGroup, q07WindowMax, q08ControlJoinBack,
     q09Union, q10DenseUniverse, q11SortTopK, q12DateDerive, q13ExceedFlags,
     q14Haversine, q15Md5, q16Wkt, q17TileParse, q18MinMaxProbe,
-    q19SemiJoin, q20RoundedKeyJoin, q93BucketedJoin)
+    q19SemiJoin, q20RoundedKeyJoin, q93BucketedJoin, q95SaltedAgg,
+    q96SaltedJoin)
 }

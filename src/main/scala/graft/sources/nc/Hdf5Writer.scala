@@ -258,9 +258,12 @@ object Hdf5Writer {
       java.util.Arrays.fill(buf, fill)
       encodeChunk(buf, deflateLevel)
     }
+    // ONE listing of the staging dir (not nChunks existence probes —
+    // the per-call latency difference matters on object stores)
+    val staged: Map[String, Long] = fs.listStatus(staging)
+      .map(st => st.getPath.getName -> st.getLen).toMap
     val chunkSizes: Array[Long] = (0 until nChunks).map { ci =>
-      val p = new Path(s"$stagingStr/chunk-%05d".format(ci))
-      if (fs.exists(p)) fs.getFileStatus(p).getLen else emptyChunk.length.toLong
+      staged.getOrElse("chunk-%05d".format(ci), emptyChunk.length.toLong)
     }.toArray
 
     // ------ layout: compute header sizes with dummy addresses ------
@@ -334,7 +337,7 @@ object Hdf5Writer {
       val copyBuf = new Array[Byte](256 * 1024)
       for (ci <- 0 until nChunks) {
         val p = new Path(s"$stagingStr/chunk-%05d".format(ci))
-        if (fs.exists(p)) {
+        if (staged.contains(p.getName)) {
           val in = fs.open(p)
           try {
             var n = in.read(copyBuf)

@@ -146,9 +146,11 @@ object TiffWriter {
       java.util.Arrays.fill(buf, nodata)
       encodeTile(buf, bits, deflateLevel)
     }
+    // ONE listing of the staging dir (not nTiles existence probes)
+    val staged: Map[String, Long] = fs.listStatus(staging)
+      .map(st => st.getPath.getName -> st.getLen).toMap
     val tileSizes: Array[Long] = (0 until nTiles).map { t =>
-      val p = new Path(s"$stagingStr/tile-%05d".format(t))
-      if (fs.exists(p)) fs.getFileStatus(p).getLen else emptyTile.length.toLong
+      staged.getOrElse("tile-%05d".format(t), emptyTile.length.toLong)
     }.toArray
 
     // ------ layout ------
@@ -214,7 +216,7 @@ object TiffWriter {
       val copyBuf = new Array[Byte](256 * 1024)
       for (t <- 0 until nTiles) {
         val p = new Path(s"$stagingStr/tile-%05d".format(t))
-        if (fs.exists(p)) {
+        if (staged.contains(p.getName)) {
           val in = fs.open(p)
           try {
             var n = in.read(copyBuf)
