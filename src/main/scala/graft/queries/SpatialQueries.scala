@@ -420,7 +420,29 @@ object SpatialQueries {
              CAST(max(l_partkey % 999) + 1 AS INTEGER) AS max_pk
       FROM lineitem GROUP BY 1, 2"""))
 
+  /** S5 depth: BIGTIFF (magic 43, 8-byte offsets, IFD8, LONG8 tile
+    * arrays) — the layout real GFC mosaics and large COGs use past
+    * classic TIFF's 4 GB offset space. The fixture is written by an
+    * INDEPENDENT pure-python implementation of the BigTIFF spec
+    * (tools/bigtiff_fixture.py) and the oracle reads parquet computed
+    * from the value formula, so the hash match cross-validates every
+    * BigTIFF-specific structure on both sides. (TiffWriter emits the
+    * same layout automatically past 4 GB — spec-tested round trip.)
+    */
+  val q97BigtiffCog = Q(
+    "q97_bigtiff_cog",
+    (s, _) =>
+      s.read.format("graft-cog")
+        .option("path", "/root/repo/data/lossyear_big.tif")
+        .option("nodata", "0")
+        .load()
+        .select(col("x"), col("y"), col("value").as("lossyear")),
+    Some("""
+      SELECT x, y, lossyear
+      FROM '/root/repo/data/lossyear_big_expected.parquet'
+      WHERE lossyear <> 0"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
-    q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink)
+    q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog)
 }

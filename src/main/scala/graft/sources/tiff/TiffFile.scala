@@ -57,15 +57,27 @@ object TiffFile {
     (ch, new Reader(ch, order))
   }
 
-  /** Parse the first IFD into grid + block metadata (no pixel data). */
+  /** Parse the first IFD into grid + block metadata (no pixel data).
+    * Handles classic TIFF (magic 42: 12-byte entries, u32 counts and
+    * offsets) and BigTIFF (magic 43: 20-byte entries, u64 counts and
+    * offsets, LONG8 arrays) — real GFC mosaics and large COGs exceed
+    * classic TIFF's 4 GB offset space.
+    */
   def info(path: String): TiffInfo = {
     val (ch, r) = open(path)
     try {
-      val head = r.readAt(0, 8)
-      require(head.getShort(2) == 42, s"$path: TIFF magic != 42 (BigTIFF unsupported)")
-      val ifdOff = head.getInt(4).toLong & 0xFFFFFFFFL
-      val nEntries = r.readAt(ifdOff, 2).getShort(0) & 0xFFFF
-      val entries = r.readAt(ifdOff + 2, nEntries * 12)
+      val head = r.readAt(0, 16)
+      val magic = head.getShort(2)
+      require(magic == 42 || magic == 43, s"$path: TIFF magic $magic")
+      val big = magic == 43
+      if (big) require(head.getShort(4) == 8 && head.getShort(6) == 0,
+        s"$path: malformed BigTIFF header")
+      val ifdOff = if (big) head.getLong(8) else head.getInt(4).toLong & 0xFFFFFFFFL
+      val entryStride = if (big) 20 else 12
+      val nEntries =
+        if (big) r.readAt(ifdOff, 8).getLong(0).toInt
+        else r.readAt(ifdOff, 2).getShort(0) & 0xFFFF
+      val entries = r.readAt(ifdOff + (if (big) 8 else 2), nEntries * entryStride)
 
       var width = 0; var height = 0; var bits = 8; var compression = 1
       var tileW = 0; var tileH = 0; var rowsPerStrip = 0
@@ -80,27 +92,35 @@ object TiffFile {
         case 5 | 10 => 8        // rational
         case 11 => 4            // float
         case 12 => 8            // double
+        case 16 | 17 | 18 => 8  // long8/slong8/ifd8 (BigTIFF)
         case _ => sys.error(s"TIFF type $t unsupported")
       }
 
+      val inlineCap = if (big) 8 else 4
+      val (cntOff, valOff) = if (big) (4, 12) else (4, 8)
       for (e <- 0 until nEntries) {
-        val base = e * 12
+        val base = e * entryStride
         val tag = entries.getShort(base) & 0xFFFF
         val typ = entries.getShort(base + 2) & 0xFFFF
-        val cnt = entries.getInt(base + 4).toLong & 0xFFFFFFFFL
+        val cnt =
+          if (big) entries.getLong(base + cntOff)
+          else entries.getInt(base + cntOff).toLong & 0xFFFFFFFFL
         val totalBytes = typeSize(typ) * cnt
-        // value fits inline in the 4-byte field, else it's an offset
+        // value fits inline in the value field, else it's an offset
         val valBuf: ByteBuffer =
-          if (totalBytes <= 4) {
-            val b = ByteBuffer.allocate(4).order(entries.order())
-            for (i <- 0 until 4) b.put(i, entries.get(base + 8 + i))
+          if (totalBytes <= inlineCap) {
+            val b = ByteBuffer.allocate(inlineCap).order(entries.order())
+            for (i <- 0 until inlineCap) b.put(i, entries.get(base + valOff + i))
             b
-          } else r.readAt(entries.getInt(base + 8).toLong & 0xFFFFFFFFL,
+          } else r.readAt(
+            if (big) entries.getLong(base + valOff)
+            else entries.getInt(base + valOff).toLong & 0xFFFFFFFFL,
             totalBytes.toInt)
 
         def num(i: Int): Long = typ match {
           case 3 => valBuf.getShort(i * 2).toLong & 0xFFFF
           case 4 => valBuf.getInt(i * 4).toLong & 0xFFFFFFFFL
+          case 16 => valBuf.getLong(i * 8)
           case _ => sys.error(s"tag $tag: numeric type $typ unsupported")
         }
         def nums(): Array[Long] = Array.tabulate(cnt.toInt)(num)

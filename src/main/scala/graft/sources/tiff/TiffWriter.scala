@@ -79,7 +79,8 @@ object TiffWriter {
       xCol: String, yCol: String, valCol: String,
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       width: Int, height: Int, tileW: Int, tileH: Int,
-      bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6): Unit = {
+      bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6,
+      forceBigTiff: Boolean = false): Unit = {
     require(bits == 8 || bits == 16 || bits == 32, s"bits $bits")
     require(tileW % 16 == 0 && tileH % 16 == 0,
       "TIFF tiles must be multiples of 16") // TIFF 6.0 §15
@@ -153,32 +154,43 @@ object TiffWriter {
       staged.getOrElse("tile-%05d".format(t), emptyTile.length.toLong)
     }.toArray
 
-    // ------ layout ------
-    // header(8) + IFD(2 + 13*12 + 4) + offsets(4n) + counts(4n)
-    //   + scale(24) + tiepoint(48) + tiles
+    // ------ layout. Classic TIFF (magic 42, u32 offsets) up to 4 GB;
+    // BigTIFF (magic 43, u64 offsets, LONG8 arrays) beyond — selected
+    // automatically so a big enough grid never wraps its offsets. ------
     val nEntries = 13
-    val ifdOff = 8L
-    val ifdSize = 2 + nEntries * 12 + 4
+    val dataBytes = tileSizes.sum
+    val classicFixed = 8L + (2 + nEntries * 12 + 4) + 8L * nTiles + 24 + 48
+    val big = forceBigTiff || classicFixed + dataBytes > 0xFFFFFFFFL
+    val offSz = if (big) 8 else 4 // size of an offset/count array slot
+    val ifdOff = if (big) 16L else 8L
+    val ifdSize =
+      if (big) 8 + nEntries * 20 + 8
+      else 2 + nEntries * 12 + 4
     val offsetsOff = ifdOff + ifdSize
-    val countsOff = offsetsOff + 4L * nTiles
-    val scaleOff = countsOff + 4L * nTiles
+    val countsOff = offsetsOff + offSz.toLong * nTiles
+    val scaleOff = countsOff + offSz.toLong * nTiles
     val tiepointOff = scaleOff + 24L
     val tile0Off = tiepointOff + 48L
     val tileOffs = tileSizes.scanLeft(tile0Off)(_ + _)
-    // classic TIFF carries 32-bit offsets; past 4 GB the format is
-    // BigTIFF, which this writer does not emit — fail loudly rather
-    // than wrap the offsets
-    require(tileOffs.last <= 0xFFFFFFFFL,
-      s"$path would be ${tileOffs.last} bytes — classic TIFF tops out at 4 GB (BigTIFF unsupported)")
 
     val head = {
       val b = new Buf
-      b.bytes(Array('I', 'I').map(_.toByte)).u16(42).u32(ifdOff)
-      b.u16(nEntries)
+      def off(v: Long): Unit = if (big) { b.u32(v & 0xFFFFFFFFL); b.u32(v >>> 32) } else b.u32(v)
+      if (big) {
+        b.bytes(Array('I', 'I').map(_.toByte)).u16(43).u16(8).u16(0)
+        off(ifdOff)
+        off(nEntries.toLong)
+      } else {
+        b.bytes(Array('I', 'I').map(_.toByte)).u16(42).u32(ifdOff)
+        b.u16(nEntries)
+      }
       // entries MUST be ascending by tag (TIFF 6.0 §2)
-      def entry(tag: Int, typ: Int, cnt: Long, value: Long): Unit =
-        b.u16(tag).u16(typ).u32(cnt).u32(value)
+      def entry(tag: Int, typ: Int, cnt: Long, value: Long): Unit = {
+        b.u16(tag).u16(typ)
+        if (big) { off(cnt); off(value) } else { b.u32(cnt); b.u32(value) }
+      }
       def shortEntry(tag: Int, v: Int): Unit = entry(tag, 3, 1, v.toLong)
+      val arrTyp = if (big) 16 else 4 // LONG8 vs LONG offset/count arrays
       entry(256, 4, 1, width.toLong)
       entry(257, 4, 1, height.toLong)
       shortEntry(258, bits)
@@ -187,27 +199,29 @@ object TiffWriter {
       shortEntry(277, 1) // one sample per pixel
       shortEntry(322, tileW)
       shortEntry(323, tileH)
-      if (nTiles == 1) { // count-1 LONG values live inline
-        entry(324, 4, 1, tileOffs(0))
-        entry(325, 4, 1, tileSizes(0))
+      if (nTiles == 1) { // count-1 values live inline
+        entry(324, arrTyp, 1, tileOffs(0))
+        entry(325, arrTyp, 1, tileSizes(0))
       } else {
-        entry(324, 4, nTiles.toLong, offsetsOff)
-        entry(325, 4, nTiles.toLong, countsOff)
+        entry(324, arrTyp, nTiles.toLong, offsetsOff)
+        entry(325, arrTyp, nTiles.toLong, countsOff)
       }
       shortEntry(339, 1) // SampleFormat: unsigned
       entry(33550, 12, 3, scaleOff)
       entry(33922, 12, 6, tiepointOff)
-      b.u32(0L) // no next IFD
+      off(0L) // no next IFD
       // external value arrays (written even in the 1-tile inline case —
-      // the fixed layout keeps offsets simple; 8 dead bytes at most)
-      tileOffs.take(nTiles).foreach(b.u32)
-      tileSizes.foreach(b.u32)
+      // the fixed layout keeps offsets simple; 16 dead bytes at most)
+      tileOffs.take(nTiles).foreach(off)
+      tileSizes.foreach(off)
       b.f64(scaleX).f64(scaleY).f64(0.0)
       // tiepoint: raster (0,0) -> geo (originX, originY)
       b.f64(0.0).f64(0.0).f64(0.0).f64(originX).f64(originY).f64(0.0)
       b.toArray
     }
     require(head.length == tile0Off, s"header ${head.length} != $tile0Off")
+    require(big || tileOffs.last <= 0xFFFFFFFFL,
+      s"$path: classic layout overflowed unexpectedly")
 
     // ------ driver pass: header, then stream staged tiles ------
     val out = fs.create(outPath, true)

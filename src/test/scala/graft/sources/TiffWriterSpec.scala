@@ -108,6 +108,27 @@ class TiffWriterSpec extends SparkSpec {
       (ox + 95.5 * sx, oy - 40.5 * sy, 9)))
   }
 
+  test("BigTIFF layout (magic 43, LONG8 arrays) round-trips") {
+    val px = for {
+      r <- 0 until H; c <- 0 until W; v = formula(c, r); if v != 0
+    } yield (ox + (c + 0.5) * sx, oy - (r + 0.5) * sy, v)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_cog_big.tif"
+    TiffWriter.writeGrid(px.toDF("x", "y", "value"), out, "x", "y", "value",
+      ox, oy, sx, sy, W, H, tileW = 32, tileH = 32, bits = 16,
+      forceBigTiff = true)
+    // header carries the BigTIFF magic
+    val headBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out))
+    assert(headBytes(2) == 43 && headBytes(3) == 0)
+    val info = TiffFile.info(out)
+    assert(info.width == W && info.blocks.size == 4)
+    val back = spark.read.format("graft-cog")
+      .option("path", out).option("nodata", "0").load()
+      .select($"x", $"y", $"value").as[(Double, Double, Int)]
+      .collect().toSet
+    assert(back == px.toSet)
+  }
+
   test("32-bit samples and single-tile inline offsets round-trip") {
     val df = Seq((ox + 0.5 * sx, oy - 0.5 * sy, 1000000),
       (ox + 1.5 * sx, oy - 2.5 * sy, 77))
