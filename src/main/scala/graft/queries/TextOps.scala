@@ -406,8 +406,66 @@ object TextOps {
              round(CAST(max_c AS DOUBLE) / n_words, 6) AS top_word_frac
       FROM agg"""))
 
+  /** Repeated-SPAN detection — the exact-substring dedup pass LM
+    * training pipelines run corpus-wide (repeated 16-token spans across
+    * documents): every token window hashes to a Karp-Rabin fold (q57's
+    * proven cross-engine recipe), windows are DISTINCT per doc, spans
+    * seen in 2+ docs are "shared", and each doc reports how many of its
+    * distinct spans are shared. Scale design: only compact 64-bit span
+    * keys shuffle (two-phase: hash groupBy to find shared spans, then a
+    * key-only join back) — document text never travels, and there is no
+    * doc x doc stage at any corpus size.
+    */
+  val q98SpanDedup = Q(
+    "q98_span_dedup",
+    (s, dir) => {
+      val span = 16
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val hashes = transform(toks,
+        t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
+      // the window expression must be TOTAL (greatest(...,1) instead of
+      // relying on the upstream size filter): the explode's inferred
+      // non-empty predicate lands in the SAME Filter as the size guard,
+      // and codegen subexpression elimination evaluates the shared
+      // window expr before the AND can short-circuit — a sequence(1,0)
+      // there throws on short docs even though they are filtered out
+      val windows = t(s, dir)("documents")
+        .select(col("doc_id"), hashes.as("hs"))
+        .filter(size(col("hs")) >= span)
+        .select(col("doc_id"), array_distinct(expr(
+          s"transform(sequence(1, greatest(size(hs) - ${span - 1}, 1)), i -> " +
+            s"aggregate(slice(hs, i, $span), 0L, " +
+            "(acc, h) -> (acc * 1000003 + h) % 2147483647))")).as("ws"))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+      val shared = windows.groupBy("w")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("w")
+      windows.join(shared, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_spans"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               [CAST(('0x' || substr(md5(tk), 18, 15)) AS BIGINT) % 1000000007
+                for tk in list_filter(string_split_regex(lower(text), '\s+'),
+                                      tk -> len(tk) > 0)] AS hs
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+15]),
+                              (acc, h) -> (acc * 1000003 + h) % 2147483647)
+                  for i in range(1, len(hs) - 14)])) AS w
+        FROM toks WHERE len(hs) >= 16),
+      sh AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2)
+      SELECT doc_id, count(*) AS n_shared_spans
+      FROM w JOIN sh USING (w)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
-    q59Redact, q84Decontaminate, q85HashSplit, q86Repetition)
+    q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup)
 }
