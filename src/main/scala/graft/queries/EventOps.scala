@@ -349,7 +349,54 @@ object EventOps {
       WHERE event_type IN ('click', 'purchase')
       QUALIFY event_type = 'purchase'"""))
 
+  /** The UPDATE-mode running-counts sessionizer through the gate
+    * (EventStreams.sessionize — the FMGWS Update-output path q83's
+    * Append-mode variant does not cover): every micro-batch emits the
+    * user's running (n_sessions, batch_events); with the idle-expiry
+    * horizon set beyond the replayed range, no state restarts, so
+    * max(n_sessions) is the final session count and sum(n_events)
+    * re-totals every event — together exactly q51's batch answer.
+    */
+  val q99StreamRunning = Q(
+    "q99_stream_running",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_run")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_running_$h",
+          org.apache.spark.sql.streaming.OutputMode.Update()) { stream =>
+          import s.implicits._
+          // idle expiry far past the replayed range (incl. sentinels):
+          // running counts must never restart mid-replay
+          EventStreams.sessionize(stream.as[EventStreams.Event],
+            idleExpireMinutes = 400L * 24 * 60).toDF()
+        }
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"),
+          sum("n_events").as("n_events"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS gap_us
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM l GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
-    q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof)
+    q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
+    q99StreamRunning)
 }

@@ -64,14 +64,16 @@ object FileReplay {
     */
   def runToTable(s: org.apache.spark.sql.SparkSession,
       srcDir: java.io.File, schema: org.apache.spark.sql.types.StructType,
-      queryName: String)(build: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
+      queryName: String,
+      outputMode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+      build: DataFrame => DataFrame): DataFrame = {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getAbsolutePath)
     val sq = build(stream)
       .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(outputMode).start()
     try sq.processAllAvailable() finally sq.stop()
     s.table(queryName)
   }
