@@ -98,4 +98,44 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq
     assert(idx == Seq(0, 4, 8))
   }
+
+  test("decodeWav parses the independent stdlib-wave fixtures exactly") {
+    val media = spark.read.format("binaryFile")
+      .load("/root/repo/data/wav/clip_4.wav")
+      .select(lit(4L).as("media_id"), col("content").as("payload"))
+    val r = Multimodal.decodeWav(media).collect().head
+    assert(r.getAs[Int]("sample_rate") == 22050)
+    assert(r.getAs[Int]("channels") == 2)
+    assert(r.getAs[Long]("n_frames") == 2048L)
+  }
+
+  test("decodeWav and decodeAviFrames reject non-RIFF payloads loudly") {
+    val bad = Seq((9L, "not a riff container at all".getBytes))
+      .toDF("media_id", "payload")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(bad).collect()
+    }
+    assert(e1.getMessage.contains("not RIFF") ||
+      e1.getCause.getMessage.contains("not RIFF"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAviFrames(bad).collect()
+    }
+    assert(e2.getMessage.contains("not a RIFF/AVI") ||
+      e2.getCause.getMessage.contains("not a RIFF/AVI"))
+  }
+
+  test("decodeAviFrames samples frames with bottom-up row flip applied") {
+    val media = spark.read.format("binaryFile")
+      .load("/root/repo/data/avi/clip_3.avi")
+      .select(lit(3L).as("media_id"), col("content").as("payload"))
+    val rows = Multimodal.decodeAviFrames(media, everyNth = 3).collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 3))
+    val f0 = rows.find(_.getAs[Int]("frame_idx") == 0).get
+    // formula sum for clip 3 frame 0: sum over x,y,ch of
+    // (x*3 + y*7 + 3*13 + ch*5) % 256 on a 32x8 grid
+    val expected = (for {
+      y <- 0 until 8; x <- 0 until 32; ch <- 0 until 3
+    } yield (x * 3 + y * 7 + 3 * 13 + ch * 5) % 256).sum.toLong
+    assert(f0.getAs[Long]("pix_sum") == expected)
+  }
 }
