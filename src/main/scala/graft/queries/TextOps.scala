@@ -423,19 +423,20 @@ object TextOps {
       val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
       val hashes = transform(toks,
         t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
-      // the window expression must be TOTAL (greatest(...,1) instead of
-      // relying on the upstream size filter): the explode's inferred
-      // non-empty predicate lands in the SAME Filter as the size guard,
-      // and codegen subexpression elimination evaluates the shared
-      // window expr before the AND can short-circuit — a sequence(1,0)
-      // there throws on short docs even though they are filtered out
+      // WindowFingerprints = the codegen form of
+      //   transform(sequence(1, greatest(size(hs)-15, 1)), i ->
+      //     aggregate(slice(hs, i, 16), 0L, (acc,h) -> (acc*1000003+h)%p))
+      // — one primitive pass, no per-window slice allocation or boxing
+      // (ScalaCheck pins the equivalence). It is TOTAL on short inputs:
+      // the explode's inferred non-empty predicate lands in the SAME
+      // Filter as the size guard and codegen subexpression elimination
+      // evaluates the shared window expr before the AND short-circuits,
+      // so it must not rely on the upstream filter for safety.
       val windows = t(s, dir)("documents")
         .select(col("doc_id"), hashes.as("hs"))
         .filter(size(col("hs")) >= span)
-        .select(col("doc_id"), array_distinct(expr(
-          s"transform(sequence(1, greatest(size(hs) - ${span - 1}, 1)), i -> " +
-            s"aggregate(slice(hs, i, $span), 0L, " +
-            "(acc, h) -> (acc * 1000003 + h) % 2147483647))")).as("ws"))
+        .select(col("doc_id"), array_distinct(
+          graft.functions.WindowFingerprints(col("hs"), span)).as("ws"))
         .select(col("doc_id"), explode(col("ws")).as("w"))
       val shared = windows.groupBy("w")
         .agg(count(lit(1)).as("n_docs"))

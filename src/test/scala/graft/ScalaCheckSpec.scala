@@ -75,4 +75,21 @@ class ScalaCheckSpec extends AnyFunSuite {
         sketch.merge(ba, bb).toSeq == build(a ++ b).toSeq
     })
   }
+
+  test("WindowFingerprints.compute == the slice/aggregate fold") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hashes = Gen.listOf(Gen.chooseNum(0L, 1000000006L))
+    val spans = Gen.chooseNum(1, 40)
+    check(Prop.forAll(hashes, spans) { (hs: List[Long], span: Int) =>
+      val got = graft.functions.WindowFingerprints
+        .compute(new GenericArrayData(hs.toArray), span)
+        .toLongArray().toSeq
+      val nOut = math.max(hs.length - span + 1, 1)
+      val want = (0 until nOut).map { i =>
+        hs.slice(i, i + span)
+          .foldLeft(0L)((acc, h) => (acc * 1000003L + h) % 2147483647L)
+      }
+      got == want
+    })
+  }
 }
