@@ -20,6 +20,19 @@ object Verify {
     // always written in full so check.py still covers every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A subset dump leaves every unlisted query's parquet untouched while
+    // oracle_sql.json is rewritten in full — exactly the stale-dump shape
+    // the round-2 lesson warns about. Leave a marker so check.py (and a
+    // human) can never mistake this outDir for a full gate run; a full run
+    // removes it.
+    val markerPath = Paths.get(s"$outDir/SUBSET_RUN")
+    if (only.isDefined) {
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY subset run — unlisted queries in " +
+          s"$outDir keep stale dumps; this is NOT a full gate run")
+      Files.writeString(markerPath,
+        s"SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")}\n")
+    } else Files.deleteIfExists(markerPath)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

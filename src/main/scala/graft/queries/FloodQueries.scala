@@ -485,6 +485,28 @@ object FloodQueries {
       SELECT data_type, number, latitude, longitude, value
       FROM '/root/repo/data/ens_complex_expected.parquet'"""))
 
+  /** S3 depth: bitmap-masked messages (GRIB2 section 6, indicator 0) —
+    * how real ECMWF/GloFAS fields mask ocean/invalid cells. The
+    * reference's cfgrib reader surfaces masked points as NaN
+    * (io_managers.py:193-210); Grib2File does the same (packed data
+    * covers only present points, the bitmap re-expands to the full grid
+    * with NaN) and the query drops them, the engine image of the
+    * pipeline's drop-NA. One simple-packed control plus one
+    * complex-5.3-order-1 perturbed member share the mask, so bitmap ∘
+    * {simple, complex+differencing} are both exercised. Oracle =
+    * parquet computed from the value formula by the independent python
+    * writer (tools/grib2_fixture.py) over PRESENT points only.
+    */
+  val q100GribBitmap = Q(
+    "q100_grib_bitmap",
+    (s, _) =>
+      s.read.format("graft-grib")
+        .option("path", "/root/repo/data/ens_bitmap.grib2").load()
+        .filter(!isnan(col("value"))),
+    Some("""
+      SELECT data_type, number, latitude, longitude, value
+      FROM '/root/repo/data/ens_bitmap_expected.parquet'"""))
+
   /** S4 write-back: the NetCDF SINK (reference: upstream.py:52
     * `to_netcdf`, io_managers.py:222-223), exercised LIVE end-to-end:
     * a grid aggregated from `orders` is written as a single .nc by the
@@ -526,5 +548,5 @@ object FloodQueries {
 
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
-    q75GribEnsemble, q79GribComplex, q81NcSink)
+    q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap)
 }

@@ -15,7 +15,8 @@ import java.nio.file.{Paths, StandardOpenOption}
   * use and maps to cf/0), simple packing (data representation template
   * 5.0) plus grid-point complex packing without and with spatial
   * differencing (5.2 and 5.3, orders 1-2 — what actual CDS GloFAS GRIBs
-  * ship), no bitmap.
+  * ship), and section-6 bitmaps (indicator 0 — masked points decode to
+  * NaN, cfgrib-style; indicator 254 "previously defined" is rejected).
   *
   * A GRIB2 file is a sequence of self-contained messages — one per
   * (member, step) field — which makes the natural cluster read unit the
@@ -310,8 +311,17 @@ object Grib2File {
   /** Decode the packed payload of one message:
     * value = (R + X * 2^E) * 10^-D with X either a flat big-endian
     * `bitsPerValue`-wide bitstream (template 7.0) or group-unpacked
-    * complex data, optionally spatially differenced (7.2/7.3). Bitmap
-    * section must be absent (255).
+    * complex data, optionally spatially differenced (7.2/7.3).
+    *
+    * Bitmap section 6: indicator 255 = none; indicator 0 = an MSB-first
+    * bit per grid point (1 = datum present, 0 = missing) follows in this
+    * section, and section 5's nVals counts only the PRESENT points. The
+    * decoded stream is expanded back to the full ni*nj grid with NaN at
+    * masked points — exactly how cfgrib/eccodes surface masked CDS
+    * fields (reference: io_managers.py:193-210 reads them as NaN).
+    * Indicator 254 ("previously defined bitmap") is rejected: it refers
+    * to mutable decoder state across messages, which breaks the
+    * one-message-per-task parallel read unit.
     */
   def read(path: String, info: MessageInfo): Message = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
@@ -319,6 +329,7 @@ object Grib2File {
       var cur = info.offset + 16
       val end = info.offset + info.length
       var packing: Packing = null
+      var bitmap: ByteBuffer = null // section 6 bytes when indicator == 0
       var values: Array[Double] = null
       var done = false
       while (!done && cur < end) {
@@ -331,7 +342,12 @@ object Grib2File {
               packing = parseSection5(readAt(ch, cur, secLen.toInt))
             case 6 =>
               val s = readAt(ch, cur, secLen.toInt)
-              require(u8(s, 5) == 255, "bitmaps unsupported (indicator != 255)")
+              u8(s, 5) match {
+                case 255 => () // no bitmap
+                case 0   => bitmap = s // bits start at octet 7 (index 6)
+                case ind => sys.error(
+                  s"bitmap indicator $ind unsupported (need 0 or 255)")
+              }
             case 7 =>
               val s = readAt(ch, cur, secLen.toInt)
               val p = packing
@@ -345,9 +361,32 @@ object Grib2File {
                   val br = new BitReader(s, 5)
                   Array.fill(p.nVals)(br.take(p.bpv))
                 } else decodeComplex(s, p)
-              values = new Array[Double](p.nVals)
+              val present = new Array[Double](p.nVals)
               var k = 0
-              while (k < p.nVals) { values(k) = r + xs(k) * scale; k += 1 }
+              while (k < p.nVals) { present(k) = r + xs(k) * scale; k += 1 }
+              values =
+                if (bitmap == null) present
+                else {
+                  val n = info.ni * info.nj
+                  require(bitmap.limit() - 6 >= (n + 7) / 8,
+                    s"bitmap too short: ${bitmap.limit() - 6} bytes for $n points")
+                  val full = new Array[Double](n)
+                  var src = 0
+                  var i = 0
+                  while (i < n) {
+                    val bit = (u8(bitmap, 6 + (i >> 3)) >> (7 - (i & 7))) & 1
+                    if (bit == 1) {
+                      require(src < p.nVals,
+                        s"bitmap sets more bits than $src >= ${p.nVals} packed values")
+                      full(i) = present(src)
+                      src += 1
+                    } else full(i) = Double.NaN
+                    i += 1
+                  }
+                  require(src == p.nVals,
+                    s"bitmap covers $src of ${p.nVals} packed values")
+                  full
+                }
             case _ => ()
           }
           cur += secLen

@@ -71,6 +71,52 @@ class GribSpec extends SparkSpec {
     assert(m.values.toSeq == expected)
   }
 
+  private val bitmapPath = "/root/repo/data/ens_bitmap.grib2"
+
+  test("bitmap (section 6 indicator 0) expands masked points to NaN") {
+    // mask drops k % 3 == 0 and the last point; present values follow the
+    // fixture formulas (simple-packed cf, complex-5.3-order-1 pf)
+    val infos = Grib2File.index(bitmapPath)
+    assert(infos.map(m => (m.dataType, m.number)) == Seq(("cf", 0), ("pf", 7)))
+    val masked = (k: Int) => k % 3 == 0 || k == 11
+    val cf = Grib2File.read(bitmapPath, infos(0))
+    assert(cf.values.length == 12)
+    (0 until 12).foreach { k =>
+      if (masked(k)) assert(cf.values(k).isNaN, s"k=$k should be NaN")
+      else assert(cf.values(k) == 200.0 + (k * 31) % 83, s"k=$k")
+    }
+    val pf = Grib2File.read(bitmapPath, infos(1))
+    (0 until 12).foreach { k =>
+      if (masked(k)) assert(pf.values(k).isNaN, s"k=$k should be NaN")
+      else assert(pf.values(k) == 700.0 + (k * k * 17) % 71, s"k=$k")
+    }
+  }
+
+  test("bitmap indicator 254 (previously defined) is rejected loudly") {
+    // hand-assemble a message whose section 6 says "use the previous
+    // bitmap" — cross-message decoder state the one-message-per-task
+    // model cannot honor
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bitmapPath))
+    val infos = Grib2File.index(bitmapPath)
+    val msg = java.util.Arrays.copyOfRange(src, 0, infos(0).length.toInt)
+    // find section 6 (walk sections from byte 16) and patch its indicator
+    var cur = 16
+    var patched = false
+    while (!patched) {
+      val len = ((msg(cur) & 0xFF) << 24) | ((msg(cur + 1) & 0xFF) << 16) |
+        ((msg(cur + 2) & 0xFF) << 8) | (msg(cur + 3) & 0xFF)
+      if ((msg(cur + 4) & 0xFF) == 6) { msg(cur + 5) = 254.toByte; patched = true }
+      else cur += len
+    }
+    val f = java.io.File.createTempFile("grib254", ".grib2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, msg)
+    val info = Grib2File.index(f.getAbsolutePath).head
+    val e = intercept[RuntimeException](Grib2File.read(f.getAbsolutePath, info))
+    assert(e.getMessage.contains("bitmap indicator 254"))
+  }
+
   test("graft-grib source unpivots messages to long rows") {
     val df = spark.read.format("graft-grib").option("path", pfPath).load()
     assert(df.columns.toSeq ==

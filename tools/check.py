@@ -15,6 +15,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+marker = Path(outdir) / "SUBSET_RUN"
+if marker.exists():
+    print(f"WARNING: {marker} present — Verify ran with {marker.read_text().strip()};"
+          " unlisted queries below compare STALE dumps. Not a full gate run.")
+
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
 results = {}
 for name, sql in sorted(oracle.items()):

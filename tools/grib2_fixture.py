@@ -32,7 +32,14 @@ def sec(num: int, body: bytes) -> bytes:
     return struct.pack(">IB", 5 + len(body), num) + body
 
 
-def message(ens_type: int, number: int, values: list) -> bytes:
+def bitmap_sec(mask: list) -> bytes:
+    """Section 6 with indicator 0: one MSB-first bit per grid point,
+    1 = datum present, 0 = missing (WMO spec section 6)."""
+    bits = "".join(str(b) for b in mask)
+    return sec(6, struct.pack(">B", 0) + _pad_bits(bits))
+
+
+def message(ens_type: int, number: int, values: list, mask=None) -> bytes:
     # section 1: identification (centre 98/ECMWF, forecast data)
     s1 = sec(1, struct.pack(">HHBBBHBBBBBBB", 98, 0, 2, 1, 1,
                             2026, 1, 1, 0, 0, 0, 0, 1))
@@ -50,10 +57,11 @@ def message(ens_type: int, number: int, values: list) -> bytes:
     tmpl4 += struct.pack(">BbI", 255, 0, 0)    # second fixed surface
     tmpl4 += struct.pack(">BBB", ens_type, number, 3)
     s4 = sec(4, struct.pack(">HH", 0, 1) + tmpl4)
-    # section 5: simple packing, R=0 E=0 D=0, 16 bits
-    s5 = sec(5, struct.pack(">IHfhhBB", NI * NJ, 0, 0.0, 0, 0, BPV, 0))
-    # section 6: no bitmap
-    s6 = sec(6, struct.pack(">B", 255))
+    # section 5: simple packing, R=0 E=0 D=0, 16 bits; nVals counts only
+    # the PRESENT (packed) points when a bitmap applies
+    s5 = sec(5, struct.pack(">IHfhhBB", len(values), 0, 0.0, 0, 0, BPV, 0))
+    # section 6: bitmap (indicator 0) or none (255)
+    s6 = bitmap_sec(mask) if mask is not None else sec(6, struct.pack(">B", 255))
     # section 7: big-endian 16-bit packed values
     s7 = sec(7, b"".join(struct.pack(">H", int(v)) for v in values))
     body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
@@ -86,14 +94,19 @@ def _sm_bytes(v: int, octets: int) -> bytes:
     return raw.to_bytes(octets, "big")
 
 
-def message_complex(product, vals: list, order: int, ngroups: int = 3) -> bytes:
+def message_complex(product, vals: list, order: int, ngroups: int = 3,
+                    mask=None) -> bytes:
     """One GRIB2 message with complex packing (template 5.2 if order==0,
     else 5.3 with spatial differencing of the given order). `product` is
     None for product template 4.0 (deterministic) or (ens_type, number)
-    for 4.1. R=0, E=0, D=0 so integer values survive exactly.
+    for 4.1. R=0, E=0, D=0 so integer values survive exactly. With a
+    `mask`, `vals` holds only the PRESENT points (spatial differencing
+    and grouping operate on the compressed present-only sequence, per
+    the spec's bitmap+packing composition) and section 6 carries the
+    bitmap.
     """
     n = len(vals)
-    assert n == NI * NJ
+    assert n == (NI * NJ if mask is None else sum(mask))
     if order:
         if order == 1:
             d = [vals[k] - vals[k - 1] for k in range(1, n)]
@@ -148,7 +161,7 @@ def message_complex(product, vals: list, order: int, ngroups: int = 3) -> bytes:
     if order:
         tmpl5 += struct.pack(">BB", order, ww)
     s5 = sec(5, tmpl5)
-    s6 = sec(6, struct.pack(">B", 255))
+    s6 = bitmap_sec(mask) if mask is not None else sec(6, struct.pack(">B", 255))
 
     body = b""
     if order:
@@ -216,8 +229,38 @@ def main() -> None:
         "value": pa.array([r[4] for r in crows], pa.float64()),
     })
     pq.write_table(ctable, os.path.join(OUT, "ens_complex_expected.parquet"))
+
+    # bitmap-masked messages (section 6 indicator 0) — the shape genuine
+    # masked CDS fields (ocean/invalid cells) arrive in. One simple-packed
+    # control and one complex-5.3-order-1 perturbed member share a mask
+    # that drops every third point plus the first/last (edge bits of the
+    # bitmap bytes). Expected parquet lists PRESENT points only — the
+    # masked points decode to NaN and the query drops them, mirroring
+    # cfgrib NaN + the reference's drop-NA.
+    npts = NI * NJ
+    bmask = [0 if (k % 3 == 0 or k == npts - 1) else 1 for k in range(npts)]
+    cf_full = [200 + (k * 31) % 83 for k in range(npts)]
+    pf_full = [700 + (k * k * 17) % 71 for k in range(npts)]
+    cf_present = [v for v, b in zip(cf_full, bmask) if b]
+    pf_present = [v for v, b in zip(pf_full, bmask) if b]
+    with open(os.path.join(OUT, "ens_bitmap.grib2"), "wb") as f:
+        f.write(message(ens_type=1, number=0, values=cf_present, mask=bmask))
+        f.write(message_complex((3, 7), pf_present, order=1, mask=bmask))
+    brows = [(dt, num, LA1 - (k // NI) * DJ, LO1 + (k % NI) * DI,
+              float(full[k]))
+             for dt, num, full in [("cf", 0, cf_full), ("pf", 7, pf_full)]
+             for k in range(npts) if bmask[k]]
+    btable = pa.table({
+        "data_type": pa.array([r[0] for r in brows], pa.string()),
+        "number": pa.array([r[1] for r in brows], pa.int32()),
+        "latitude": pa.array([r[2] for r in brows], pa.float64()),
+        "longitude": pa.array([r[3] for r in brows], pa.float64()),
+        "value": pa.array([r[4] for r in brows], pa.float64()),
+    })
+    pq.write_table(btable, os.path.join(OUT, "ens_bitmap_expected.parquet"))
     print("wrote ens_cf.grib2, ens_pf.grib2, ens_expected.parquet, "
-          "ens_complex.grib2, ens_complex_expected.parquet")
+          "ens_complex.grib2, ens_complex_expected.parquet, "
+          "ens_bitmap.grib2, ens_bitmap_expected.parquet")
 
 
 if __name__ == "__main__":
