@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * the batched seam, emitting dimensions + an exact pooled-intensity
   * embedding). AUDIO decode is REAL (`decodeWav`: pure-JVM RIFF/WAVE
   * 16-bit PCM parser, same seam, pooled |sample| profile). VIDEO decode
-  * is REAL for RIFF/AVI containers with uncompressed DIB frames
-  * (`decodeAviFrames`: container walk + bottom-up BGR row decode +
-  * frame sampling); compressed video codecs have no pure-JVM decoder —
-  * they would slot in at the same seam, and `decodeStub` remains as the
+  * is REAL for RIFF/AVI containers with uncompressed DIB frames AND
+  * MJPEG (`decodeAviFrames`: container walk + bottom-up BGR row decode
+  * or per-frame javax.imageio JPEG decode + frame sampling); other
+  * compressed codecs have no pure-JVM decoder — they would slot in at
+  * the same seam, and `decodeStub` remains as the
   * documented placeholder. Everything around all three — schema, batching,
   * partitioning, the explode shape of frame sampling — is real Spark and
   * is what matters at 100 TB: payloads stay distributed, metadata is
@@ -194,6 +195,10 @@ object Multimodal {
             while (off + 8 <= m.payload.length && dataOff < 0) {
               val id = bb.getInt(off)
               val size = bb.getInt(off + 4)
+              // a hostile/corrupt size (negative, or past the payload end)
+              // must fail loudly, not wedge the walk in a non-advancing loop
+              require(size >= 0 && off + 8 + size <= m.payload.length,
+                s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
               if (id == 0x20746D66) { // "fmt "
                 require((bb.getShort(off + 8) & 0xFFFF) == 1,
                   s"media_id=${m.media_id}: not integer PCM")
@@ -241,14 +246,18 @@ object Multimodal {
       media_id: Long, frame_idx: Int, width: Int, height: Int, n_frames: Int,
       pix_sum: Long, p00: Double, p01: Double, p10: Double, p11: Double)
 
-  /** REAL video decode: pure-JVM RIFF/AVI container parse with
-    * UNCOMPRESSED 24-bit DIB frames (biCompression=0 — the codec a JVM
-    * can decode without native libs; compressed codecs would slot in at
-    * the same seam), frame-sampled every `everyNth` frame. One output
-    * row per sampled frame — the explode shape of `sampleFrames` with a
-    * real decoder behind it. DIB rows are bottom-up BGR padded to 4
-    * bytes; outputs use top-down image coordinates and the same exact
-    * integer-sum + 2x2 pooled-mean contract as `decodeImages`.
+  /** REAL video decode: pure-JVM RIFF/AVI container parse, frame-sampled
+    * every `everyNth` frame, for two codecs:
+    *  - UNCOMPRESSED 24-bit DIB (biCompression=0): bottom-up BGR rows
+    *    padded to 4 bytes, decoded by direct byte walk ("00db" chunks);
+    *  - MJPEG (biCompression='MJPG'): each "00dc" chunk is a standalone
+    *    baseline JPEG, decoded via javax.imageio — the most common legacy
+    *    AVI payload, still zero native deps.
+    * One output row per sampled frame — the explode shape of
+    * `sampleFrames` with a real decoder behind it. Outputs use top-down
+    * image coordinates and the same exact integer-sum + 2x2 pooled-mean
+    * contract as `decodeImages` (MJPEG pools run over the decoded
+    * raster's bands — 1 for grayscale).
     */
   def decodeAviFrames(media: DataFrame, everyNth: Int = 3,
       batchSize: Int = 16): DataFrame = {
@@ -265,22 +274,34 @@ object Multimodal {
               s"media_id=${m.media_id}: not a RIFF/AVI file")
             var w = 0
             var h = 0
-            val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var mjpeg = false
+            // (offset, size) of each frame chunk's payload
+            val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
             // walk chunks, descending into LIST payloads
             def walk(from: Int, to: Int): Unit = {
               var off = from
               while (off + 8 <= to) {
                 val id = bb.getInt(off)
                 val size = bb.getInt(off + 4)
+                // a hostile/corrupt size (negative, or past the end of the
+                // enclosing list) must fail loudly, not wedge the walk in a
+                // non-advancing loop
+                require(size >= 0 && off + 8 + size <= to,
+                  s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
                 if (id == 0x5453494C) walk(off + 12, off + 8 + size) // LIST
                 else if (id == 0x66727473) { // "strf" = BITMAPINFOHEADER
                   w = bb.getInt(off + 12)
                   h = bb.getInt(off + 16)
-                  require((bb.getShort(off + 22) & 0xFFFF) == 24,
-                    s"media_id=${m.media_id}: only 24-bit DIB supported")
-                  require(bb.getInt(off + 24) == 0,
-                    s"media_id=${m.media_id}: compressed AVI unsupported")
-                } else if (id == 0x62643030) frames += off + 8 // "00db"
+                  bb.getInt(off + 24) match {
+                    case 0 => // uncompressed DIB
+                      require((bb.getShort(off + 22) & 0xFFFF) == 24,
+                        s"media_id=${m.media_id}: only 24-bit DIB supported")
+                    case 0x47504A4D => mjpeg = true // 'MJPG'
+                    case c => sys.error(
+                      s"media_id=${m.media_id}: unsupported AVI compression 0x${c.toHexString}")
+                  }
+                } else if (id == 0x62643030 || id == 0x63643030) // 00db | 00dc
+                  frames += ((off + 8, size))
                 off += 8 + size + (size & 1)
               }
             }
@@ -289,28 +310,57 @@ object Multimodal {
               s"media_id=${m.media_id}: missing strf/frames")
             val rowLen = (w * 3 + 3) / 4 * 4
             (0 until frames.length by everyNth).map { f =>
-              val base = frames(f)
+              val (base, fsize) = frames(f)
               var total = 0L
               val cellSum = new Array[Long](grid * grid)
               val cellN = new Array[Long](grid * grid)
-              var y = 0
-              while (y < h) {
-                val rowOff = base + (h - 1 - y) * rowLen // bottom-up rows
-                val cy = y * grid / h
-                var x = 0
-                while (x < w) {
-                  val cell = cy * grid + x * grid / w
-                  var ch = 0
-                  while (ch < 3) {
-                    val v = m.payload(rowOff + x * 3 + ch) & 0xFF
-                    total += v
-                    cellSum(cell) += v
-                    ch += 1
+              if (mjpeg) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload, base, fsize))
+                require(img != null,
+                  s"media_id=${m.media_id}: undecodable MJPEG frame $f")
+                require(img.getWidth == w && img.getHeight == h,
+                  s"media_id=${m.media_id}: frame $f is ${img.getWidth}x${img.getHeight}, strf says ${w}x$h")
+                val raster = img.getRaster
+                val c = raster.getNumBands
+                var y = 0
+                while (y < h) {
+                  val cy = y * grid / h
+                  var x = 0
+                  while (x < w) {
+                    val cell = cy * grid + x * grid / w
+                    var b = 0
+                    while (b < c) {
+                      val v = raster.getSample(x, y, b)
+                      total += v
+                      cellSum(cell) += v
+                      b += 1
+                    }
+                    cellN(cell) += c
+                    x += 1
                   }
-                  cellN(cell) += 3
-                  x += 1
+                  y += 1
                 }
-                y += 1
+              } else {
+                var y = 0
+                while (y < h) {
+                  val rowOff = base + (h - 1 - y) * rowLen // bottom-up rows
+                  val cy = y * grid / h
+                  var x = 0
+                  while (x < w) {
+                    val cell = cy * grid + x * grid / w
+                    var ch = 0
+                    while (ch < 3) {
+                      val v = m.payload(rowOff + x * 3 + ch) & 0xFF
+                      total += v
+                      cellSum(cell) += v
+                      ch += 1
+                    }
+                    cellN(cell) += 3
+                    x += 1
+                  }
+                  y += 1
+                }
               }
               def pool(i: Int): Double = cellSum(i).toDouble / cellN(i)
               AviFrame(m.media_id, f, w, h, frames.length, total,

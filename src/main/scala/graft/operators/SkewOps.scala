@@ -37,6 +37,9 @@ object SkewOps {
     * that cannot be broadcast: left rows get a random salt in [0, salt),
     * right rows are replicated `salt` times, and the join key becomes
     * (key, salt) — one hot key now lands on `salt` different reducers.
+    * Blanket form: EVERY right row replicates `salt`×; at 100 TB with a
+    * non-tiny right side prefer [[saltedJoinHotKeys]], which replicates
+    * only the keys that are actually hot.
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame,
@@ -46,5 +49,43 @@ object SkewOps {
     val r = right
       .withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Left-side keys whose row count reaches `threshold` — the candidates
+    * that actually need salting. One map-side-combined count aggregate
+    * (algebraic, so the hot key itself cannot skew the partials), and the
+    * output is at most |left| / threshold keys — small by construction,
+    * hence broadcastable.
+    */
+  def hotKeys(left: DataFrame, key: String, threshold: Long): DataFrame =
+    left.groupBy(key)
+      .agg(count(lit(1)).as("_freq"))
+      .filter(col("_freq") >= threshold)
+      .select(key)
+
+  /** Hot-key-only salted join — the 100 TB-safe refinement of
+    * [[saltedJoin]]: a cheap count pass finds the left keys at or above
+    * `hotThreshold`; ONLY those keys take the salted path (right rows
+    * for hot keys replicate `salt`×), while the cold remainder takes a
+    * plain join. The hot-key set is broadcast to split both sides, so
+    * the split adds no shuffle; the union of the two paths is row-for-row
+    * the plain join. Blanket `salt`× replication of the right side is the
+    * difference between a skew fix and a `salt`× tax when the right side
+    * is millions of rows.
+    */
+  def saltedJoinHotKeys(
+      left: DataFrame, right: DataFrame,
+      key: String, salt: Int, hotThreshold: Long): DataFrame = {
+    val hot = broadcast(
+      hotKeys(left, key, hotThreshold).withColumn("_hot", lit(true)))
+    def split(df: DataFrame): (DataFrame, DataFrame) = {
+      val tagged = df.join(hot, Seq(key), "left")
+      (tagged.filter(col("_hot").isNotNull).drop("_hot"),
+        tagged.filter(col("_hot").isNull).drop("_hot"))
+    }
+    val (lHot, lCold) = split(left)
+    val (rHot, rCold) = split(right)
+    saltedJoin(lHot, rHot, key, salt)
+      .unionByName(lCold.join(rCold, Seq(key)))
   }
 }

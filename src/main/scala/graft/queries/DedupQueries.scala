@@ -232,7 +232,89 @@ object DedupQueries {
              p00, p01, p10, p11
       FROM '/root/repo/data/avi_expected.parquet'"""))
 
+  /** REAL compressed-video decode: MJPEG AVI — the most common legacy AVI
+    * payload — where each "00dc" chunk is a standalone baseline JPEG
+    * decoded via javax.imageio (still zero native deps). The fixture AVIs
+    * are assembled by the independent python container writer around
+    * JPEGs from the independent pure-stdlib encoder (tools/jpeg_min.py):
+    * uniform DC-only 8x8 blocks under an all-ones quant table decode
+    * EXACTLY, so the oracle parquet is computed from the block-value
+    * FORMULA and the hash match cross-validates container walk, JPEG
+    * entropy coding, and the pooled-stats contract end-to-end.
+    */
+  val q102AviMjpeg = Q(
+    "q102_avi_mjpeg",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/avi_mjpg/*.avi")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.decodeAviFrames(media, everyNth = 3)
+    },
+    Some("""
+      SELECT media_id, frame_idx, width, height, n_frames, pix_sum,
+             p00, p01, p10, p11
+      FROM '/root/repo/data/avi_mjpg_expected.parquet'"""))
+
+  /** Similarity over REAL decoded features — the embedding is a pure
+    * function of decoded pixels/samples, not of md5(payload): images
+    * contribute their 2x2 pooled-intensity grid (decodeImages), audio its
+    * 4-bin |sample| profile (decodeWav), both from the real byte-level
+    * decoders; cosine top-k runs over the union (audio ids offset +1000).
+    * The oracle computes the same cosines from the FORMULA-derived
+    * expected parquets of the independent python writers, so the hash
+    * match cross-validates decode ∘ embed ∘ top-k end-to-end. This is the
+    * honest classical-feature stand-in for the model-inference seam
+    * (`embedStub` remains the documented placeholder for a learned
+    * embedding).
+    */
+  val q101FeatureEmbedSim = Q(
+    "q101_feature_embed_sim",
+    (s, _) => {
+      def files(glob: String, re: String) =
+        s.read.format("binaryFile").load(glob)
+          .select(regexp_extract(col("path"), re, 1).cast("long").as("media_id"),
+            col("content").as("payload"))
+      val img = Multimodal.decodeImages(
+          files("/root/repo/data/png/*.png", "img_(\\d+)\\.png$"))
+        .select(col("media_id"),
+          array(col("p00"), col("p01"), col("p10"), col("p11")).as("emb"))
+      val aud = Multimodal.decodeWav(
+          files("/root/repo/data/wav/*.wav", "clip_(\\d+)\\.wav$"))
+        .select((col("media_id") + 1000).as("media_id"),
+          array(col("b0"), col("b1"), col("b2"), col("b3")).as("emb"))
+      val all = img.unionByName(aud)
+      val q = all.filter(col("media_id") === 1).select(col("emb").as("qemb"))
+      all.filter(col("media_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("media_id"),
+          round(VectorOps.cosine(col("emb"), col("qemb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("media_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH img AS (
+        SELECT media_id, [p00, p01, p10, p11] AS emb
+        FROM '/root/repo/data/png_expected.parquet'),
+      aud AS (
+        SELECT media_id + 1000 AS media_id, [b0, b1, b2, b3] AS emb
+        FROM '/root/repo/data/wav_expected.parquet'),
+      alle AS (SELECT * FROM img UNION ALL SELECT * FROM aud),
+      q AS (SELECT emb AS qemb FROM alle WHERE media_id = 1),
+      sims AS (
+        SELECT a.media_id,
+               round(list_sum([a.emb[i] * q.qemb[i] for i in generate_series(1, 4)])
+                     / (sqrt(list_sum([a.emb[i] * a.emb[i] for i in generate_series(1, 4)]))
+                        * sqrt(list_sum([q.qemb[i] * q.qemb[i] for i in generate_series(1, 4)]))),
+                     6) AS cos_sim
+        FROM alle a, q WHERE a.media_id <> 1)
+      SELECT media_id, cos_sim
+      FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
-      q80PngDecode, q92WavDecode, q94AviDecode)
+      q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
+      q102AviMjpeg)
 }

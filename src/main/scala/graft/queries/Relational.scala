@@ -648,11 +648,46 @@ object Relational {
       FROM lineitem JOIN dim USING (l_returnflag)
       GROUP BY 1"""))
 
+  /** Hot-key-only salted join through the gate (SkewOps.saltedJoinHotKeys
+    * — the refinement where ONLY keys above a frequency threshold take
+    * the salted path and the cold remainder plain-joins): a synthetic
+    * 70/30 skew puts ~70% of lineitem on one 'HOT' key and spreads the
+    * rest over ~1000 cold keys, so with threshold 1000 exactly the hot
+    * key salts (SkewAndExtensionsSpec pins that) and both paths carry
+    * rows. The oracle is the PLAIN join — the two-path union must not
+    * change a single row.
+    */
+  val q103HotkeySaltedJoin = Q(
+    "q103_hotkey_salted_join",
+    (s, dir) => {
+      val k = when(col("l_orderkey") % 10 < 7, lit("HOT"))
+        .otherwise(concat(lit("c"), (col("l_orderkey") % 1000).cast("string")))
+      val fact = t(s, dir)("lineitem").select(k.as("k"), col("l_quantity"))
+      val dim = fact.select("k").distinct()
+        .withColumn("bucket", substring(col("k"), 1, 2))
+      graft.operators.SkewOps.saltedJoinHotKeys(
+          fact, dim, "k", salt = 16, hotThreshold = 1000L)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          Sql.exactSum(col("l_quantity")).as("sum_qty"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 'HOT'
+                    ELSE 'c' || CAST(l_orderkey % 1000 AS VARCHAR) END AS k,
+               l_quantity
+        FROM lineitem),
+      d AS (SELECT DISTINCT k, substr(k, 1, 2) AS bucket FROM f)
+      SELECT bucket, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+      FROM f JOIN d USING (k)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q01AggQuantiles, q02FilterProject, q03CaseLadder, q04JoinBroadcast,
     q05JoinMulti, q06Top1PerGroup, q07WindowMax, q08ControlJoinBack,
     q09Union, q10DenseUniverse, q11SortTopK, q12DateDerive, q13ExceedFlags,
     q14Haversine, q15Md5, q16Wkt, q17TileParse, q18MinMaxProbe,
     q19SemiJoin, q20RoundedKeyJoin, q93BucketedJoin, q95SaltedAgg,
-    q96SaltedJoin)
+    q96SaltedJoin, q103HotkeySaltedJoin)
 }

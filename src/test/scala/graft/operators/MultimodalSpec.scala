@@ -124,6 +124,46 @@ class MultimodalSpec extends SparkSpec {
       e2.getCause.getMessage.contains("not a RIFF/AVI"))
   }
 
+  test("corrupt RIFF chunk size fails loudly instead of looping forever") {
+    // a chunk whose u32 size reads as -8 would make off advance by 0 —
+    // the walk must reject it with the media_id-tagged message
+    def riff(form: String): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes); out.putInt(24); out.put(form.getBytes)
+      out.put("junk".getBytes); out.putInt(-8) // hostile size
+      out.put(new Array[Byte](12))
+      out.array()
+    }
+    val badWav = Seq((7L, riff("WAVE"))).toDF("media_id", "payload")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(badWav).collect()
+    }
+    assert(e1.getMessage.contains("corrupt RIFF chunk size") ||
+      e1.getCause.getMessage.contains("corrupt RIFF chunk size"))
+    val badAvi = Seq((8L, riff("AVI "))).toDF("media_id", "payload")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAviFrames(badAvi).collect()
+    }
+    assert(e2.getMessage.contains("corrupt RIFF chunk size") ||
+      e2.getCause.getMessage.contains("corrupt RIFF chunk size"))
+  }
+
+  test("decodeAviFrames decodes MJPEG clips exactly (DC-only blocks)") {
+    val media = spark.read.format("binaryFile")
+      .load("/root/repo/data/avi_mjpg/clip_1.avi")
+      .select(lit(1L).as("media_id"), col("content").as("payload"))
+    val rows = Multimodal.decodeAviFrames(media, everyNth = 3).collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 3, 6))
+    val f3 = rows.find(_.getAs[Int]("frame_idx") == 3).get
+    // block_val(c=1, f=3, by, bx) = (37*3 + 11*by + 23*bx + 97) % 256 on a
+    // 4x2 block grid; each uniform 8x8 block contributes 64 * value
+    val expected = (for { by <- 0 until 2; bx <- 0 until 4 }
+      yield 64L * ((37 * 3 + 11 * by + 23 * bx + 97) % 256)).sum
+    assert(f3.getAs[Long]("pix_sum") == expected)
+    assert(f3.getAs[Int]("width") == 32 && f3.getAs[Int]("height") == 16)
+  }
+
   test("decodeAviFrames samples frames with bottom-up row flip applied") {
     val media = spark.read.format("binaryFile")
       .load("/root/repo/data/avi/clip_3.avi")

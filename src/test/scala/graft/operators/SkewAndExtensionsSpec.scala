@@ -33,6 +33,29 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(got == Seq(("cold", 1L, 20L), ("hot", 500L, 5000L)))
   }
 
+  test("saltedJoinHotKeys replicates ONLY hot keys and equals the plain join") {
+    // one hot key (90% of rows) + 100 cold keys; threshold 100 isolates it
+    val left = ((1 to 900).map(i => ("hot", i)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "lv").repartition(8)
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .map(k => (k, s"name_$k")).toDF("k", "rv")
+    // pin the frequency split: exactly the hot key crosses the threshold,
+    // so ONLY it takes the salted (replicated) path
+    val hot = SkewOps.hotKeys(left, "k", threshold = 100L)
+      .as[String].collect().toSeq
+    assert(hot == Seq("hot"))
+    val got = SkewOps.saltedJoinHotKeys(left, right, "k", salt = 8,
+        hotThreshold = 100L)
+      .groupBy("k").agg(count(lit(1)).as("n"), min("rv").as("r"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val want = left.join(right, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), min("rv").as("r"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // rows on both paths: hot path carries 900, cold path 100
+    assert(got.map(_(1).asInstanceOf[Long]).sum == 1000L)
+  }
+
   test("GraftExtensions registers pandas_float_str for SQL use") {
     graft.GraftExtensions.register(spark)
     val got = spark.sql(

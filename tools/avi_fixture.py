@@ -74,6 +74,89 @@ def avi_bytes(c, w, h, n):
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+# ---------------------------------------------------------------------------
+# MJPEG clips: each "00dc" chunk is a standalone baseline grayscale JPEG
+# written by the independent pure-stdlib encoder in jpeg_min.py. Blocks are
+# uniform 8x8 with an all-ones quant table, so decode is exact and the
+# expected parquet is a pure FORMULA of block_val — same cross-validation
+# story as the DIB clips.
+# ---------------------------------------------------------------------------
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from jpeg_min import encode_gray_blocks  # noqa: E402
+
+MJPG_DIR = "/root/repo/data/avi_mjpg"
+MJPG_EXPECTED = "/root/repo/data/avi_mjpg_expected.parquet"
+
+MJPG_CLIPS = [  # (clip_id, blocks_w, blocks_h, n_frames)
+    (1, 4, 2, 7),   # 32x16
+    (2, 3, 3, 5),   # 24x24
+]
+
+
+def block_val(c, f, by, bx):
+    return (37 * f + 11 * by + 23 * bx + 97 * c) % 256
+
+
+def mjpg_avi_bytes(c, bw_, bh, n):
+    w, h = 8 * bw_, 8 * bh
+    frames = [encode_gray_blocks(
+        [[block_val(c, f, by, bx) for bx in range(bw_)] for by in range(bh)],
+        bw_, bh) for f in range(n)]
+    fsize = max(len(fr) for fr in frames)
+    avih = struct.pack("<14I", 33333, fsize * 30, 0, 0x10, n, 0, 1, fsize,
+                       w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" +
+            struct.pack("<I", 0) + struct.pack("<HH", 0, 0) +
+            struct.pack("<8I", 0, 1, 30, 0, n, fsize, 0xFFFFFFFF, 0) +
+            struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+                       fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def mjpg_rows():
+    rows = []
+    for c, bw_, bh, n in MJPG_CLIPS:
+        w, h = 8 * bw_, 8 * bh
+        for f in range(0, n, EVERY):
+            total = 0
+            cell_sum = [0] * 4
+            cell_n = [0] * 4
+            for y in range(h):
+                for x in range(w):
+                    cell = (y * 2 // h) * 2 + (x * 2 // w)
+                    v = block_val(c, f, y // 8, x // 8)
+                    total += v
+                    cell_sum[cell] += v
+                    cell_n[cell] += 1
+            rows.append({
+                "media_id": c, "frame_idx": f, "width": w, "height": h,
+                "n_frames": n, "pix_sum": total,
+                "p00": cell_sum[0] / cell_n[0], "p01": cell_sum[1] / cell_n[1],
+                "p10": cell_sum[2] / cell_n[2], "p11": cell_sum[3] / cell_n[3],
+            })
+    return rows
+
+
+def rows_to_table(rows):
+    return pa.table({
+        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+        "frame_idx": pa.array([r["frame_idx"] for r in rows], pa.int32()),
+        "width": pa.array([r["width"] for r in rows], pa.int32()),
+        "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
+        "pix_sum": pa.array([r["pix_sum"] for r in rows], pa.int64()),
+        "p00": pa.array([r["p00"] for r in rows], pa.float64()),
+        "p01": pa.array([r["p01"] for r in rows], pa.float64()),
+        "p10": pa.array([r["p10"] for r in rows], pa.float64()),
+        "p11": pa.array([r["p11"] for r in rows], pa.float64()),
+    })
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     rows = []
@@ -99,20 +182,18 @@ def main():
                 "p10": cell_sum[2] / cell_n[2], "p11": cell_sum[3] / cell_n[3],
             })
         print(f"{path}: {w}x{h} x{n} frames")
-    table = pa.table({
-        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
-        "frame_idx": pa.array([r["frame_idx"] for r in rows], pa.int32()),
-        "width": pa.array([r["width"] for r in rows], pa.int32()),
-        "height": pa.array([r["height"] for r in rows], pa.int32()),
-        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
-        "pix_sum": pa.array([r["pix_sum"] for r in rows], pa.int64()),
-        "p00": pa.array([r["p00"] for r in rows], pa.float64()),
-        "p01": pa.array([r["p01"] for r in rows], pa.float64()),
-        "p10": pa.array([r["p10"] for r in rows], pa.float64()),
-        "p11": pa.array([r["p11"] for r in rows], pa.float64()),
-    })
+    table = rows_to_table(rows)
     pq.write_table(table, EXPECTED, compression="zstd")
     print(f"{EXPECTED}: {table.num_rows} rows")
+
+    os.makedirs(MJPG_DIR, exist_ok=True)
+    for c, bw_, bh, n in MJPG_CLIPS:
+        path = f"{MJPG_DIR}/clip_{c}.avi"
+        open(path, "wb").write(mjpg_avi_bytes(c, bw_, bh, n))
+        print(f"{path}: {8*bw_}x{8*bh} x{n} MJPEG frames")
+    mtable = rows_to_table(mjpg_rows())
+    pq.write_table(mtable, MJPG_EXPECTED, compression="zstd")
+    print(f"{MJPG_EXPECTED}: {mtable.num_rows} rows")
 
 
 if __name__ == "__main__":
