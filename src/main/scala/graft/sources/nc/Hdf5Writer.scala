@@ -292,7 +292,45 @@ object Hdf5Writer {
     val bTreeAddr = lonDataAddr + nLon * 8L
     // node: sig+type+level+nEntries + 2 siblings, n*(key+child) + final key
     val keySize = 8 + 8 * 3
-    val bTreeSize = 8 + 16 + nChunks * (keySize + 8) + keySize
+    def nodeSize(n: Int): Int = 8 + 16 + n * (keySize + 8) + keySize
+    // ------ B-tree shape: libhdf5's default indexed-storage K is 32
+    // (superblock v0 carries no field to raise it), so real HDF5/netcdf-c
+    // readers reject nodes with more than 2K = 64 entries. Split into a
+    // multi-level v1 B-tree: leaves of <= 64 chunks, internal levels of
+    // <= 64 children, until a single root. nChunks <= 64 stays the
+    // netcdf-c-verified single-leaf byte layout. ------
+    val maxEnt = 64
+    // nodesByLevel(0) = root level ... last = leaves;
+    // node = (firstChunk, endChunkExcl, childStart, childEndExcl)
+    val nodesByLevel: Array[Array[(Int, Int, Int, Int)]] = {
+      val leaves = (0 until nChunks).grouped(maxEnt)
+        .map(g => (g.head, g.last + 1, g.head, g.last + 1)).toArray
+      var levels = List(leaves)
+      while (levels.head.length > 1) {
+        val below = levels.head
+        levels = below.indices.grouped(maxEnt).map { g =>
+          (below(g.head)._1, below(g.last)._2, g.head, g.last + 1)
+        }.toArray :: levels
+      }
+      levels.toArray
+    }
+    val nLevels = nodesByLevel.length
+    // addresses: top-down, left-to-right, contiguous from bTreeAddr (the
+    // root sits AT bTreeAddr, where the layout message points)
+    val addrByLevel: Array[Array[Long]] = {
+      var cursor = bTreeAddr
+      nodesByLevel.zipWithIndex.map { case (nodes, li) =>
+        nodes.map { case (fc, ec, cs, ce) =>
+          val n = if (li == nLevels - 1) ec - fc else ce - cs
+          val a = cursor; cursor += nodeSize(n); a
+        }
+      }
+    }
+    val bTreeSize = nodesByLevel.zipWithIndex.map { case (nodes, li) =>
+      nodes.map { case (fc, ec, cs, ce) =>
+        nodeSize(if (li == nLevels - 1) ec - fc else ce - cs)
+      }.sum
+    }.sum
     val chunk0Addr = bTreeAddr + bTreeSize
     val chunkAddrs = chunkSizes.scanLeft(chunk0Addr)(_ + _)
     val eof = chunkAddrs.last
@@ -313,15 +351,39 @@ object Hdf5Writer {
     require(superblock.length == 96, s"superblock ${superblock.length}")
 
     val bTree = {
-      val b = new Buf().bytes("TREE".getBytes).u8(1).u8(0).u16(nChunks)
-      b.u64(Undef).u64(Undef)
-      for (ci <- 0 until nChunks) {
+      val b = new Buf
+      // key describing chunk `ci` (v1 B-tree type-1 key: stored size,
+      // filter mask, start offset per dim incl. the element-size dim)
+      def key(ci: Int): Unit = {
         b.u32(chunkSizes(ci)).u32(0L)
         b.u64(ci.toLong * chunkRows).u64(0L).u64(0L)
-        b.u64(chunkAddrs(ci))
       }
-      b.u32(0L).u32(0L) // final (upper-bound) key
-      b.u64(nChunks.toLong * chunkRows).u64(0L).u64(0L)
+      // node's final key: the first key of the next subtree, or the
+      // global upper bound after the last chunk
+      def upperKey(nextCi: Int): Unit =
+        if (nextCi < nChunks) key(nextCi)
+        else {
+          b.u32(0L).u32(0L)
+          b.u64(nChunks.toLong * chunkRows).u64(0L).u64(0L)
+        }
+      for (li <- 0 until nLevels; ni <- nodesByLevel(li).indices) {
+        val (fc, ec, cs, ce) = nodesByLevel(li)(ni)
+        val hdf5Level = nLevels - 1 - li // leaves are level 0
+        val isLeaf = hdf5Level == 0
+        val n = if (isLeaf) ec - fc else ce - cs
+        b.bytes("TREE".getBytes).u8(1).u8(hdf5Level).u16(n)
+        val sibs = addrByLevel(li)
+        b.u64(if (ni > 0) sibs(ni - 1) else Undef)
+        b.u64(if (ni < sibs.length - 1) sibs(ni + 1) else Undef)
+        if (isLeaf)
+          for (ci <- fc until ec) { key(ci); b.u64(chunkAddrs(ci)) }
+        else
+          for (c <- cs until ce) {
+            key(nodesByLevel(li + 1)(c)._1) // first chunk of the subtree
+            b.u64(addrByLevel(li + 1)(c))
+          }
+        upperKey(ec)
+      }
       b.toArray
     }
     require(bTree.length == bTreeSize, s"btree ${bTree.length} != $bTreeSize")

@@ -118,6 +118,48 @@ class Hdf5WriterSpec extends SparkSpec {
     }
   }
 
+  test(">64 chunks produce a multi-level B-tree real readers accept") {
+    // 300 rows at chunkRows=2 -> 150 chunks: libhdf5's default
+    // indexed-storage K=32 caps nodes at 64 entries, so this must emit
+    // a 2-level tree (3 leaves + root), not one oversized leaf
+    val nla = 300
+    val nlo = 5
+    val la = Array.tabulate(nla)(i => 80.0 - i * 0.25)
+    val lo = Array.tabulate(nlo)(j => 10.0 + j * 0.25)
+    val cells = for { i <- 0 until nla; j <- 0 until nlo if (i + j) % 3 != 0 }
+      yield (la(i), lo(j), ((i * 7 + j) % 89) * 0.25f)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_nc_deep.nc"
+    Hdf5Writer.writeGrid(cells.toDF("latitude", "longitude", "value"),
+      out, "v", "latitude", "longitude", "value", la, lo, chunkRows = 2)
+    // no leaf may exceed 64 entries, and the root must be level >= 1
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val nodes = (0 until bytes.length - 8).filter { o =>
+      bytes(o) == 'T' && bytes(o + 1) == 'R' && bytes(o + 2) == 'E' &&
+        bytes(o + 3) == 'E' && bytes(o + 4) == 1
+    }.map { o =>
+      val lvl = bytes(o + 5) & 0xFF
+      val n = (bytes(o + 6) & 0xFF) | ((bytes(o + 7) & 0xFF) << 8)
+      (lvl, n)
+    }
+    assert(nodes.exists(_._1 == 1), s"expected an internal level in $nodes")
+    assert(nodes.forall(_._2 <= 64), s"node over 64 entries: $nodes")
+    // and the full grid still round-trips exactly
+    val f = new Hdf5File(out)
+    try {
+      val band = f.readRowBand("v", 0, nla)
+      val bb = java.nio.ByteBuffer.wrap(band)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val want = cells.map { case (a, b, v) => (a, b) -> v }.toMap
+      for (i <- 0 until nla; j <- 0 until nlo) {
+        val got = bb.getFloat((i * nlo + j) * 4)
+        want.get((la(i), lo(j))) match {
+          case Some(v) => assert(got == v, s"($i,$j)")
+          case None => assert(got.isNaN, s"($i,$j)")
+        }
+      }
+    } finally f.close()
+  }
+
   test("empty row bands become all-fill chunks, not holes") {
     val df = Seq((lats(0), lons(0), 1.0f), (lats(22), lons(3), 2.5f))
       .toDF("latitude", "longitude", "value")
