@@ -507,6 +507,24 @@ object FloodQueries {
       SELECT data_type, number, latitude, longitude, value
       FROM '/root/repo/data/ens_bitmap_expected.parquet'"""))
 
+  /** S3 depth: PNG packing (GRIB2 data-representation template 5.41) —
+    * the one compressed GRIB representation a JVM decodes with zero
+    * native deps (the data section is a PNG image of the scaled values;
+    * javax.imageio reads it). The fixture message carries a 16-bit
+    * grayscale PNG written from the PNG spec with stdlib zlib by the
+    * independent python writer; the oracle is the value-formula parquet,
+    * so the hash match cross-validates both PNG implementations AND the
+    * template plumbing. (5.40 JPEG2000 remains out: no pure-JVM codec.)
+    */
+  val q104GribPng = Q(
+    "q104_grib_png",
+    (s, _) =>
+      s.read.format("graft-grib")
+        .option("path", "/root/repo/data/ens_png.grib2").load(),
+    Some("""
+      SELECT data_type, number, latitude, longitude, value
+      FROM '/root/repo/data/ens_png_expected.parquet'"""))
+
   /** S4 write-back: the NetCDF SINK (reference: upstream.py:52
     * `to_netcdf`, io_managers.py:222-223), exercised LIVE end-to-end:
     * a grid aggregated from `orders` is written as a single .nc by the
@@ -548,5 +566,5 @@ object FloodQueries {
 
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
-    q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap)
+    q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng)
 }

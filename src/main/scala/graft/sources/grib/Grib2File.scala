@@ -146,8 +146,8 @@ object Grib2File {
           case 5 =>
             val s = readAt(ch, cur, secLen.toInt)
             val t = u16(s, 9)
-            require(t == 0 || t == 2 || t == 3,
-              s"packing template $t unsupported (need 5.0 simple or 5.2/5.3 complex)")
+            require(t == 0 || t == 2 || t == 3 || t == 41,
+              s"packing template $t unsupported (need 5.0 simple, 5.2/5.3 complex, or 5.41 PNG)")
           case _ => () // 1 identification, 6 bitmap, 7 data: not needed here
         }
         cur += secLen
@@ -215,6 +215,9 @@ object Grib2File {
       sdOrder = 0, sdOctets = 0)
     template match {
       case 0 => base
+      // 5.41 PNG packing: scalar fields identical to 5.0; the data
+      // section holds a PNG image of the scaled values
+      case 41 => base
       case 2 | 3 =>
         require(u8(s, 22) == 0,
           "missing-value management unsupported (octet 23 != 0)")
@@ -308,6 +311,45 @@ object Grib2File {
     xs
   }
 
+  /** PNG packing (template 7.41): the data section holds a PNG image of
+    * the scaled values X, decoded via javax.imageio (pure JVM). Sample
+    * depth follows the encoder's bits-per-value: 1-8 → 8-bit grayscale,
+    * 9-16 → 16-bit grayscale, 24/32 → RGB/RGBA with X packed across the
+    * bands big-endian-wise (spec: WMO template 5.41/7.41). Pixels are
+    * the grid points in row-major scan order.
+    */
+  private def decodePng(s: ByteBuffer, p: Packing): Array[Long] = {
+    val png = new Array[Byte](s.limit() - 5)
+    var i = 0
+    while (i < png.length) { png(i) = s.get(5 + i); i += 1 }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "undecodable PNG-packed data section")
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = raster.getNumBands
+    require(w * h == p.nVals,
+      s"PNG dims ${w}x$h carry ${w * h} pixels for ${p.nVals} values")
+    val xs = new Array[Long](p.nVals)
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // grayscale: the single sample IS X (8 or 16 bit); RGB/RGBA:
+        // X packs across the 8-bit bands, first band most significant
+        var v = raster.getSample(x, y, 0).toLong
+        var b = 1
+        while (b < bands) { v = (v << 8) | raster.getSample(x, y, b); b += 1 }
+        xs(k) = v
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    xs
+  }
+
   /** Decode the packed payload of one message:
     * value = (R + X * 2^E) * 10^-D with X either a flat big-endian
     * `bitsPerValue`-wide bitstream (template 7.0) or group-unpacked
@@ -360,7 +402,8 @@ object Grib2File {
                     s"bits-per-value ${p.bpv} unsupported")
                   val br = new BitReader(s, 5)
                   Array.fill(p.nVals)(br.take(p.bpv))
-                } else decodeComplex(s, p)
+                } else if (p.template == 41) decodePng(s, p)
+                else decodeComplex(s, p)
               val present = new Array[Double](p.nVals)
               var k = 0
               while (k < p.nVals) { present(k) = r + xs(k) * scale; k += 1 }

@@ -142,4 +142,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_topkby"), p)
   }
+
+  test("q101: feature-embed top-k is TakeOrderedAndProject with a broadcast query vector") {
+    val p = plan("q101_feature_embed_sim")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: hot-key split tags both sides via broadcast, never a shuffle of the tag") {
+    val p = plan("q103_hotkey_salted_join")
+    // the hot-key set joins in as a broadcast on BOTH the left and right
+    // splits (4 tag joins total: 2 sides x hot/cold filters share scans)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -117,6 +117,15 @@ class GribSpec extends SparkSpec {
     assert(e.getMessage.contains("bitmap indicator 254"))
   }
 
+  test("PNG packing (template 5.41) decodes the 16-bit grayscale image") {
+    val path = "/root/repo/data/ens_png.grib2"
+    val infos = Grib2File.index(path)
+    assert(infos.map(m => (m.dataType, m.number)) == Seq(("pf", 21)))
+    val m = Grib2File.read(path, infos.head)
+    val expected = (0 until 12).map(k => ((1000 + k * 517) % 65536).toDouble)
+    assert(m.values.toSeq == expected)
+  }
+
   test("graft-grib source unpivots messages to long rows") {
     val df = spark.read.format("graft-grib").option("path", pfPath).load()
     assert(df.columns.toSeq ==

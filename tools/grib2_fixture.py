@@ -258,6 +258,61 @@ def main() -> None:
         "value": pa.array([r[4] for r in brows], pa.float64()),
     })
     pq.write_table(btable, os.path.join(OUT, "ens_bitmap_expected.parquet"))
+
+    # PNG packing (template 5.41/7.41): section 7 is a 16-bit grayscale
+    # PNG of the scaled values, built from the PNG spec with stdlib zlib
+    # (filter-0 scanlines, big-endian u16 samples) — independent of the
+    # JVM's javax.imageio decoder.
+    import zlib
+
+    def png_chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", zlib.crc32(typ + data)))
+
+    def png16(vals, w, h):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + b"".join(struct.pack(">H", vals[y * w + x])
+                               for x in range(w))
+            for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr) +
+                png_chunk(b"IDAT", zlib.compress(raw)) +
+                png_chunk(b"IEND", b""))
+
+    def message_png(ens_type, number, vals):
+        s1 = sec(1, struct.pack(">HHBBBHBBBBBBB", 98, 0, 2, 1, 1,
+                                2026, 1, 1, 0, 0, 0, 0, 1))
+        tmpl3 = struct.pack(">BBIBIBIIIII", 6, 0, 0, 0, 0, 0, 0, NI, NJ, 0, 0)
+        tmpl3 += struct.pack(">iI", int(LA1 * 1e6), int(LO1 * 1e6))
+        tmpl3 += struct.pack(">B", 0x30)
+        tmpl3 += struct.pack(">iI", int((LA1 - (NJ - 1) * DJ) * 1e6),
+                             int((LO1 + (NI - 1) * DI) * 1e6))
+        tmpl3 += struct.pack(">IIB", int(DI * 1e6), int(DJ * 1e6), 0)
+        s3 = sec(3, struct.pack(">BIBBH", 0, NI * NJ, 0, 0, 0) + tmpl3)
+        tmpl4 = struct.pack(">BBBBBHBBi", 0, 192, 2, 0, 0, 0, 0, 1, 24)
+        tmpl4 += struct.pack(">BbI", 1, 0, 0) + struct.pack(">BbI", 255, 0, 0)
+        s4 = sec(4, struct.pack(">HH", 0, 1) + tmpl4 +
+                 struct.pack(">BBB", ens_type, number, 3))
+        # template 5.41: same scalar fields as 5.0, bpv 16 -> 16-bit png
+        s5 = sec(5, struct.pack(">IHfhhBB", NI * NJ, 41, 0.0, 0, 0, 16, 0))
+        s6 = sec(6, struct.pack(">B", 255))
+        s7 = sec(7, png16(vals, NI, NJ))
+        body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
+        return b"GRIB" + struct.pack(">HBBQ", 0, 0, 2, 16 + len(body)) + body
+
+    pvals = [(1000 + k * 517) % 65536 for k in range(NI * NJ)]
+    with open(os.path.join(OUT, "ens_png.grib2"), "wb") as f:
+        f.write(message_png(3, 21, pvals))
+    prows = [("pf", 21, LA1 - j * DJ, LO1 + i * DI, float(pvals[j * NI + i]))
+             for j in range(NJ) for i in range(NI)]
+    ptable = pa.table({
+        "data_type": pa.array([r[0] for r in prows], pa.string()),
+        "number": pa.array([r[1] for r in prows], pa.int32()),
+        "latitude": pa.array([r[2] for r in prows], pa.float64()),
+        "longitude": pa.array([r[3] for r in prows], pa.float64()),
+        "value": pa.array([r[4] for r in prows], pa.float64()),
+    })
+    pq.write_table(ptable, os.path.join(OUT, "ens_png_expected.parquet"))
     print("wrote ens_cf.grib2, ens_pf.grib2, ens_expected.parquet, "
           "ens_complex.grib2, ens_complex_expected.parquet, "
           "ens_bitmap.grib2, ens_bitmap_expected.parquet")
