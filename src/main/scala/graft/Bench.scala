@@ -77,7 +77,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, status)
       }
       val status = if (passes.exists(_._2 == "err")) "err" else "ok"
-      (q.name, passes.map(_._1).min, passes.map(_._1), status)
+      // the headline min counts only SUCCESSFUL passes — a fast-failing
+      // pass must never report as a near-zero timing
+      val okTimes = passes.collect { case (t, "ok") => t }
+      val headline =
+        if (okTimes.nonEmpty) okTimes.min else passes.map(_._1).max
+      (q.name, headline, passes.map(_._1), status)
     }
     val qs = results
       .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.4f""" }
@@ -94,6 +99,6 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3 == "err")) sys.exit(1)
+    if (results.exists(_._4 == "err")) sys.exit(1)
   }
 }

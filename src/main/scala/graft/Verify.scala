@@ -23,8 +23,9 @@ object Verify {
     // A subset dump leaves every unlisted query's parquet untouched while
     // oracle_sql.json is rewritten in full — exactly the stale-dump shape
     // the round-2 lesson warns about. Leave a marker so check.py (and a
-    // human) can never mistake this outDir for a full gate run; a full run
-    // removes it.
+    // human) can never mistake this outDir for a full gate run. A full run
+    // clears it only AFTER completing — deleting up front would reopen the
+    // window if the full run dies halfway with subset-era dumps in place.
     val markerPath = Paths.get(s"$outDir/SUBSET_RUN")
     if (only.isDefined) {
       System.err.println(
@@ -32,7 +33,7 @@ object Verify {
           s"$outDir keep stale dumps; this is NOT a full gate run")
       Files.writeString(markerPath,
         s"SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")}\n")
-    } else Files.deleteIfExists(markerPath)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -60,6 +61,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full run completed: every query's dump is fresh, clear the marker
+    if (only.isEmpty) Files.deleteIfExists(markerPath)
     spark.stop()
   }
 }

@@ -196,8 +196,10 @@ object Multimodal {
               val id = bb.getInt(off)
               val size = bb.getInt(off + 4)
               // a hostile/corrupt size (negative, or past the payload end)
-              // must fail loudly, not wedge the walk in a non-advancing loop
-              require(size >= 0 && off + 8 + size <= m.payload.length,
+              // must fail loudly, not wedge the walk in a non-advancing
+              // loop; compare in Long — off + 8 + size can wrap Int
+              require(size >= 0 &&
+                  off.toLong + 8 + size <= m.payload.length,
                 s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
               if (id == 0x20746D66) { // "fmt "
                 require((bb.getShort(off + 8) & 0xFFFF) == 1,
@@ -285,8 +287,9 @@ object Multimodal {
                 val size = bb.getInt(off + 4)
                 // a hostile/corrupt size (negative, or past the end of the
                 // enclosing list) must fail loudly, not wedge the walk in a
-                // non-advancing loop
-                require(size >= 0 && off + 8 + size <= to,
+                // non-advancing loop; compare in Long — off + 8 + size can
+                // wrap Int
+                require(size >= 0 && off.toLong + 8 + size <= to,
                   s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
                 if (id == 0x5453494C) walk(off + 12, off + 8 + size) // LIST
                 else if (id == 0x66727473) { // "strf" = BITMAPINFOHEADER

@@ -65,27 +65,32 @@ object SkewOps {
 
   /** Hot-key-only salted join — the 100 TB-safe refinement of
     * [[saltedJoin]]: a cheap count pass finds the left keys at or above
-    * `hotThreshold`; ONLY those keys take the salted path (right rows
-    * for hot keys replicate `salt`×), while the cold remainder takes a
-    * plain join. The hot-key set is broadcast to split both sides, so
-    * the split adds no shuffle; the union of the two paths is row-for-row
-    * the plain join. Blanket `salt`× replication of the right side is the
-    * difference between a skew fix and a `salt`× tax when the right side
-    * is millions of rows.
+    * `hotThreshold`; ONLY those keys take salted routing (right rows for
+    * hot keys replicate `salt`×), while cold keys keep a constant salt 0
+    * on both sides — so the whole thing stays ONE join with ONE scan per
+    * side (a filter-into-two-paths split would rescan each input twice).
+    * The hot-key set is broadcast to tag both sides, adding no shuffle,
+    * and the result is row-for-row the plain join. Blanket `salt`×
+    * replication of the right side is the difference between a skew fix
+    * and a `salt`× tax when the right side is millions of rows.
     */
   def saltedJoinHotKeys(
       left: DataFrame, right: DataFrame,
       key: String, salt: Int, hotThreshold: Long): DataFrame = {
     val hot = broadcast(
       hotKeys(left, key, hotThreshold).withColumn("_hot", lit(true)))
-    def split(df: DataFrame): (DataFrame, DataFrame) = {
-      val tagged = df.join(hot, Seq(key), "left")
-      (tagged.filter(col("_hot").isNotNull).drop("_hot"),
-        tagged.filter(col("_hot").isNull).drop("_hot"))
-    }
-    val (lHot, lCold) = split(left)
-    val (rHot, rCold) = split(right)
-    saltedJoin(lHot, rHot, key, salt)
-      .unionByName(lCold.join(rCold, Seq(key)))
+    val l = left.join(hot, Seq(key), "left")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+    val r = right.join(hot, Seq(key), "left")
+      .withColumn("_salt", explode(
+        when(col("_hot").isNotNull, sequence(lit(0L), lit(salt - 1L)))
+          .otherwise(sequence(lit(0L), lit(0L)))))
+      .drop("_hot")
+    l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -303,8 +303,13 @@ object Hdf5Writer {
     // nodesByLevel(0) = root level ... last = leaves;
     // node = (firstChunk, endChunkExcl, childStart, childEndExcl)
     val nodesByLevel: Array[Array[(Int, Int, Int, Int)]] = {
-      val leaves = (0 until nChunks).grouped(maxEnt)
-        .map(g => (g.head, g.last + 1, g.head, g.last + 1)).toArray
+      // nChunks == 0 (degenerate empty axis) still needs ONE empty root
+      // node — the chunked-layout message points at bTreeAddr and readers
+      // expect a TREE signature there
+      val leaves =
+        if (nChunks == 0) Array((0, 0, 0, 0))
+        else (0 until nChunks).grouped(maxEnt)
+          .map(g => (g.head, g.last + 1, g.head, g.last + 1)).toArray
       var levels = List(leaves)
       while (levels.head.length > 1) {
         val below = levels.head

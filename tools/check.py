@@ -16,14 +16,21 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 marker = Path(outdir) / "SUBSET_RUN"
+fresh = None  # names re-dumped by the last (subset) Verify run; None = all
 if marker.exists():
-    print(f"WARNING: {marker} present — Verify ran with {marker.read_text().strip()};"
-          " unlisted queries below compare STALE dumps. Not a full gate run.")
+    text = marker.read_text().strip()
+    fresh = set(text.split("=", 1)[1].split(",")) if "=" in text else set()
+    print(f"WARNING: {marker} present — Verify ran with {text}; unlisted"
+          " queries hold STALE dumps and are reported as such, not compared."
+          " Not a full gate run.")
 
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
 results = {}
 for name, sql in sorted(oracle.items()):
     rdir = Path(outdir) / name
+    if fresh is not None and name not in fresh:
+        results[name] = "STALE_SUBSET_RUN: dump not re-generated, not compared"
+        continue
     if not rdir.exists():
         results[name] = "MISSING_RESULT"
         continue
