@@ -69,6 +69,37 @@ class PropertySpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("saltedJoinHotKeys == plain join on random skew/threshold/salt") {
+    import graft.operators.SkewOps
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rnd.nextInt(20)
+      val keyOf = (i: Int) => s"k${i % nKeys}"
+      // zipf-ish skew: key 0 gets a heavy block, the rest a thin tail
+      val leftRows = ((0 until 200 + rnd.nextInt(800)).map(i => (keyOf(0), i)) ++
+        (0 until 300).map(i => (keyOf(rnd.nextInt(nKeys)), -i))).map {
+        case (k, v) => (k, v.toLong)
+      }
+      // right side: multiple rows per key, some keys absent
+      val rightRows = for {
+        i <- 0 until nKeys if i % 5 != 4
+        j <- 0 to rnd.nextInt(3)
+      } yield (keyOf(i), s"r${i}_$j")
+      val left = leftRows.toDF("k", "lv").repartition(7)
+      val right = rightRows.toDF("k", "rv").repartition(3)
+      val salt = 2 + rnd.nextInt(14)
+      val threshold = 1L + rnd.nextInt(500)
+      val got = SkewOps.saltedJoinHotKeys(left, right, "k", salt, threshold)
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(length(col("rv"))).as("s"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val want = left.join(right, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(length(col("rv"))).as("s"))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial salt=$salt threshold=$threshold")
+    }
+  }
+
   test("AsOfJoin.backward == brute-force range scan on random data") {
     import graft.operators.AsOfJoin
     val keys = Seq("k0", "k1", "k2", "k3")
