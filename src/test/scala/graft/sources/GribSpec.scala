@@ -117,13 +117,17 @@ class GribSpec extends SparkSpec {
     assert(e.getMessage.contains("bitmap indicator 254"))
   }
 
-  test("PNG packing (template 5.41) decodes the 16-bit grayscale image") {
+  test("PNG packing (template 5.41) decodes 16-bit gray and 24-bit RGB") {
     val path = "/root/repo/data/ens_png.grib2"
     val infos = Grib2File.index(path)
-    assert(infos.map(m => (m.dataType, m.number)) == Seq(("pf", 21)))
-    val m = Grib2File.read(path, infos.head)
-    val expected = (0 until 12).map(k => ((1000 + k * 517) % 65536).toDouble)
-    assert(m.values.toSeq == expected)
+    assert(infos.map(m => (m.dataType, m.number)) ==
+      Seq(("pf", 21), ("pf", 22)))
+    val m16 = Grib2File.read(path, infos(0))
+    assert(m16.values.toSeq ==
+      (0 until 12).map(k => ((1000 + k * 517) % 65536).toDouble))
+    val m24 = Grib2File.read(path, infos(1))
+    assert(m24.values.toSeq ==
+      (0 until 12).map(k => ((100000L + k * 700001L) % (1 << 24)).toDouble))
   }
 
   test("graft-grib source unpivots messages to long rows") {

@@ -88,9 +88,10 @@ from jpeg_min import encode_gray_blocks  # noqa: E402
 MJPG_DIR = "/root/repo/data/avi_mjpg"
 MJPG_EXPECTED = "/root/repo/data/avi_mjpg_expected.parquet"
 
-MJPG_CLIPS = [  # (clip_id, blocks_w, blocks_h, n_frames)
-    (1, 4, 2, 7),   # 32x16
-    (2, 3, 3, 5),   # 24x24
+MJPG_CLIPS = [  # (clip_id, blocks_w, blocks_h, n_frames, color)
+    (1, 4, 2, 7, False),   # 32x16 grayscale
+    (2, 3, 3, 5, False),   # 24x24 grayscale
+    (3, 2, 2, 6, True),    # 16x16 color (4:4:4, constant chroma)
 ]
 
 
@@ -98,11 +99,11 @@ def block_val(c, f, by, bx):
     return (37 * f + 11 * by + 23 * bx + 97 * c) % 256
 
 
-def mjpg_avi_bytes(c, bw_, bh, n):
+def mjpg_avi_bytes(c, bw_, bh, n, color):
     w, h = 8 * bw_, 8 * bh
     frames = [encode_gray_blocks(
         [[block_val(c, f, by, bx) for bx in range(bw_)] for by in range(bh)],
-        bw_, bh) for f in range(n)]
+        bw_, bh, color=color) for f in range(n)]
     fsize = max(len(fr) for fr in frames)
     avih = struct.pack("<14I", 33333, fsize * 30, 0, 0x10, n, 0, 1, fsize,
                        w, h, 0, 0, 0, 0)
@@ -120,8 +121,9 @@ def mjpg_avi_bytes(c, bw_, bh, n):
 
 def mjpg_rows():
     rows = []
-    for c, bw_, bh, n in MJPG_CLIPS:
+    for c, bw_, bh, n, color in MJPG_CLIPS:
         w, h = 8 * bw_, 8 * bh
+        ch = 3 if color else 1  # color decodes to R=G=B=Y: 3 samples per px
         for f in range(0, n, EVERY):
             total = 0
             cell_sum = [0] * 4
@@ -130,9 +132,9 @@ def mjpg_rows():
                 for x in range(w):
                     cell = (y * 2 // h) * 2 + (x * 2 // w)
                     v = block_val(c, f, y // 8, x // 8)
-                    total += v
-                    cell_sum[cell] += v
-                    cell_n[cell] += 1
+                    total += v * ch
+                    cell_sum[cell] += v * ch
+                    cell_n[cell] += ch
             rows.append({
                 "media_id": c, "frame_idx": f, "width": w, "height": h,
                 "n_frames": n, "pix_sum": total,
@@ -187,10 +189,11 @@ def main():
     print(f"{EXPECTED}: {table.num_rows} rows")
 
     os.makedirs(MJPG_DIR, exist_ok=True)
-    for c, bw_, bh, n in MJPG_CLIPS:
+    for c, bw_, bh, n, color in MJPG_CLIPS:
         path = f"{MJPG_DIR}/clip_{c}.avi"
-        open(path, "wb").write(mjpg_avi_bytes(c, bw_, bh, n))
-        print(f"{path}: {8*bw_}x{8*bh} x{n} MJPEG frames")
+        open(path, "wb").write(mjpg_avi_bytes(c, bw_, bh, n, color))
+        kind = "color" if color else "gray"
+        print(f"{path}: {8*bw_}x{8*bh} x{n} {kind} MJPEG frames")
     mtable = rows_to_table(mjpg_rows())
     pq.write_table(mtable, MJPG_EXPECTED, compression="zstd")
     print(f"{MJPG_EXPECTED}: {mtable.num_rows} rows")

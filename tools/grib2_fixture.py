@@ -279,7 +279,20 @@ def main() -> None:
                 png_chunk(b"IDAT", zlib.compress(raw)) +
                 png_chunk(b"IEND", b""))
 
-    def message_png(ens_type, number, vals):
+    def png24(vals, w, h):
+        # color type 2 (RGB), 8-bit: X packs across the bands, R most
+        # significant (template 7.41's 24-bit form)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + b"".join(
+                bytes(((v >> 16) & 255, (v >> 8) & 255, v & 255))
+                for v in (vals[y * w + x] for x in range(w)))
+            for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr) +
+                png_chunk(b"IDAT", zlib.compress(raw)) +
+                png_chunk(b"IEND", b""))
+
+    def message_png(ens_type, number, vals, bpv=16, enc=None):
         s1 = sec(1, struct.pack(">HHBBBHBBBBBBB", 98, 0, 2, 1, 1,
                                 2026, 1, 1, 0, 0, 0, 0, 1))
         tmpl3 = struct.pack(">BBIBIBIIIII", 6, 0, 0, 0, 0, 0, 0, NI, NJ, 0, 0)
@@ -293,17 +306,20 @@ def main() -> None:
         tmpl4 += struct.pack(">BbI", 1, 0, 0) + struct.pack(">BbI", 255, 0, 0)
         s4 = sec(4, struct.pack(">HH", 0, 1) + tmpl4 +
                  struct.pack(">BBB", ens_type, number, 3))
-        # template 5.41: same scalar fields as 5.0, bpv 16 -> 16-bit png
-        s5 = sec(5, struct.pack(">IHfhhBB", NI * NJ, 41, 0.0, 0, 0, 16, 0))
+        # template 5.41: same scalar fields as 5.0; bpv picks PNG depth
+        s5 = sec(5, struct.pack(">IHfhhBB", NI * NJ, 41, 0.0, 0, 0, bpv, 0))
         s6 = sec(6, struct.pack(">B", 255))
-        s7 = sec(7, png16(vals, NI, NJ))
+        s7 = sec(7, (enc or png16)(vals, NI, NJ))
         body = s1 + s3 + s4 + s5 + s6 + s7 + b"7777"
         return b"GRIB" + struct.pack(">HBBQ", 0, 0, 2, 16 + len(body)) + body
 
     pvals = [(1000 + k * 517) % 65536 for k in range(NI * NJ)]
+    pvals24 = [(100000 + k * 700001) % (1 << 24) for k in range(NI * NJ)]
     with open(os.path.join(OUT, "ens_png.grib2"), "wb") as f:
         f.write(message_png(3, 21, pvals))
-    prows = [("pf", 21, LA1 - j * DJ, LO1 + i * DI, float(pvals[j * NI + i]))
+        f.write(message_png(3, 22, pvals24, bpv=24, enc=png24))
+    prows = [("pf", num, LA1 - j * DJ, LO1 + i * DI, float(vv[j * NI + i]))
+             for num, vv in [(21, pvals), (22, pvals24)]
              for j in range(NJ) for i in range(NI)]
     ptable = pa.table({
         "data_type": pa.array([r[0] for r in prows], pa.string()),

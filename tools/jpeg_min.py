@@ -78,31 +78,51 @@ def _seg(marker, payload):
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_gray_blocks(block_vals, blocks_w, blocks_h):
-    """Baseline grayscale JPEG of (8*blocks_w) x (8*blocks_h) pixels where
-    block (by, bx) is uniformly block_vals[by][bx] (0..255)."""
+def encode_gray_blocks(block_vals, blocks_w, blocks_h, color=False):
+    """Baseline JPEG of (8*blocks_w) x (8*blocks_h) pixels where block
+    (by, bx) is uniformly block_vals[by][bx] (0..255).
+
+    color=False: single-component grayscale.
+    color=True: three components, 4:4:4, with CONSTANT chroma Cb=Cr=128
+    and luma Y = the block value. The YCbCr->RGB conversion terms all
+    carry a (C-128) factor, so zero chroma offsets decode to EXACTLY
+    R=G=B=Y in any conformant decoder — exercising the interleaved
+    3-component MCU path while keeping the pixel formula exact.
+    """
     w, h = 8 * blocks_w, 8 * blocks_h
+    ncomp = 3 if color else 1
     out = bytearray(b"\xFF\xD8")  # SOI
     out += _seg(0xDB, b"\x00" + b"\x01" * 64)  # DQT: table 0, all ones
-    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) +
-                bytes([1, 0x11, 0]))  # SOF0: 1 comp, no subsampling
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # no subsampling, quant table 0
+    out += _seg(0xC0, sof)
     out += _seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS) +
                 b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT DC0 + AC0
-    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    sos = bytes([ncomp]) + b"".join(
+        bytes([cid, 0x00]) for cid in range(1, ncomp + 1)) + bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
     bw = _BitWriter()
-    prev_dc = 0
+
+    def put_dc(diff):
+        mag = abs(diff)
+        t = mag.bit_length()
+        code, length = DC_CODE[t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        bw.put(*AC_EOB)
+
+    prev = [0] * ncomp  # per-component DC prediction
     for by in range(blocks_h):
         for bx in range(blocks_w):
-            dc = 8 * (block_vals[by][bx] - 128)
-            diff = dc - prev_dc
-            prev_dc = dc
-            mag = abs(diff)
-            t = mag.bit_length()
-            code, length = DC_CODE[t]
-            bw.put(code, length)
-            if t:
-                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            bw.put(*AC_EOB)
+            # component values for this MCU: Y = block value; Cb = Cr = 128
+            comps = ([block_vals[by][bx], 128, 128] if color
+                     else [block_vals[by][bx]])
+            for c, v in enumerate(comps):
+                dc = 8 * (v - 128)
+                put_dc(dc - prev[c])
+                prev[c] = dc
     out += bw.done()
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
