@@ -390,7 +390,89 @@ object VectorOps {
         SELECT *, row_number() OVER (ORDER BY raw_cos DESC, vec_id ASC) AS rn
         FROM cand) WHERE rn <= 10"""))
 
+  /** SQ8 scalar-quantized ANN — the 8× compression path a 100 TB vector
+    * store actually runs (int8 codes in memory, floats only for the
+    * final rerank): per-dimension global min/max (one 64-row aggregate,
+    * collected like a dim probe and folded into the plan as literals),
+    * codes = round((v - mn) * 255 / (mx - mn)) ∈ [0, 255], search runs
+    * cosine over the DEQUANTIZED codes. The oracle replicates the exact
+    * arithmetic shape — same subtraction/multiply/divide order, positive
+    * domain so Spark HALF_UP and DuckDB half-away-from-zero agree — so
+    * codes, reconstructions, and the top-k are all bit-gated, not just
+    * "close". Output deliberately carries the code checksum so a single
+    * flipped code anywhere in the table fails the hash.
+    */
+  val q105Sq8Ann = Q(
+    "q105_sq8_ann",
+    (s, dir) => {
+      val e = t(s, dir)("embeddings")
+      // per-dimension stats: 64 rows — a dim probe, not a data collect
+      val stats = e.select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("d").agg(min(col("v").cast("double")).as("mn"),
+          max(col("v").cast("double")).as("mx"))
+        .orderBy("d").collect()
+      val mnArr = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+      val spanArr = array(
+        stats.map(r => lit(r.getDouble(2) - r.getDouble(1))).toIndexedSeq: _*)
+      def codes(emb: Column): Column =
+        zip_with(zip_with(emb, mnArr, (v, mn) => v.cast("double") - mn),
+          spanArr, (dv, sp) =>
+            when(sp === 0.0, 0.0).otherwise(round(dv * lit(255.0) / sp)))
+      def dequant(cs: Column): Column =
+        zip_with(zip_with(cs, spanArr, (c, sp) => c * sp / lit(255.0)),
+          mnArr, (x, mn) => x + mn)
+      val coded = e.select(col("vec_id"), codes(col("embedding")).as("cs"))
+      val q = coded.filter(col("vec_id") === 0)
+        .select(dequant(col("cs")).as("qv"))
+      coded.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          aggregate(col("cs"), lit(0.0), (a, c) => a + c).as("code_sum"),
+          round(cosine(dequant(col("cs")), col("qv")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id,
+               unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings),
+      st AS (
+        SELECT d, min(CAST(v AS DOUBLE)) AS mn,
+               max(CAST(v AS DOUBLE)) - min(CAST(v AS DOUBLE)) AS sp
+        FROM ex GROUP BY d),
+      mn_a AS (SELECT list(mn ORDER BY d) AS mn FROM st),
+      sp_a AS (SELECT list(sp ORDER BY d) AS sp FROM st),
+      coded AS (
+        SELECT e.vec_id,
+               [CASE WHEN sp_a.sp[d] = 0 THEN 0.0
+                     ELSE round((CAST(e.embedding[d] AS DOUBLE) - mn_a.mn[d])
+                                * 255.0 / sp_a.sp[d]) END
+                for d in generate_series(1, len(e.embedding))] AS cs
+        FROM embeddings e, mn_a, sp_a),
+      deq AS (
+        SELECT vec_id,
+               [cs[d] * sp_a.sp[d] / 255.0 + mn_a.mn[d]
+                for d in generate_series(1, len(cs))] AS rv,
+               cs
+        FROM coded, mn_a, sp_a),
+      q AS (SELECT rv AS qv FROM deq WHERE vec_id = 0),
+      sims AS (
+        SELECT d.vec_id,
+               list_sum(d.cs) AS code_sum,
+               round(list_sum([d.rv[i] * q.qv[i]
+                               for i in generate_series(1, len(d.rv))])
+                     / (sqrt(list_sum([d.rv[i] * d.rv[i]
+                                       for i in generate_series(1, len(d.rv))]))
+                        * sqrt(list_sum([q.qv[i] * q.qv[i]
+                                         for i in generate_series(1, len(q.qv))]))),
+                     6) AS cos_sim
+        FROM deq d, q WHERE d.vec_id <> 0)
+      SELECT vec_id, code_sum, cos_sim
+      FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
-    q91IvfPartitioned)
+    q91IvfPartitioned, q105Sq8Ann)
 }
