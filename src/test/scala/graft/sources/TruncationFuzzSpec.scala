@@ -4,28 +4,43 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 
-/** Truncation fuzzing of the byte-level format parsers: every strict
-  * prefix of a valid file must either parse to a strictly smaller valid
-  * result or fail LOUDLY (any exception) — never hang, loop, or return
-  * silently wrong data. This is the property that matters for object
-  * stores, where truncated uploads are a routine failure mode. Each
-  * parser call runs under a watchdog so a non-advancing walk fails the
-  * suite instead of wedging it.
+/** Truncation fuzzing of the byte-level format parsers. Property tested,
+  * per prefix of a valid file: the parser must either fail LOUDLY (any
+  * exception — the expected outcome for a truncated object-store upload)
+  * or, if it succeeds, produce results CONSISTENT with the full file
+  * (same bytes for the same block/message/record — never silent garbage)
+  * — and it must never hang (watchdog-guarded; a timed-out parser fails
+  * the test and its input file is deliberately left in place rather than
+  * deleted under the still-running thread).
   */
 class TruncationFuzzSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260813L)
 
-  /** Run `body`, treating any exception as a PASS (loud failure); fail
-    * the test only on a hang (watchdog) — the property under test is
-    * "no hang, no garbage", not "no error".
+  /** Run `body` on a temp file holding `bytes` under a watchdog. A thrown
+    * non-assertion exception is a PASS (loud failure); a scalatest
+    * assertion raised inside `body` (inconsistent result) is rethrown; a
+    * hang fails. The temp file is deleted only after the thread finishes.
     */
-  private def loudOrFine(tag: String)(body: => Unit): Unit = {
-    val t = new Thread(() => try body catch { case _: Throwable => () })
+  private def fuzzCase(tag: String, bytes: Array[Byte])(body: String => Unit): Unit = {
+    val p = Files.createTempFile("graft-fuzz", ".bin")
+    Files.write(p, bytes)
+    @volatile var inconsistent: Option[Throwable] = None
+    val t = new Thread(() =>
+      try body(p.toString)
+      catch {
+        case a: org.scalatest.exceptions.TestFailedException =>
+          inconsistent = Some(a)
+        case _: Throwable => () // loud rejection = pass
+      })
     t.setDaemon(true)
     t.start()
     t.join(30000)
-    assert(!t.isAlive, s"$tag: parser hung on truncated input")
+    if (t.isAlive) fail(s"$tag: parser hung on truncated input ($p kept)")
+    Files.deleteIfExists(p)
+    inconsistent.foreach(e =>
+      fail(s"$tag: successful parse of a truncated file returned " +
+        s"garbage: ${e.getMessage}"))
   }
 
   private def prefixes(path: String, n: Int): Seq[Array[Byte]] = {
@@ -36,26 +51,24 @@ class TruncationFuzzSpec extends SparkSpec {
       .map(c => java.util.Arrays.copyOfRange(full, 0, c))
   }
 
-  private def withTemp(bytes: Array[Byte])(f: String => Unit): Unit = {
-    val p = Files.createTempFile("graft-fuzz", ".bin")
-    try { Files.write(p, bytes); f(p.toString) }
-    finally Files.deleteIfExists(p)
-  }
-
-  test("GRIB2 parser never hangs on truncated messages") {
-    for (b <- prefixes("/root/repo/data/ens_complex.grib2", 12))
-      withTemp(b) { p =>
-        loudOrFine(s"grib len=${b.length}") {
-          graft.sources.grib.Grib2File.index(p).foreach(
-            graft.sources.grib.Grib2File.read(p, _))
+  test("GRIB2: truncated messages fail loudly or decode prefix-consistently") {
+    val donor = "/root/repo/data/ens_complex.grib2"
+    val full: Map[Long, Seq[Double]] = graft.sources.grib.Grib2File.index(donor)
+      .map(mi => mi.offset ->
+        graft.sources.grib.Grib2File.read(donor, mi).values.toSeq).toMap
+    for (b <- prefixes(donor, 12))
+      fuzzCase(s"grib len=${b.length}", b) { p =>
+        graft.sources.grib.Grib2File.index(p).foreach { mi =>
+          val got = graft.sources.grib.Grib2File.read(p, mi).values.toSeq
+          assert(got == full(mi.offset),
+            s"message at ${mi.offset} decoded differently from a prefix")
         }
       }
   }
 
-  test("HDF5 parser never hangs on truncated files") {
-    // use a writer-produced .nc (23x40, 3 chunks) as the donor
-    val donor = s"${System.getProperty("java.io.tmpdir")}/graft_fuzz_donor.nc"
+  test("HDF5: truncated files fail loudly or read prefix-consistently") {
     import spark.implicits._
+    val donor = Files.createTempFile("graft-fuzz-donor", ".nc").toString
     val lats = Array.tabulate(23)(i => 50.0 - i * 0.25)
     val lons = Array.tabulate(40)(j => -10.0 + j * 0.25)
     val cells = for (i <- 0 until 23; j <- 0 until 40 if (i + j) % 3 != 0)
@@ -63,59 +76,93 @@ class TruncationFuzzSpec extends SparkSpec {
     graft.sources.nc.Hdf5Writer.writeGrid(
       cells.toDF("latitude", "longitude", "value"), donor, "v",
       "latitude", "longitude", "value", lats, lons, chunkRows = 10)
+    val fullBand = {
+      val f = new graft.sources.nc.Hdf5File(donor)
+      try f.readRowBand("v", 0, 23).toSeq finally f.close()
+    }
     for (b <- prefixes(donor, 12))
-      withTemp(b) { p =>
-        loudOrFine(s"hdf5 len=${b.length}") {
-          val f = new graft.sources.nc.Hdf5File(p)
-          try f.readRowBand("v", 0, 23) finally f.close()
-        }
+      fuzzCase(s"hdf5 len=${b.length}", b) { p =>
+        val f = new graft.sources.nc.Hdf5File(p)
+        try {
+          val got = f.readRowBand("v", 0, 23).toSeq
+          assert(got == fullBand, "row band decoded differently from a prefix")
+        } finally f.close()
       }
+    Files.deleteIfExists(Paths.get(donor))
   }
 
-  test("TIFF parser never hangs on truncated files") {
+  test("TIFF: truncated files fail loudly or read prefix-consistently") {
     for (donor <- Seq("/root/repo/data/lossyear_tiled.tif",
-        "/root/repo/data/lossyear_big.tif"))
+        "/root/repo/data/lossyear_big.tif")) {
+      val fullInfo = graft.sources.tiff.TiffFile.info(donor)
+      val full: Map[Long, Seq[Int]] = fullInfo.blocks.map(bk => bk.offset ->
+        graft.sources.tiff.TiffFile.readBlock(donor, fullInfo, bk).toSeq).toMap
       for (b <- prefixes(donor, 10))
-        withTemp(b) { p =>
-          loudOrFine(s"tiff len=${b.length}") {
-            val info = graft.sources.tiff.TiffFile.info(p)
-            info.blocks.foreach(
-              graft.sources.tiff.TiffFile.readBlock(p, info, _))
+        fuzzCase(s"tiff len=${b.length}", b) { p =>
+          val info = graft.sources.tiff.TiffFile.info(p)
+          info.blocks.foreach { bk =>
+            val got = graft.sources.tiff.TiffFile.readBlock(p, info, bk).toSeq
+            assert(got == full(bk.offset),
+              s"block at ${bk.offset} decoded differently from a prefix")
           }
         }
+    }
   }
 
-  test("WAV/AVI decoders never hang on truncated payloads") {
+  test("WAV/AVI: truncated payloads fail loudly or decode prefix-consistently") {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     for (donor <- Seq("/root/repo/data/wav/clip_1.wav",
         "/root/repo/data/avi/clip_1.avi",
         "/root/repo/data/avi_mjpg/clip_1.avi")) {
       val isWav = donor.endsWith(".wav")
+      def decode(bytes: Array[Byte]): Seq[Seq[Any]] = {
+        val df = Seq((1L, bytes)).toDF("media_id", "payload")
+        (if (isWav) graft.operators.Multimodal.decodeWav(df)
+         else graft.operators.Multimodal.decodeAviFrames(df))
+          .collect().map(_.toSeq).toSeq
+      }
+      val fullBytes = Files.readAllBytes(Paths.get(donor))
+      val full = decode(fullBytes)
       for (b <- prefixes(donor, 8) if b.length >= 12) {
-        loudOrFine(s"$donor len=${b.length}") {
-          import spark.implicits._
-          val df = Seq((1L, b)).toDF("media_id", "payload")
-          if (isWav) graft.operators.Multimodal.decodeWav(df).collect()
-          else graft.operators.Multimodal.decodeAviFrames(df).collect()
-        }
+        // media decoders take payload bytes, not paths — run the same
+        // watchdog/consistency protocol inline
+        @volatile var inconsistent: Option[Throwable] = None
+        val t = new Thread(() =>
+          try {
+            val got = decode(b)
+            assert(got == full,
+              s"$donor len=${b.length}: truncated payload decoded differently")
+          } catch {
+            case a: org.scalatest.exceptions.TestFailedException =>
+              inconsistent = Some(a)
+            case _: Throwable => ()
+          })
+        t.setDaemon(true)
+        t.start()
+        t.join(30000)
+        if (t.isAlive) fail(s"$donor len=${b.length}: decoder hung")
+        inconsistent.foreach(e => fail(e.getMessage))
       }
     }
   }
 
-  test("shapefile parser never hangs on truncated files") {
+  test("shapefile: truncated files fail loudly or read prefix-consistently") {
     val locs = graft.sources.shp.Shapefile.index("/root/repo/data/basins.shx")
+    val full = graft.sources.shp.Shapefile.readRange(
+      "/root/repo/data/basins.shp", locs, 0, locs.length, None)
     for (b <- prefixes("/root/repo/data/basins.shp", 8))
-      withTemp(b) { p =>
-        loudOrFine(s"shp len=${b.length}") {
-          graft.sources.shp.Shapefile.readRange(p, locs, 0, locs.length, None)
-        }
+      fuzzCase(s"shp len=${b.length}", b) { p =>
+        val got = graft.sources.shp.Shapefile.readRange(
+          p, locs, 0, locs.length, None)
+        assert(got == full, "rings decoded differently from a prefix")
       }
-    // and a truncated INDEX must fail loudly too
+    // and a truncated INDEX must fail loudly or yield a prefix of the locs
     for (b <- prefixes("/root/repo/data/basins.shx", 6))
-      withTemp(b) { p =>
-        loudOrFine(s"shx len=${b.length}") {
-          graft.sources.shp.Shapefile.index(p)
-        }
+      fuzzCase(s"shx len=${b.length}", b) { p =>
+        val got = graft.sources.shp.Shapefile.index(p)
+        assert(got == locs.take(got.length),
+          "truncated index yielded non-prefix record locations")
       }
   }
 }
