@@ -41,15 +41,21 @@ object Bench {
     // Warm the OS page cache for the sf dir: a cold VM's first read of the
     // parquet inputs inflated BENCH_r05 by 52% vs a warm re-run. The whole
     // sf0.1 dir is ~17 MB — reading it through is effectively free.
-    locally {
+    // best-effort only: a missing/unreadable sf dir must surface as
+    // per-query err statuses in the JSON, not kill the run pre-output
+    try {
       val buf = new Array[Byte](1 << 20)
       def slurp(f: java.io.File): Unit =
-        if (f.isDirectory) f.listFiles().foreach(slurp)
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.foreach(slurp)
         else {
           val in = new java.io.FileInputStream(f)
           try { while (in.read(buf) >= 0) () } finally in.close()
         }
       slurp(new java.io.File(sfDir))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] page-cache warm skipped: $e")
     }
     // one warm-up pass so JIT/codegen and file listing don't dominate;
     // warm-up failures are tolerated (the timed passes report them)
