@@ -64,6 +64,49 @@ object EventOps {
              count(*) AS n_events
       FROM l GROUP BY 1"""))
 
+  /** NATIVE session windows (Spark's `session_window` function — the
+    * built-in gap-session operator, complementing q51's lag/cumsum form
+    * and q83's stateful streaming form): start = first event, end =
+    * last event + gap, merge while the next event lands strictly inside
+    * the open window (gap >= 30 min ⇒ new session — note q51's flag is
+    * strictly >, a deliberate semantic difference both oracles encode).
+    * Emitted as unix micros; the oracle rebuilds the same islands with
+    * lag + running sum.
+    */
+  val q106SessionWindow = Q(
+    "q106_session_window",
+    (s, dir) => {
+      t(s, dir)("events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          Sql.exactSum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         >= 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+      SELECT user_id,
+             min(epoch_us(ts)) AS start_us,
+             max(epoch_us(ts)) + 30 * 60 * 1000000 AS end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid"""))
+
   /** JSON extraction from the string `props` column (S8 surface). */
   val q52JsonExtract = Q(
     "q52_json_extract",
@@ -398,5 +441,5 @@ object EventOps {
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
-    q99StreamRunning)
+    q99StreamRunning, q106SessionWindow)
 }
