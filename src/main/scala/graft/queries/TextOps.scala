@@ -376,6 +376,46 @@ object TextOps {
                   ELSE 'test' END AS split
       FROM b"""))
 
+  /** Deterministic STRATIFIED sampling — the corpus-mixing op of a
+    * pretraining pipeline (sample each source at its own rate to hit a
+    * target mixture): accept doc when md5-bucket(doc_id) < rate(source)
+    * per mille. A pure function of (doc_id, source) — reproducible under
+    * any partitioning, any cluster size, and any execution order, unlike
+    * rand()-based sampling; changing one source's rate leaves every
+    * other source's selected set untouched (no RNG stream coupling).
+    * Output: per-source selected counts + an order-free id checksum so
+    * the oracle pins the exact selected SET, not just its size.
+    */
+  val q107StratifiedSample = Q(
+    "q107_stratified_sample",
+    (s, dir) => {
+      // per-mille acceptance per source family (src0.. → suffix % 4)
+      val fam = regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4
+      val rate = when(fam === 0, 250L).when(fam === 1, 900L)
+        .when(fam === 2, 600L).otherwise(100L)
+      val bucket = pmod(
+        graft.operators.Dedup.md5Hash64(col("doc_id").cast("string")),
+        lit(1000L))
+      t(s, dir)("documents")
+        .filter(bucket < rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id") * col("doc_id")).as("id_checksum"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                      AS BIGINT) % 1000) + 1000) % 1000 AS bucket,
+               CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
+                    WHEN 0 THEN 250 WHEN 1 THEN 900
+                    WHEN 2 THEN 600 ELSE 100 END AS rate
+        FROM documents)
+      SELECT source, count(*) AS n_selected,
+             CAST(sum(CAST(doc_id AS BIGINT) * doc_id) AS BIGINT) AS id_checksum
+      FROM b WHERE bucket < rate
+      GROUP BY 1"""))
+
   /** Repetition signals (the Gopher/C4 quality-filter family): per-doc
     * duplicate-word fraction and most-frequent-word share. One explode +
     * two partial-aggregating groupBys on doc_id — map-side combine keeps
@@ -475,5 +515,6 @@ object TextOps {
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
-    q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup)
+    q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
+    q107StratifiedSample)
 }
