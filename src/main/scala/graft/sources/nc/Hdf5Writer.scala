@@ -148,14 +148,23 @@ object Hdf5Writer {
   }
 
   /** Filter pipeline (type 0x0B) VERSION 1 — carries the explicit
-    * name-length field for the deflate filter (id 1, one client value).
+    * name-length field both our parsers read for id<256. With `shuffle`,
+    * the pipeline is [shuffle(id 2, cd=elemSize), deflate(id 1)] — the
+    * standard netCDF-4 float-raster combination (byte-plane transpose
+    * before deflate); filters apply in pipeline order on write, reverse
+    * on read.
     */
-  private def deflateFilterMsg(level: Int): (Int, Array[Byte]) =
-    (0x0B, new Buf()
-      .u8(1).u8(1).bytes(new Array[Byte](6)) // version, nfilters, reserved
-      .u16(1).u16(0).u16(1).u16(1) // id=deflate, namelen 0, flags optional, 1 cd value
+  private def deflateFilterMsg(level: Int, shuffle: Boolean,
+      elemSize: Int): (Int, Array[Byte]) = {
+    val b = new Buf()
+      .u8(1).u8(if (shuffle) 2 else 1).bytes(new Array[Byte](6))
+    if (shuffle)
+      // id=shuffle, namelen 0, flags 0 (mandatory), 1 cd value: elem size
+      b.u16(2).u16(0).u16(0).u16(1).u32(elemSize.toLong).u32(0L)
+    b.u16(1).u16(0).u16(1).u16(1) // id=deflate, namelen 0, optional, 1 cd
       .u32(level.toLong).u32(0L) // client value + odd-count pad
-      .toArray)
+    (0x0B, b.toArray)
+  }
 
   private def encodeDoubles(vals: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -163,11 +172,27 @@ object Hdf5Writer {
     bb.array()
   }
 
-  /** Deflate-compress one full-width chunk of f4 cells. */
-  private[nc] def encodeChunk(buf: Array[Float], level: Int): Array[Byte] = {
+  /** (Optionally shuffle-) then deflate-compress one full-width chunk of
+    * f4 cells. Shuffle = HDF5 filter id 2: de-interleave byte planes
+    * (all byte-0s, then byte-1s, ...) so the deflate window sees runs of
+    * similar exponent/sign bytes — the standard float-raster win.
+    */
+  private[nc] def encodeChunk(buf: Array[Float], level: Int,
+      shuffle: Boolean = false): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 4).order(ByteOrder.LITTLE_ENDIAN)
     buf.foreach(bb.putFloat)
-    val raw = bb.array()
+    var raw = bb.array()
+    if (shuffle) {
+      val n = buf.length
+      val out = new Array[Byte](raw.length)
+      var b = 0
+      while (b < 4) {
+        var k = 0
+        while (k < n) { out(b * n + k) = raw(k * 4 + b); k += 1 }
+        b += 1
+      }
+      raw = out
+    }
     val d = new Deflater(level)
     d.setInput(raw)
     d.finish()
@@ -188,7 +213,7 @@ object Hdf5Writer {
       latCol: String, lonCol: String, valCol: String,
       lats: Array[Double], lons: Array[Double],
       chunkRows: Int, deflateLevel: Int = 6,
-      fill: Float = Float.NaN): Unit = {
+      fill: Float = Float.NaN, shuffle: Boolean = false): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val (nLat, nLon) = (lats.length, lons.length)
@@ -232,7 +257,7 @@ object Hdf5Writer {
         var cur = -1
         var buf: Array[Float] = null
         def flush(): Unit = if (cur >= 0) {
-          val bytes = encodeChunk(buf, deflateLevel)
+          val bytes = encodeChunk(buf, deflateLevel, shuffle)
           val p = new Path(s"$stagingStr/chunk-%05d".format(cur))
           val out = p.getFileSystem(conf).create(p, true)
           try out.write(bytes) finally out.close()
@@ -256,7 +281,7 @@ object Hdf5Writer {
     val emptyChunk = {
       val buf = new Array[Float](chunkRows * nLon)
       java.util.Arrays.fill(buf, fill)
-      encodeChunk(buf, deflateLevel)
+      encodeChunk(buf, deflateLevel, shuffle)
     }
     // ONE listing of the staging dir (not nChunks existence probes —
     // the per-call latency difference matters on object stores)
@@ -278,7 +303,7 @@ object Hdf5Writer {
       val lonH = ohdr(Seq(dataspaceMsg(Seq(nLon.toLong)), floatTypeMsg(8),
         contiguousLayoutMsg(lonAddr, nLon.toLong * 8)))
       val varH = ohdr(Seq(dataspaceMsg(Seq(nLat.toLong, nLon.toLong)),
-        floatTypeMsg(4), deflateFilterMsg(deflateLevel),
+        floatTypeMsg(4), deflateFilterMsg(deflateLevel, shuffle, 4),
         chunkedLayoutMsg(bTreeAddr, Seq(chunkRows, nLon, 4))))
       (root, latH, lonH, varH)
     }

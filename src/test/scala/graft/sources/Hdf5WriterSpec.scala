@@ -160,6 +160,40 @@ class Hdf5WriterSpec extends SparkSpec {
     } finally f.close()
   }
 
+  test("shuffle+deflate pipeline round-trips and beats deflate alone") {
+    val cells = for {
+      i <- 0 until nLat; j <- 0 until nLon; v <- formula(i, j)
+    } yield (lats(i), lons(j), v)
+    val df = cells.toDF("latitude", "longitude", "value")
+    val plain = s"${System.getProperty("java.io.tmpdir")}/graft_nc_plain.nc"
+    val shuf = s"${System.getProperty("java.io.tmpdir")}/graft_nc_shuf.nc"
+    Hdf5Writer.writeGrid(df, plain, "v",
+      "latitude", "longitude", "value", lats, lons, chunkRows = 10)
+    Hdf5Writer.writeGrid(df, shuf, "v",
+      "latitude", "longitude", "value", lats, lons, chunkRows = 10,
+      shuffle = true)
+    // identical decoded cells through the Scala reader
+    def band(p: String): Seq[Float] = {
+      val f = new Hdf5File(p)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(f.readRowBand("v", 0, nLat))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until nLat * nLon).map(k => bb.getFloat(k * 4))
+      } finally f.close()
+    }
+    val a = band(plain)
+    val b = band(shuf)
+    (a zip b).foreach { case (x, y) =>
+      assert(x == y || (x.isNaN && y.isNaN))
+    }
+    // real float rasters shuffle-compress smaller; quarter-multiples
+    // share exponent bytes, so the effect is visible even here
+    val szPlain = new java.io.File(plain).length()
+    val szShuf = new java.io.File(shuf).length()
+    assert(szShuf < szPlain,
+      s"shuffle file $szShuf not smaller than plain $szPlain")
+  }
+
   test("empty row bands become all-fill chunks, not holes") {
     val df = Seq((lats(0), lons(0), 1.0f), (lats(22), lons(3), 2.5f))
       .toDF("latitude", "longitude", "value")
