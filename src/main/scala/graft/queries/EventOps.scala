@@ -88,7 +88,7 @@ object EventOps {
     },
     Some("""
       WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                          >= 30 * 60 * 1000000
@@ -97,7 +97,8 @@ object EventOps {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       g AS (
         SELECT user_id, ts, value,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM o)
       SELECT user_id,

@@ -17,17 +17,15 @@ class TruncationFuzzSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260813L)
 
-  /** Run `body` on a temp file holding `bytes` under a watchdog. A thrown
-    * non-assertion exception is a PASS (loud failure); a scalatest
-    * assertion raised inside `body` (inconsistent result) is rethrown; a
-    * hang fails. The temp file is deleted only after the thread finishes.
+  /** Run `body` under a watchdog. A thrown non-assertion exception is a
+    * PASS (loud failure); a scalatest assertion raised inside `body`
+    * (inconsistent result) fails the test; a hang fails. ONE protocol,
+    * shared by the path-based and byte-payload cases.
     */
-  private def fuzzCase(tag: String, bytes: Array[Byte])(body: String => Unit): Unit = {
-    val p = Files.createTempFile("graft-fuzz", ".bin")
-    Files.write(p, bytes)
+  private def guarded(tag: String)(body: => Unit): Unit = {
     @volatile var inconsistent: Option[Throwable] = None
     val t = new Thread(() =>
-      try body(p.toString)
+      try body
       catch {
         case a: org.scalatest.exceptions.TestFailedException =>
           inconsistent = Some(a)
@@ -36,12 +34,32 @@ class TruncationFuzzSpec extends SparkSpec {
     t.setDaemon(true)
     t.start()
     t.join(30000)
-    if (t.isAlive) fail(s"$tag: parser hung on truncated input ($p kept)")
-    Files.deleteIfExists(p)
+    if (t.isAlive) fail(s"$tag: parser hung on truncated input")
     inconsistent.foreach(e =>
       fail(s"$tag: successful parse of a truncated file returned " +
         s"garbage: ${e.getMessage}"))
   }
+
+  /** `guarded` over a temp file holding `bytes`; the file is deleted only
+    * after the thread finishes (never under a still-running parser).
+    */
+  private def fuzzCase(tag: String, bytes: Array[Byte])(body: String => Unit): Unit = {
+    val p = Files.createTempFile("graft-fuzz", ".bin")
+    Files.write(p, bytes)
+    guarded(tag)(body(p.toString))
+    Files.deleteIfExists(p)
+  }
+
+  /** Keyed result of a successful truncated parse must exist in the full
+    * file's results AND match it — a bogus key (e.g. a corrupted index
+    * yielding an offset the full file never had) is garbage, not a loud
+    * rejection, and must fail the test rather than be swallowed.
+    */
+  private def assertKeyed[K, V](tag: String, full: Map[K, V], key: K, got: V): Unit =
+    full.get(key) match {
+      case Some(want) => assert(got == want, s"$tag: $key decoded differently")
+      case None => assert(false, s"$tag: parse invented $key absent from the full file")
+    }
 
   private def prefixes(path: String, n: Int): Seq[Array[Byte]] = {
     val full = Files.readAllBytes(Paths.get(path))
@@ -60,8 +78,7 @@ class TruncationFuzzSpec extends SparkSpec {
       fuzzCase(s"grib len=${b.length}", b) { p =>
         graft.sources.grib.Grib2File.index(p).foreach { mi =>
           val got = graft.sources.grib.Grib2File.read(p, mi).values.toSeq
-          assert(got == full(mi.offset),
-            s"message at ${mi.offset} decoded differently from a prefix")
+          assertKeyed(s"grib len=${b.length}", full, mi.offset, got)
         }
       }
   }
@@ -102,8 +119,7 @@ class TruncationFuzzSpec extends SparkSpec {
           val info = graft.sources.tiff.TiffFile.info(p)
           info.blocks.foreach { bk =>
             val got = graft.sources.tiff.TiffFile.readBlock(p, info, bk).toSeq
-            assert(got == full(bk.offset),
-              s"block at ${bk.offset} decoded differently from a prefix")
+            assertKeyed(s"tiff len=${b.length}", full, bk.offset, got)
           }
         }
     }
@@ -124,26 +140,15 @@ class TruncationFuzzSpec extends SparkSpec {
       }
       val fullBytes = Files.readAllBytes(Paths.get(donor))
       val full = decode(fullBytes)
-      for (b <- prefixes(donor, 8) if b.length >= 12) {
-        // media decoders take payload bytes, not paths — run the same
-        // watchdog/consistency protocol inline
-        @volatile var inconsistent: Option[Throwable] = None
-        val t = new Thread(() =>
-          try {
-            val got = decode(b)
-            assert(got == full,
-              s"$donor len=${b.length}: truncated payload decoded differently")
-          } catch {
-            case a: org.scalatest.exceptions.TestFailedException =>
-              inconsistent = Some(a)
-            case _: Throwable => ()
-          })
-        t.setDaemon(true)
-        t.start()
-        t.join(30000)
-        if (t.isAlive) fail(s"$donor len=${b.length}: decoder hung")
-        inconsistent.foreach(e => fail(e.getMessage))
-      }
+      for (b <- prefixes(donor, 8) if b.length >= 12)
+        // media decoders take payload bytes, not paths — same guard,
+        // prefix-of-records comparison (a lenient decoder returning the
+        // first N complete frames is consistent, like the shx case)
+        guarded(s"$donor len=${b.length}") {
+          val got = decode(b)
+          assert(got == full.take(got.length),
+            s"$donor len=${b.length}: truncated payload decoded differently")
+        }
     }
   }
 
