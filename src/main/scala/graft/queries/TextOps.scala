@@ -389,8 +389,11 @@ object TextOps {
   val q107StratifiedSample = Q(
     "q107_stratified_sample",
     (s, dir) => {
-      // per-mille acceptance per source family (src0.. → suffix % 4)
-      val fam = regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4
+      // per-mille acceptance per source family (src0.. → suffix % 4);
+      // TOTAL: a source without digits maps to NULL → the default rate,
+      // never an ANSI cast error (ShortDocTotalitySpec pins this)
+      val fam = nullif(regexp_extract(col("source"), "(\\d+)", 1), lit(""))
+        .cast("long") % 4
       val rate = when(fam === 0, 250L).when(fam === 1, 900L)
         .when(fam === 2, 600L).otherwise(100L)
       val bucket = pmod(
@@ -407,7 +410,8 @@ object TextOps {
         SELECT doc_id, source,
                ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
                       AS BIGINT) % 1000) + 1000) % 1000 AS bucket,
-               CASE CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
+               CASE CAST(nullif(regexp_extract(source, '(\d+)', 1), '')
+                         AS BIGINT) % 4
                     WHEN 0 THEN 250 WHEN 1 THEN 900
                     WHEN 2 THEN 600 ELSE 100 END AS rate
         FROM documents)
@@ -415,6 +419,65 @@ object TextOps {
              CAST(sum(CAST(doc_id AS BIGINT) * doc_id) AS BIGINT) AS id_checksum
       FROM b WHERE bucket < rate
       GROUP BY 1"""))
+
+  /** Corpus-wide LINE dedup with per-document reconstruction — the
+    * C4-recipe hygiene pass (any line occurring more than once across
+    * the whole corpus is kept only at its FIRST occurrence, then
+    * documents are re-assembled from their surviving lines). The
+    * synthetic corpus has no newlines, so "lines" are deterministic
+    * 8-token chunks (total slice-bounded expression per the round-5
+    * lesson). Scale shape: lines shuffle once on their 64-bit hash,
+    * winners are min(doc_id, idx) per hash — one aggregate + one
+    * compact-key join back, never doc×doc — and reconstruction is a
+    * per-doc sort of its own surviving chunks. Output pins the exact
+    * surviving text via an md5 digest of the reassembled document.
+    */
+  val q108LineDedup = Q(
+    "q108_line_dedup",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val lines = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(slice(sequence(1, greatest(cast(ceil(size(w) / 8.0) as int), 1))," +
+            " 1, greatest(cast(ceil(size(w) / 8.0) as int), 0))," +
+            " i -> array_join(slice(w, (i - 1) * 8 + 1, 8), ' '))"))
+          .as(Seq("idx", "line")))
+      val keyed = lines.withColumn("lk",
+        graft.operators.Dedup.md5Hash64(col("line")))
+      val winners = keyed.groupBy("lk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      keyed.join(winners, "lk")
+        .filter(col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+              st => st.getField("line")), " ")).as("kept_digest"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(w[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ') AS line
+        FROM toks, unnest(generate_series(1,
+               CAST(ceil(len(w) / 8.0) AS INT))) AS t(i)),
+      keyed AS (
+        SELECT doc_id, idx, line,
+               CAST(('0x' || substr(md5(line), 18, 15)) AS BIGINT) AS lk
+        FROM chunks),
+      kept AS (
+        SELECT doc_id, idx, line
+        FROM (SELECT *, row_number() OVER (PARTITION BY lk
+                        ORDER BY doc_id, idx) AS rn FROM keyed)
+        WHERE rn = 1)
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, ' ' ORDER BY idx)) AS kept_digest
+      FROM kept GROUP BY 1"""))
 
   /** Repetition signals (the Gopher/C4 quality-filter family): per-doc
     * duplicate-word fraction and most-frequent-word share. One explode +
@@ -516,5 +579,5 @@ object TextOps {
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
-    q107StratifiedSample)
+    q107StratifiedSample, q108LineDedup)
 }

@@ -41,7 +41,8 @@ class ShortDocTotalitySpec extends SparkSpec {
     "q30_text_stats", "q31_token_count", "q32_quality_score", "q33_lang_id",
     "q34_dedup_exact", "q35_fingerprint", "q36_ngram_jaccard",
     "q57_rolling_fingerprint", "q59_redact", "q84_decontaminate",
-    "q85_hash_split", "q86_repetition", "q98_span_dedup")
+    "q85_hash_split", "q86_repetition", "q98_span_dedup",
+    "q107_stratified_sample", "q108_line_dedup")
 
   for (name <- docQueries)
     test(s"$name is total on 0-2 token documents") {
