@@ -157,4 +157,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q105: SQ8 search is TakeOrderedAndProject over a broadcast query vector") {
+    val p = plan("q105_sq8_ann")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q108: line-dedup winners join on the compact hash key, no cartesian") {
+    val p = plan("q108_line_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // map-side partial aggregation on the min(doc,idx)-per-hash winners
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+  }
 }
