@@ -1,0 +1,25 @@
+package graft
+
+/** The driver contract itself: entry() must return rows on sf0.001 (the
+  * driver's smoke check), and every query must have its oracle key
+  * aligned — a rename on one side silently downgrades the gate to a
+  * rows-only check.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names a registered query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("every query carries an oracle (no silent rows-only downgrades)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle (driver falls back to rows-only): $missing")
+  }
+}
