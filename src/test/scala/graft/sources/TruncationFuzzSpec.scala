@@ -152,6 +152,48 @@ class TruncationFuzzSpec extends SparkSpec {
     }
   }
 
+  test("zarr: truncated chunk files and corrupt metadata fail loudly, never spin") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-fuzz-zarr").toString
+    val lats = Array.tabulate(20)(i => 40.0 - i * 0.5)
+    val lons = Array.tabulate(16)(j => 5.0 + j * 0.5)
+    val cells = for (i <- 0 until 20; j <- 0 until 16 if (i + j) % 4 != 0)
+      yield (lats(i), lons(j), (i * 11 + j * 3 % 89).toDouble)
+    graft.sources.zarr.ZarrStore.writeGrid(
+      cells.toDF("latitude", "longitude", "value"), store, "v",
+      "latitude", "longitude", "value", lats, lons,
+      chunkRows = 8, chunkCols = 8)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = graft.sources.zarr.ZarrStore.readMeta(conf, s"$store/v")
+    val full = graft.sources.zarr.ZarrStore.readChunk(
+      conf, s"$store/v", meta, Seq(0, 0)).toSeq
+    val chunk00 = Paths.get(s"$store/v/0.0")
+    val bytes = Files.readAllBytes(chunk00)
+    // every strict prefix of the zlib chunk file must reject, not spin
+    // (an executor hanging forever on a truncated object-store upload
+    // was a real bug this test now pins)
+    for (cut <- Seq(0, 1, bytes.length / 2, bytes.length - 1)) {
+      Files.write(chunk00, java.util.Arrays.copyOfRange(bytes, 0, cut))
+      guarded(s"zarr chunk cut=$cut") {
+        val got = graft.sources.zarr.ZarrStore.readChunk(
+          conf, s"$store/v", meta, Seq(0, 0)).toSeq
+        assert(got == full, s"cut=$cut decoded differently")
+      }
+    }
+    Files.write(chunk00, bytes) // restore
+    // corrupt .zarray JSON must reject loudly too
+    val zarray = Paths.get(s"$store/v/.zarray")
+    val zbytes = Files.readAllBytes(zarray)
+    for (cut <- Seq(0, 2, zbytes.length / 2)) {
+      Files.write(zarray, java.util.Arrays.copyOfRange(zbytes, 0, cut))
+      guarded(s"zarr .zarray cut=$cut") {
+        val m = graft.sources.zarr.ZarrStore.readMeta(conf, s"$store/v")
+        assert(m == meta, s".zarray cut=$cut parsed differently")
+      }
+    }
+    graft.sources.FsOps.delete(spark, store)
+  }
+
   test("shapefile: truncated files fail loudly or read prefix-consistently") {
     val locs = graft.sources.shp.Shapefile.index("/root/repo/data/basins.shx")
     val full = graft.sources.shp.Shapefile.readRange(
