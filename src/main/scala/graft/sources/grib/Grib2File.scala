@@ -89,6 +89,8 @@ object Grib2File {
           s"$path: no GRIB magic at offset $off")
         require(u8(ind, 7) == 2, s"$path: GRIB edition ${u8(ind, 7)}, need 2")
         val msgLen = u64(ind, 8)
+        // a corrupt zero/short length would stall the walk at this offset
+        require(msgLen >= 16, s"$path: message length $msgLen at offset $off")
         out += parseHeaders(ch, off, msgLen)
         off += msgLen
       }
@@ -150,6 +152,8 @@ object Grib2File {
               s"packing template $t unsupported (need 5.0 simple, 5.2/5.3 complex, or 5.41 PNG)")
           case _ => () // 1 identification, 6 bitmap, 7 data: not needed here
         }
+        // zero/short section lengths would stall the walk at this offset
+        require(secLen >= 5, s"section length $secLen at offset $cur")
         cur += secLen
       }
     }
@@ -432,6 +436,7 @@ object Grib2File {
                 }
             case _ => ()
           }
+          require(secLen >= 5, s"section length $secLen at offset $cur")
           cur += secLen
         }
       }
