@@ -198,15 +198,16 @@ object TiffFile {
           inf.setInput(raw0)
           val out = new Array[Byte](need)
           var total = 0
-          while (total < need && !inf.finished()) {
-            val n = inf.inflate(out, total, need - total)
-            // corrupt/truncated deflate data makes inflate return 0
-            // forever — fail loudly, never spin
-            require(n > 0 || inf.finished(),
-              s"truncated deflate block ($total of $need bytes)")
-            total += n
-          }
-          inf.end()
+          try {
+            while (total < need && !inf.finished()) {
+              val n = inf.inflate(out, total, need - total)
+              // corrupt/truncated deflate data makes inflate return 0
+              // forever — fail loudly, never spin
+              require(n > 0 || inf.finished(),
+                s"truncated deflate block ($total of $need bytes)")
+              total += n
+            }
+          } finally inf.end() // free native zlib memory on throw paths too
           require(total == need, s"inflated $total of $need bytes")
           out
         }

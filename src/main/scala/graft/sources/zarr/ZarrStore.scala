@@ -95,15 +95,16 @@ object ZarrStore {
       inf.setInput(raw0)
       val o = new Array[Byte](nElems * es)
       var total = 0
-      while (total < o.length && !inf.finished()) {
-        val n = inf.inflate(o, total, o.length - total)
-        // a truncated chunk file (routine object-store failure) makes
-        // inflate return 0 forever — fail loudly, never spin
-        require(n > 0 || inf.finished(),
-          s"$path: truncated zlib chunk ($total of ${o.length} bytes)")
-        total += n
-      }
-      inf.end()
+      try {
+        while (total < o.length && !inf.finished()) {
+          val n = inf.inflate(o, total, o.length - total)
+          // a truncated chunk file (routine object-store failure) makes
+          // inflate return 0 forever — fail loudly, never spin
+          require(n > 0 || inf.finished(),
+            s"$path: truncated zlib chunk ($total of ${o.length} bytes)")
+          total += n
+        }
+      } finally inf.end() // free native zlib memory on the throw paths too
       require(total == o.length, s"inflated $total of ${o.length} bytes")
       o
     }

@@ -40,13 +40,15 @@ class TruncationFuzzSpec extends SparkSpec {
         s"garbage: ${e.getMessage}"))
   }
 
-  /** `guarded` over a temp file holding `bytes`; the file is deleted only
-    * after the thread finishes (never under a still-running parser).
+  /** `guarded` over a temp file holding `bytes`. On SUCCESS the file is
+    * deleted (after the thread finishes — never under a still-running
+    * parser); on failure it is kept and its path included in the message
+    * so the offending prefix can be inspected.
     */
   private def fuzzCase(tag: String, bytes: Array[Byte])(body: String => Unit): Unit = {
     val p = Files.createTempFile("graft-fuzz", ".bin")
     Files.write(p, bytes)
-    guarded(tag)(body(p.toString))
+    guarded(s"$tag (input kept at $p)")(body(p.toString))
     Files.deleteIfExists(p)
   }
 
@@ -158,7 +160,7 @@ class TruncationFuzzSpec extends SparkSpec {
     val lats = Array.tabulate(20)(i => 40.0 - i * 0.5)
     val lons = Array.tabulate(16)(j => 5.0 + j * 0.5)
     val cells = for (i <- 0 until 20; j <- 0 until 16 if (i + j) % 4 != 0)
-      yield (lats(i), lons(j), (i * 11 + j * 3 % 89).toDouble)
+      yield (lats(i), lons(j), ((i * 11 + j * 3) % 89).toDouble)
     graft.sources.zarr.ZarrStore.writeGrid(
       cells.toDF("latitude", "longitude", "value"), store, "v",
       "latitude", "longitude", "value", lats, lons,
