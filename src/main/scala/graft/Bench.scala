@@ -58,16 +58,34 @@ object Bench {
         System.err.println(s"[bench] page-cache warm skipped: $e")
     }
     // one warm-up pass so JIT/codegen and file listing don't dominate;
-    // warm-up failures are tolerated (the timed passes report them)
-    targets.foreach { q =>
-      try materialize(q.run(spark, sfDir))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // warm-up failures are tolerated (the timed passes report them).
+    // The same pass captures each query's canonicalized plan fingerprint:
+    // a timing drift next round is then decidable as noise (same hash) vs
+    // plan change (different hash) without a judge re-bench.
+    val planHashes = targets.map { q =>
+      val h =
+        try {
+          val df = q.run(spark, sfDir)
+          val hash = graft.core.PlanHash.of(df)
+          materialize(df)
+          hash
+        } catch { case scala.util.control.NonFatal(_) => "err" }
+      q.name -> h
+    }.toMap
     // N timed passes per query (consecutive, min reported): one pass cannot
     // defend against co-tenant contention or a cold VM, and a corrupted
     // official record masquerades as a regression every round. The min is
     // the headline number; every pass is emitted for honesty.
-    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // a malformed SPARK_GRAFT_PASSES must not throw before the JSON line is
+    // emitted — fall back to the default and warn on stderr
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap { s =>
+        val p = scala.util.Try(s.toInt).toOption.filter(_ >= 1)
+        if (p.isEmpty)
+          System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_PASSES=$s; using 3")
+        p
+      }
+      .getOrElse(3)
     // a failing query must surface as status=err and a nonzero exit,
     // never as a silently-near-zero timing
     val results = targets.map { q =>
@@ -101,9 +119,14 @@ object Bench {
     val statuses = results
       .map { case (k, _, _, st) => "\"" + k + "\":\"" + st + "\"" }
       .mkString("{", ",", "}")
+    val hashes = results
+      .map { case (k, _, _, _) =>
+        "\"" + k + "\":\"" + planHashes.getOrElse(k, "err") + "\""
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._4 == "err")) sys.exit(1)
   }

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Deterministic per-row salt in [0, salt): a hash of the row's own
+    * columns. spark_partition_id / monotonically_increasing_id would be
+    * cheaper but change on task retry after shuffle-fetch failure,
+    * silently re-routing rows across reduce partitions (the SPARK-23207
+    * class of hazard); a row hash keeps the same uniform spread with none
+    * of the nondeterminism. Duplicate rows sharing a salt is fine — the
+    * goal is spreading a hot KEY, and a hot key's rows differ in payload.
+    */
+  private def rowSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong))
+
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading one hot key over `salt` reducers — then final aggregate on
     * the keys. `partial` and `fin` must compose to the intended aggregate
@@ -21,8 +32,7 @@ object SkewOps {
       salt: Int,
       partial: Seq[(String, Column)],
       fin: Seq[(String, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val salted = df.withColumn("_salt", rowSalt(df, salt))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head._2.as(partial.head._1),
@@ -44,8 +54,7 @@ object SkewOps {
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       key: String, salt: Int): DataFrame = {
-    val l = left.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val l = left.withColumn("_salt", rowSalt(left, salt))
     val r = right
       .withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
@@ -81,9 +90,7 @@ object SkewOps {
       hotKeys(left, key, hotThreshold).withColumn("_hot", lit(true)))
     val l = left.join(hot, Seq(key), "left")
       .withColumn("_salt",
-        when(col("_hot").isNotNull,
-          pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt))
-            .cast("long"))
+        when(col("_hot").isNotNull, rowSalt(left, salt))
           .otherwise(lit(0L)))
       .drop("_hot")
     val r = right.join(hot, Seq(key), "left")

@@ -148,6 +148,22 @@ object Grib2File {
           case 5 =>
             val s = readAt(ch, cur, secLen.toInt)
             val t = u16(s, 9)
+            // DECISION (round 7): template 5.40 (JPEG2000) is rejected,
+            // not decoded. A correct lossless J2K decoder (EBCOT/MQ
+            // arithmetic coding + 5/3 wavelet) is ~thousands of lines of
+            // error-prone codec with no JDK support, and the products we
+            // target (GloFAS CDS) ship simple/complex/PNG packing — all
+            // covered. The rejection is loud and actionable: it names
+            // the one-line eccodes repack (tools/grib2_j2k_repack.sh)
+            // that converts 5.40 files to 5.2 losslessly out-of-band.
+            // Mirrors cfgrib's honest posture: eccodes itself shells to
+            // openjpeg for 5.40 (reference io_managers.py:193-210 relies
+            // on that C dependency; we document the same boundary
+            // instead of hiding it).
+            if (t == 40) sys.error(
+              "packing template 5.40 (JPEG2000) unsupported: no pure-JVM " +
+                "J2K codec; repack losslessly with tools/grib2_j2k_repack.sh " +
+                "(eccodes grib_set packingType=grid_complex), then re-read")
             require(t == 0 || t == 2 || t == 3 || t == 41,
               s"packing template $t unsupported (need 5.0 simple, 5.2/5.3 complex, or 5.41 PNG)")
           case _ => () // 1 identification, 6 bitmap, 7 data: not needed here
@@ -332,8 +348,11 @@ object Grib2File {
     val w = img.getWidth
     val h = img.getHeight
     val bands = raster.getNumBands
-    require(w * h == p.nVals,
-      s"PNG dims ${w}x$h carry ${w * h} pixels for ${p.nVals} values")
+    // compare in Long: hostile dims could overflow an Int product and slip
+    // past the guard (the loop below would still throw, but not with this
+    // message)
+    require(w.toLong * h == p.nVals.toLong,
+      s"PNG dims ${w}x$h carry ${w.toLong * h} pixels for ${p.nVals} values")
     val xs = new Array[Long](p.nVals)
     var k = 0
     var y = 0
@@ -383,6 +402,10 @@ object Grib2File {
         val secLen = u32(head, 0)
         if (secLen == 0x37373737L) { done = true }
         else {
+          // stall/bounds guard BEFORE touching the section body: a tiny
+          // secLen on a handled section must fail with this message, not
+          // an incidental IndexOutOfBounds deep in a parser
+          require(secLen >= 5, s"section length $secLen at offset $cur")
           u8(readAt(ch, cur + 4, 1), 0) match {
             case 5 =>
               packing = parseSection5(readAt(ch, cur, secLen.toInt))
@@ -436,7 +459,6 @@ object Grib2File {
                 }
             case _ => ()
           }
-          require(secLen >= 5, s"section length $secLen at offset $cur")
           cur += secLen
         }
       }

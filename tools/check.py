@@ -19,7 +19,8 @@ marker = Path(outdir) / "SUBSET_RUN"
 fresh = None  # names re-dumped by the last (subset) Verify run; None = all
 if marker.exists():
     text = marker.read_text().strip()
-    fresh = set(text.split("=", 1)[1].split(",")) if "=" in text else set()
+    fresh = (set(n.strip() for n in text.split("=", 1)[1].split(",") if n.strip())
+             if "=" in text else set())
     print(f"WARNING: {marker} present — Verify ran with {text}; unlisted"
           " queries hold STALE dumps and are reported as such, not compared."
           " Not a full gate run.")
