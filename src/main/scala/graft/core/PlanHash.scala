@@ -1,0 +1,57 @@
+package graft.core
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonicalized physical-plan fingerprint. The bench emits one hash per
+  * headline query so a timing drift is decidable as noise-vs-plan-change
+  * in one look: same hash as last round → the plan did not move, the time
+  * did (environment); different hash → a real plan change to audit.
+  *
+  * Hashes the PRE-AQE `sparkPlan`: it is fully determined by the query,
+  * the optimizer, and the input schema/layout — unlike `executedPlan`,
+  * which AQE rewrites per run from observed runtime statistics (that
+  * nondeterminism is exactly the noise this fingerprint must ignore).
+  * Run-specific tokens are normalized away so the hash is stable across
+  * JVMs and checkouts: expression IDs, plan IDs, per-session temp/dir
+  * paths, exchange/subquery IDs, and file-listing byte counts.
+  */
+object PlanHash {
+
+  /** Strip run-varying tokens from a plan string. */
+  def canonicalize(plan: String): String =
+    plan
+      // expression IDs: revenue#123L → revenue#xL (letter suffix kept —
+      // a dtype change should change the hash)
+      .replaceAll("#\\d+", "#x")
+      // JVM identity hashes: a collected-literal array folded into the
+      // plan (vector-search probes) prints as [D@1f2a3b — new object,
+      // new token, every build
+      .replaceAll("@[0-9a-f]{4,}", "@x")
+      // higher-order-function lambda variables carry a session-global
+      // counter: `lambda x_1` on first build, `lambda x_16` on the next
+      .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_n")
+      // plan / exchange / subquery identifiers
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#?x?\\d*\\]", "")
+      .replaceAll("exchange_\\d+", "exchange_x")
+      .replaceAll("subquery#?\\d+", "subquery#x")
+      .replaceAll("cte_\\d+", "cte_x")
+      // absolute paths (sf dirs, session tmpdirs, bucketed-table dirs)
+      .replaceAll("file:[^\\s,\\]\\)]+", "path")
+      .replaceAll("/[A-Za-z0-9_./-]*(?:testdata|tmp|target)/[^\\s,\\]\\)]*", "path")
+      // file-listing statistics vary with parquet writer buffering
+      .replaceAll("\\d+ paths", "N paths")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      .replaceAll("size=[0-9.]+ *[KMGT]?i?B", "size=x")
+      .replaceAll(", *\\d+ bytes", ", x bytes")
+
+  /** Hex md5 (first 16 chars) of the canonicalized sparkPlan. */
+  def of(df: DataFrame): String = {
+    val canon = canonicalize(df.queryExecution.sparkPlan.toString)
+    val md = MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+  }
+}
