@@ -19,6 +19,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** 100 TB state-store posture: the default HDFS-backed provider keeps
+    * every key's state on the executor HEAP (bounded only by the
+    * watermark), which is the scale-killer once keyed session state
+    * outgrows memory. RocksDB spills state to local disk with the same
+    * exactly-once semantics; it is a per-query config read at stream
+    * start, so callers opt in via `s.conf.set(ProviderClassConf,
+    * RocksDbProvider)` before `writeStream.start()`. Gate parity under
+    * RocksDB (q83/q87–q90/q99 ≡ batch) is pinned by
+    * RocksDbStateStoreSpec.
+    */
+  val ProviderClassConf = "spark.sql.streaming.stateStore.providerClass"
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

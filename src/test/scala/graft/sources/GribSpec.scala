@@ -117,6 +117,34 @@ class GribSpec extends SparkSpec {
     assert(e.getMessage.contains("bitmap indicator 254"))
   }
 
+  test("packing template 5.40 (JPEG2000) is rejected with the repack path") {
+    // patch an existing message's section 5 template number to 40: the
+    // DOCUMENTED decision (no pure-JVM J2K codec) must surface as a loud,
+    // actionable error naming tools/grib2_j2k_repack.sh — never as a
+    // garbage decode or an incidental bounds crash
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfPath))
+    val infos = Grib2File.index(cfPath)
+    val msg = java.util.Arrays.copyOfRange(src, 0, infos(0).length.toInt)
+    var cur = 16
+    var patched = false
+    while (!patched) {
+      val len = ((msg(cur) & 0xFF) << 24) | ((msg(cur + 1) & 0xFF) << 16) |
+        ((msg(cur + 2) & 0xFF) << 8) | (msg(cur + 3) & 0xFF)
+      if ((msg(cur + 4) & 0xFF) == 5) {
+        // octets 10-11 (u16 at index 9): data representation template
+        msg(cur + 9) = 0; msg(cur + 10) = 40.toByte; patched = true
+      } else cur += len
+    }
+    val f = java.io.File.createTempFile("grib540", ".grib2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, msg)
+    val e = intercept[RuntimeException](
+      Grib2File.index(f.getAbsolutePath))
+    assert(e.getMessage.contains("5.40"), e.getMessage)
+    assert(e.getMessage.contains("grib2_j2k_repack.sh"), e.getMessage)
+  }
+
   test("PNG packing (template 5.41) decodes 16-bit gray and 24-bit RGB") {
     val path = "/root/repo/data/ens_png.grib2"
     val infos = Grib2File.index(path)
