@@ -261,6 +261,45 @@ object PipelineQueries {
       FROM orders JOIN customer ON o_custkey = c_custkey
       QUALIFY rank <= 3"""))
 
+  /** Work-item fan-out under the hash gate (reference: the sentinel GPU
+    * upscaling fan-out, upscaling.py:16-61 via client.submit,
+    * dask_resource.py:34-38). A work-item table — one id per distinct
+    * part brand:type/size, standing in for one id per Sentinel-2 tile —
+    * goes through WorkItems.fanOut at parallelism 32, where the task
+    * body is the external-tool seam: here a deterministic pure-JVM
+    * stand-in (md5 of the item id, as an output-artifact digest), with
+    * items of one type class throwing to exercise the per-item failure
+    * capture the reference gets from op-level retries (jobs.py:9-11).
+    * The oracle replays both the digest and the captured failure rows in
+    * SQL, so the fan-out runtime path itself is hash-gated.
+    */
+  val q109WorkItems = Q(
+    "q109_work_items",
+    (s, dir) => {
+      import s.implicits._
+      val items = Tables.load(s, dir, "part")
+        .select(concat(col("p_brand"), lit(":"), col("p_type"), lit("/"),
+          col("p_size").cast("string")).as("item"))
+        .distinct()
+        .as[String]
+      graft.operators.WorkItems.fanOut(items, parallelism = 32) { item =>
+        if (item.contains("BURNISHED"))
+          throw new RuntimeException(s"no codec for BURNISHED finish: $item")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(item.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }.toDF()
+    },
+    Some("""
+      SELECT item,
+             NOT contains(item, 'BURNISHED') AS ok,
+             CASE WHEN contains(item, 'BURNISHED') THEN ''
+                  ELSE md5(item) END AS outcome,
+             CASE WHEN contains(item, 'BURNISHED')
+                  THEN 'no codec for BURNISHED finish: ' || item
+                  ELSE '' END AS error
+      FROM (SELECT DISTINCT p_brand || ':' || p_type || '/' ||
+              CAST(p_size AS VARCHAR) AS item FROM part)"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
-    q48CdcChunks, q49TopkPerGroup)
+    q48CdcChunks, q49TopkPerGroup, q109WorkItems)
 }
