@@ -49,13 +49,19 @@ object SkewMacroBench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val (nPlain, tPlain) = time(agg(left.join(right, "k")))
+    // AQE's native skew-join split (sort-merge only): the boundary the
+    // decision rule in AqeSkewSpec / CLAUDE.md is drawn from
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val (nAqe, tAqe) = time(agg(left.join(right, "k")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val (nBlanket, tBlanket) = time(agg(SkewOps.saltedJoin(left, right, "k", salt)))
     val (nHot, tHot) = time(agg(
       SkewOps.saltedJoinHotKeys(left, right, "k", salt, nLeft / 100)))
-    require(nBlanket == nPlain && nHot == nPlain,
-      s"checksum mismatch: plain=$nPlain blanket=$nBlanket hot=$nHot")
+    require(nBlanket == nPlain && nHot == nPlain && nAqe == nPlain,
+      s"checksum mismatch: plain=$nPlain aqe=$nAqe blanket=$nBlanket hot=$nHot")
     println(
-      f"""{"metric":"skew_join_macro","value":$tHot%.1f,"unit":"sec","n_left":$nLeft,"n_right":$nRight,"salt":$salt,"plain_sec":$tPlain%.1f,"blanket_sec":$tBlanket%.1f,"hotkey_sec":$tHot%.1f,"checksum":$nPlain}""")
+      f"""{"metric":"skew_join_macro","value":$tHot%.1f,"unit":"sec","n_left":$nLeft,"n_right":$nRight,"salt":$salt,"plain_sec":$tPlain%.1f,"aqe_sec":$tAqe%.1f,"blanket_sec":$tBlanket%.1f,"hotkey_sec":$tHot%.1f,"checksum":$nPlain}""")
     spark.stop()
   }
 }
