@@ -87,13 +87,83 @@ object Multimodal {
     * md5 digest, so dot products and norms are exact in double arithmetic
     * regardless of summation order (and the DuckDB oracle reproduces them
     * bit-for-bit). The signature (binary → array<double>[dim]) is the real
-    * contract a model-based embedder would fill.
+    * contract a model-based embedder would fill; the EXECUTION contract a
+    * real model plugs into is [[BatchEmbedder]] + [[embedWithModel]]
+    * (batched, per-task lifecycle, executor-local features), gated by
+    * BatchInferenceSpec over q101's real decoded features.
     */
   def embedStub(payload: Column, dim: Int): Column = {
     val digest = md5(payload)
     transform(sequence(lit(0), lit(dim - 1)),
       j => (Dedup.md5Hash64(concat(digest, j.cast("string"))) % 2001 - 1000)
         .cast("double"))
+  }
+
+  /** Batch-inference seam CONTRACT — the shape a learned embedding model
+    * plugs into (what `embedStub` stands in for). Mirrors the
+    * mapInPandas/Pandas-UDF batch contract in typed-JVM form:
+    *
+    *  - the model sees a BATCH of feature rows (amortizing weight-matrix
+    *    / session setup over `batchSize` rows, exactly like an Arrow
+    *    record batch), never one row at a time;
+    *  - `open()` runs once per TASK before the first batch (model/session
+    *    load — the per-partition init mapInPandas gets for free from the
+    *    worker process), `close()` after the last;
+    *  - output batch must be same-size, same-order as the input batch —
+    *    row i's embedding is output(i), dimension `dim`;
+    *  - implementations must be deterministic per input row: Spark may
+    *    re-run a task after shuffle-fetch failure, and a nondeterministic
+    *    embedder silently corrupts downstream bucketing/dedup.
+    *
+    * Executed via mapPartitions so payload/feature columns never leave
+    * the executors; BatchInferenceSpec gates a stand-in linear model over
+    * q101's real decoded image features against an exact plan-side
+    * replay.
+    */
+  trait BatchEmbedder extends Serializable {
+    def dim: Int
+    def open(): Unit = ()
+    def embedBatch(features: Seq[Array[Double]]): Seq[Array[Double]]
+    def close(): Unit = ()
+  }
+
+  final case class FeatureRow(media_id: Long, features: Array[Double])
+  final case class EmbeddedRow(media_id: Long, emb: Array[Double])
+
+  /** Run a [[BatchEmbedder]] over (media_id, features) rows. One model
+    * instance per task, batches of `batchSize`, streaming (no partition
+    * materialization). The 100 TB shape: inference parallelism ==
+    * partition count, feature arrays stay executor-local, output is the
+    * narrow (id, emb) table that downstream ANN/dedup joins on.
+    */
+  def embedWithModel(features: DataFrame, model: BatchEmbedder,
+      batchSize: Int = 64): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select("media_id", "features").as[FeatureRow]
+      .mapPartitions { it =>
+        model.open()
+        val out = it.grouped(batchSize).flatMap { batch =>
+          val embs = model.embedBatch(batch.map(_.features))
+          require(embs.length == batch.length,
+            s"embedder returned ${embs.length} rows for ${batch.length} inputs")
+          batch.lazyZip(embs).map { (row, e) =>
+            require(e.length == model.dim,
+              s"media_id=${row.media_id}: embedding dim ${e.length} != ${model.dim}")
+            EmbeddedRow(row.media_id, e)
+          }
+        }
+        // exhaust-then-close without materializing the whole partition
+        new Iterator[EmbeddedRow] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) model.close()
+            h
+          }
+          def next(): EmbeddedRow = out.next()
+        }
+      }
+      .toDF()
   }
 
   final case class MediaRow(media_id: Long, payload: Array[Byte])
