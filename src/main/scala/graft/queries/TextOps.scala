@@ -420,6 +420,67 @@ object TextOps {
       FROM b WHERE bucket < rate
       GROUP BY 1"""))
 
+  /** Near-dup CLUSTERING via distributed connected components — the
+    * cluster step between candidate pairs and "keep one per cluster"
+    * that pairwise dedup (q37/q108) stops short of: two docs sharing no
+    * chunk still land in one cluster when a third overlaps both
+    * (C4/RefinedWeb recipe). Candidate edges are the q108 chunk keys
+    * reduced to per-chunk STARS (min-doc hub → member, linear in
+    * members, never member×member); ConnectedComponents resolves the
+    * transitive clusters in O(log diameter) label-propagation rounds
+    * with one compact (long,long) shuffle pair per round. The oracle
+    * recomputes the same transitive closure with a recursive CTE, so
+    * the fixpoint itself is hash-gated. Docs sharing nothing are their
+    * own singleton component (coalesce).
+    */
+  val q110ComponentDedup = Q(
+    "q110_component_dedup",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val chunks = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(sequence(1, greatest(cast(ceil(size(w) / 8.0) as int), 1))," +
+            " 1, greatest(cast(ceil(size(w) / 8.0) as int), 0))," +
+            " i -> array_join(slice(w, (i - 1) * 8 + 1, 8), ' '))"))
+          .as("line"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.md5Hash64(col("line")).as("lk"))
+        .distinct()
+      val hubs = chunks.groupBy("lk").agg(min("doc_id").as("hub"))
+      val edges = chunks.join(hubs, "lk")
+        .filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("src"), col("doc_id").as("dst"))
+        .distinct()
+      val comps = graft.operators.ConnectedComponents.run(edges)
+      t(s, dir)("documents").select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(array_to_string(
+                 w[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ')), 18, 15)) AS BIGINT) AS lk
+        FROM toks, unnest(generate_series(1,
+               CAST(ceil(len(w) / 8.0) AS INT))) AS t(i)),
+      hubs AS (SELECT lk, min(doc_id) AS hub FROM chunks GROUP BY 1),
+      edges AS (
+        SELECT DISTINCT hub AS a, doc_id AS b
+        FROM chunks JOIN hubs USING (lk) WHERE doc_id <> hub),
+      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+      SELECT node AS doc_id, min(lbl) AS component
+      FROM reach GROUP BY 1"""))
+
   /** Corpus-wide LINE dedup with per-document reconstruction — the
     * C4-recipe hygiene pass (any line occurring more than once across
     * the whole corpus is kept only at its FIRST occurrence, then
@@ -579,5 +640,5 @@ object TextOps {
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
-    q107StratifiedSample, q108LineDedup)
+    q107StratifiedSample, q108LineDedup, q110ComponentDedup)
 }
