@@ -130,6 +130,33 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-mode MinHash dedup — the full C4/RefinedWeb recipe:
+    * verified candidate pairs become edges, [[ConnectedComponents]]
+    * resolves the TRANSITIVE clusters, and exactly one survivor (the
+    * min id) is kept per cluster. Differs from pairwise [[minhashDedup]]
+    * on chain shapes: with sim(1,3)>=t and sim(2,3)>=t but sim(1,2)<t,
+    * pairwise keeps {1,2} (2 has no smaller direct partner) while
+    * cluster mode keeps {1} — transitively linked docs never co-survive.
+    * Returns (id, cluster, is_survivor) for every doc; singletons are
+    * their own cluster. Scale shape: LSH-bounded edge generation +
+    * O(log diameter) compact-key label rounds — no all-pairs stage.
+    */
+  def minhashDedupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val edges = minhashCandidates(docs, idCol, textCol, n, k, bands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = ConnectedComponents.run(edges)
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster"),
+        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("is_survivor"))
+  }
+
   /** 64-bit SimHash of the token multiset: sign of the per-bit vote sum
     * of token hashes. Expressed as 64 conditional sums over exploded
     * token hashes (single shuffle on the doc id). Token hashes use

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed running (prefix) sum over a total order — WITHOUT the
+  * single-reducer global window (`Window.orderBy` with no partition key
+  * funnels every row through one task; at 100 TB that is the canonical
+  * scale-killer). The classic two-pass shape instead:
+  *
+  *  1. range-repartition + sort on the order key (one shuffle, P-way
+  *     parallel — the same exchange a global sort pays);
+  *  2. per-partition partial sums → collect P longs to the driver (a
+  *     router probe, like the IVF centroid fetch — P values, never
+  *     data rows) → exclusive offsets;
+  *  3. one streaming pass per partition adding its offset.
+  *
+  * The result equals the inclusive `sum() OVER (ORDER BY ...)` window
+  * exactly, independent of partition boundaries (offsets come from the
+  * actual partials, so where the range sampler cut cannot matter).
+  * q111 gates it against DuckDB's window implementation.
+  *
+  * The per-partition passes are `rdd.mapPartitionsWithIndex` — one of
+  * the sanctioned per-partition-imperative RDD seams. Deliberately NOT
+  * `TaskContext.getPartitionId`/`spark_partition_id`: those report the
+  * TASK's id, which collapses to 0 when a downstream `coalesce(1)`
+  * (e.g. a single-file writer) merges the stage — every partition would
+  * silently take partition 0's offset. The `mapPartitionsWithIndex`
+  * index is the parent partition's own, stable under coalesce and
+  * cache rebuilds (this bug was caught by the q111 gate's dump path).
+  */
+object PrefixSum {
+
+  /** Append `out` = inclusive running sum of `valueCol` (cast to long,
+    * must be non-null) in the total order of `orderCols` (which must be
+    * a unique key — ties would make any running sum order-ambiguous).
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+      out: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val staged = df.withColumn("_psv", valueCol.cast("long"))
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .cache()
+    val vIdx = staged.schema.fieldIndex("_psv")
+    val partials = staged.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(vIdx)
+        Iterator(i -> s)
+      }
+      .collect().toMap
+    val offsets = (0 until p).map { pid =>
+      pid -> (0 until pid).map(partials.getOrElse(_, 0L)).sum
+    }.toMap
+    val summed = staged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(summed, staged.schema.add(out, LongType, nullable = false))
+      .drop("_psv")
+  }
+}

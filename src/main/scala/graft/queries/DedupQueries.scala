@@ -53,6 +53,35 @@ object DedupQueries {
       GROUP BY 1"""),
     headline = true)
 
+  /** Cluster-mode MinHash dedup (Dedup.minhashDedupClusters): verified
+    * LSH pairs → ConnectedComponents → one survivor per TRANSITIVE
+    * cluster. Oracle rebuilds the same fixpoint from brute-force exact
+    * Jaccard ground truth with a recursive CTE — valid for the same
+    * reason as q37 (every engine edge is exact-verified; only
+    * deterministic LSH false negatives could diverge, checked per SF).
+    */
+  val q112ClusterDedup = Q(
+    "q112_cluster_dedup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashDedupClusters(docs, "doc_id", "text", threshold = 0.8)
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (${shinglesSql.format("documents")}),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+      SELECT node AS doc_id, min(lbl) AS cluster,
+             min(lbl) = node AS is_survivor
+      FROM reach GROUP BY node"""))
+
   /** SimHash near-dup pairs over documents (hamming <= 3 of 64-bit sigs). */
   val q38SimhashPairs = Q(
     "q38_simhash_pairs",
@@ -316,5 +345,5 @@ object DedupQueries {
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
-      q102AviMjpeg)
+      q102AviMjpeg, q112ClusterDedup)
 }

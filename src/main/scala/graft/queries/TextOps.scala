@@ -420,6 +420,52 @@ object TextOps {
       FROM b WHERE bucket < rate
       GROUP BY 1"""))
 
+  /** Deterministic SEQUENCE PACKING — the shard-assignment step of a
+    * training-data pipeline: documents are packed, in (source, doc_id)
+    * order, into consecutive ~256-token shards per source (a doc opens a
+    * new shard when the running token count crosses the boundary; docs
+    * are not split). The running count comes from
+    * operators/PrefixSum.runningSum — a range-partitioned two-pass
+    * prefix sum, NOT a global window (`Window.orderBy` without a
+    * partition key is a single-reducer funnel at 100 TB; per-source
+    * windows are only as parallel as the source cardinality). Per-source
+    * running counts are recovered from the GLOBAL running sum by
+    * subtracting each source's start offset (a tiny broadcast join), so
+    * parallelism stays P-way regardless of how few sources exist. The
+    * oracle computes the same thing with DuckDB's window — the hash
+    * match proves the two-pass sum ≡ the window exactly.
+    */
+  val q111SequencePack = Q(
+    "q111_sequence_pack",
+    (s, dir) => {
+      val W = 256
+      val docs = t(s, dir)("documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long").as("n_tokens"))
+      val cum = graft.operators.PrefixSum.runningSum(
+        docs, Seq(col("source"), col("doc_id")), col("n_tokens"), "g_cum")
+      // per-source start offset = global running sum just before the
+      // source's first doc = min(g_cum - n_tokens) within the source
+      val base = cum.groupBy("source")
+        .agg(min(col("g_cum") - col("n_tokens")).as("src_base"))
+      cum.join(broadcast(base), "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"(g_cum - src_base - n_tokens) DIV $W").as("shard"))
+    },
+    Some("""
+      SELECT doc_id, source, n_tokens,
+             CAST((cum - n_tokens) // 256 AS BIGINT) AS shard
+      FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                          tk -> len(tk) > 0)) AS BIGINT) AS n_tokens
+          FROM documents))"""))
+
   /** Near-dup CLUSTERING via distributed connected components — the
     * cluster step between candidate pairs and "keep one per cluster"
     * that pairwise dedup (q37/q108) stops short of: two docs sharing no
@@ -640,5 +686,6 @@ object TextOps {
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
-    q107StratifiedSample, q108LineDedup, q110ComponentDedup)
+    q107StratifiedSample, q108LineDedup, q110ComponentDedup,
+    q111SequencePack)
 }
