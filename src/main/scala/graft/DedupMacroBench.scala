@@ -48,8 +48,22 @@ object DedupMacroBench {
       .count()
     val sec = (System.nanoTime() - t0) / 1e9
 
+    // cluster mode on the same corpus: pairs → connected components →
+    // one survivor per transitive cluster. Planted dups are disjoint
+    // 2-cliques, so the survivor COUNT must equal the pairwise run's —
+    // a correctness cross-check between the two dedup modes at scale —
+    // while the time adds the O(log d) label rounds on the LSH edges.
+    val t1 = System.nanoTime()
+    val clustered = Dedup.minhashDedupClusters(docs, "doc_id", "text",
+      threshold = 0.8)
+    val clusterSurvivors = clustered.filter(col("is_survivor")).count()
+    val secCluster = (System.nanoTime() - t1) / 1e9
+    require(clusterSurvivors == survivors,
+      s"cluster-mode survivors $clusterSurvivors != pairwise $survivors " +
+        "(planted dups are 2-cliques: modes must agree)")
+
     val expected = n - (n - 1) / 10 // ids 10, 20, ... are planted dups
-    println(f"""{"metric":"dedup_macro","value":$sec%.1f,"unit":"sec","n_docs":$n,"survivors":$survivors,"expected_survivors":$expected,"planted_dup_recall":${(n - survivors).toDouble / (n - expected)}%.4f}""")
+    println(f"""{"metric":"dedup_macro","value":$sec%.1f,"unit":"sec","n_docs":$n,"survivors":$survivors,"expected_survivors":$expected,"planted_dup_recall":${(n - survivors).toDouble / (n - expected)}%.4f,"cluster_mode_sec":$secCluster%.1f}""")
     spark.stop()
   }
 }
