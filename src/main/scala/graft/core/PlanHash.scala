@@ -16,6 +16,16 @@ import org.apache.spark.sql.DataFrame
   * Run-specific tokens are normalized away so the hash is stable across
   * JVMs and checkouts: expression IDs, plan IDs, per-session temp/dir
   * paths, exchange/subquery IDs, and file-listing byte counts.
+  *
+  * Comparability caveat: hashes are comparable only between runs of the
+  * SAME query set. Spark substitutes any logical subtree that matches an
+  * existing cache entry, so a query sharing a cacheable subtree with
+  * another query in the run gets different scan nodes in a full run than
+  * in a SPARK_GRAFT_ONLY subset run (verified: full-vs-full and
+  * subset-vs-subset reproduce exactly across JVMs; full-vs-subset
+  * differs for the cache-sharing dedup queries). Round-over-round
+  * BENCH_r{N} comparisons are always full-run-vs-full-run, so this
+  * never affects the intended use.
   */
 object PlanHash {
 
