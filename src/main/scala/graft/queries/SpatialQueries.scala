@@ -444,5 +444,75 @@ object SpatialQueries {
 
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
-    q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog)
+    q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
+    q113PolygonMetrics)
+
+  /** Polygon scalar metrics over the shapefile source: shoelace area,
+    * perimeter, and centroid per ring — the geometry derivations the
+    * reference gets from shapely (hydrobasins.py:79-99) re-expressed as
+    * ordered Catalyst array folds. Bit-reproducibility design: ring
+    * coords are 0.25-multiples so every shoelace cross term is exact in
+    * doubles; perimeter's per-edge sqrt is IEEE correctly-rounded and
+    * both engines fold the edges IN RING ORDER (Spark `aggregate` over
+    * `sequence` ≡ DuckDB `list_reduce` over an ordered comprehension) —
+    * an unordered SQL `sum()` over unnested edges would be free to
+    * reassociate and flip last bits. Centroid divides two identically-
+    * computed doubles, so it is bit-identical too (same reasoning as
+    * the q46 hyperplane-fold lesson). The oracle computes from the
+    * independent python writer's basins_expected.parquet, so the .shp
+    * byte parsing is cross-validated once more on the way through.
+    */
+  lazy val q113PolygonMetrics = Q(
+    "q113_polygon_metrics",
+    (s, _) => {
+      s.read.format("graft-shp")
+        .option("path", "/root/repo/data/basins.shp")
+        .option("idfield", "HYBAS_ID")
+        .load()
+        .select(col("zone"), col("part"), col("xs"), col("ys"))
+        .withColumn("a2", expr(
+          "aggregate(sequence(1, size(xs) - 1), 0d, (acc, i) ->" +
+            " acc + (element_at(xs, i) * element_at(ys, i + 1)" +
+            " - element_at(xs, i + 1) * element_at(ys, i)))"))
+        .withColumn("perimeter", expr(
+          "aggregate(sequence(1, size(xs) - 1), 0d, (acc, i) ->" +
+            " acc + sqrt(pow(element_at(xs, i + 1) - element_at(xs, i), 2)" +
+            " + pow(element_at(ys, i + 1) - element_at(ys, i), 2)))"))
+        .withColumn("cx", expr(
+          "aggregate(sequence(1, size(xs) - 1), 0d, (acc, i) ->" +
+            " acc + (element_at(xs, i) + element_at(xs, i + 1))" +
+            " * (element_at(xs, i) * element_at(ys, i + 1)" +
+            " - element_at(xs, i + 1) * element_at(ys, i)))") / (lit(3.0) * col("a2")))
+        .withColumn("cy", expr(
+          "aggregate(sequence(1, size(xs) - 1), 0d, (acc, i) ->" +
+            " acc + (element_at(ys, i) + element_at(ys, i + 1))" +
+            " * (element_at(xs, i) * element_at(ys, i + 1)" +
+            " - element_at(xs, i + 1) * element_at(ys, i)))") / (lit(3.0) * col("a2")))
+        .select(col("zone"), col("part").cast("long").as("part"),
+          (abs(col("a2")) / 2.0).as("area"), col("perimeter"),
+          col("cx"), col("cy"))
+    },
+    Some("""
+      SELECT zone, CAST(part AS BIGINT) AS part,
+             abs(a2) / 2.0 AS area, perimeter,
+             cxs / (3.0 * a2) AS cx, cys / (3.0 * a2) AS cy
+      FROM (
+        SELECT zone, part,
+               list_reduce(list_prepend(0.0,
+                 [xs[i] * ys[i+1] - xs[i+1] * ys[i]
+                  for i in generate_series(1, len(xs) - 1)]),
+                 (a, b) -> a + b) AS a2,
+               list_reduce(list_prepend(0.0,
+                 [sqrt(pow(xs[i+1] - xs[i], 2) + pow(ys[i+1] - ys[i], 2))
+                  for i in generate_series(1, len(xs) - 1)]),
+                 (a, b) -> a + b) AS perimeter,
+               list_reduce(list_prepend(0.0,
+                 [(xs[i] + xs[i+1]) * (xs[i] * ys[i+1] - xs[i+1] * ys[i])
+                  for i in generate_series(1, len(xs) - 1)]),
+                 (a, b) -> a + b) AS cxs,
+               list_reduce(list_prepend(0.0,
+                 [(ys[i] + ys[i+1]) * (xs[i] * ys[i+1] - xs[i+1] * ys[i])
+                  for i in generate_series(1, len(xs) - 1)]),
+                 (a, b) -> a + b) AS cys
+        FROM '/root/repo/data/basins_expected.parquet')"""))
 }
