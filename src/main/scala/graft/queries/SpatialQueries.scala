@@ -445,7 +445,37 @@ object SpatialQueries {
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
-    q113PolygonMetrics)
+    q113PolygonMetrics, q114ArrowScan)
+
+  /** Arrow IPC scan (graft-arrow DSv2, one partition per record batch,
+    * footer-only planning) aggregated per sensor — the ingest hop from
+    * ML-tooling caches (HuggingFace datasets, pandas/polars dumps) that
+    * a training-data pipeline reads without conversion. The oracle runs
+    * over the expected parquet written alongside the IPC fixture by
+    * tools/arrow_fixture.py, so the hash match cross-validates the
+    * arrow-vector batch walk, type mapping, and null handling against
+    * pyarrow's writer.
+    */
+  lazy val q114ArrowScan = Q(
+    "q114_arrow_scan",
+    (s, _) => {
+      s.read.format("graft-arrow")
+        .option("path", "/root/repo/data/metrics.arrow")
+        .load()
+        .groupBy(coalesce(col("sensor"), lit("(null)")).as("sensor"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("flag"), 1)).as("n_flagged"),
+          Sql.exactSum(col("reading")).as("sum_reading"),
+          max("id").as("max_id"))
+    },
+    Some("""
+      SELECT coalesce(sensor, '(null)') AS sensor,
+             count(*) AS n,
+             count(CASE WHEN flag THEN 1 END) AS n_flagged,
+             CAST(sum(CAST(reading AS DECIMAL(27,4))) AS DOUBLE) AS sum_reading,
+             max(id) AS max_id
+      FROM '/root/repo/data/arrow_expected.parquet'
+      GROUP BY 1"""))
 
   /** Polygon scalar metrics over the shapefile source: shoelace area,
     * perimeter, and centroid per ring — the geometry derivations the
