@@ -445,7 +445,44 @@ object SpatialQueries {
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
-    q113PolygonMetrics, q114ArrowScan)
+    q113PolygonMetrics, q114ArrowScan, q115ArrowSink)
+
+  /** Arrow IPC SINK round trip: an orders slice is written as a
+    * directory of part-file IPC batches (ArrowSink — one bounded batch
+    * buffer per task, temp-name + atomic rename) and read back through
+    * the graft-arrow source; the oracle computes the same aggregate
+    * straight from the orders table, so the gate hash-validates the
+    * write→read cycle including nulls. Same build-time-tmpdir pattern
+    * as q81/q82 (Verify runs queries sequentially).
+    */
+  lazy val q115ArrowSink = Q(
+    "q115_arrow_sink",
+    (s, dir) => {
+      val slice = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_custkey") % 13 =!= 0, col("o_orderpriority")).as("prio"),
+        col("o_totalprice").as("price"),
+        (col("o_orderkey") % 3 === 0).as("bulk"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_arrow_sink_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      graft.sources.arrow.ArrowSink.write(
+        slice.repartition(4), path, batchRows = 4096)
+      s.read.format("graft-arrow").option("path", path).load()
+        .groupBy(coalesce(col("prio"), lit("(none)")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("bulk"), 1)).as("n_bulk"),
+          Sql.exactSum(col("price")).as("sum_price"),
+          max("o_orderkey").as("max_key"))
+    },
+    Some("""
+      SELECT coalesce(CASE WHEN o_custkey % 13 <> 0
+                           THEN o_orderpriority END, '(none)') AS prio,
+             count(*) AS n,
+             count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS n_bulk,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+             max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1"""))
 
   /** Arrow IPC scan (graft-arrow DSv2, one partition per record batch,
     * footer-only planning) aggregated per sensor — the ingest hop from

@@ -38,7 +38,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-arrow"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ArrowDataSource.sparkSchema(
-      ArrowDataSource.withReader(options.get("path")) { r =>
+      ArrowDataSource.withReader(
+        ArrowDataSource.files(options.get("path")).head) { r =>
         r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
       })
   override def getTable(
@@ -49,13 +50,30 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ArrowDataSource {
-  def withReader[A](path: String)(f: ArrowFileReader => A): A = {
+  /** A `path` option names one IPC file or a directory of *.arrow part
+    * files (the sink's layout); schema comes from the first file and
+    * every file must carry it.
+    */
+  def files(path: String): Seq[String] = {
     require(path != null, "graft-arrow: 'path' option required")
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val parts = Option(f.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
+      require(parts.nonEmpty, s"graft-arrow: no .arrow files under $path")
+      parts
+    } else Seq(path)
+  }
+
+  def withReader[A](path: String)(f: ArrowFileReader => A): A = {
     val alloc = new RootAllocator()
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(path),
       java.nio.file.StandardOpenOption.READ)
-    val reader = new ArrowFileReader(ch, alloc)
+    // CommonsCompressionFactory makes lz4/zstd-compressed IPC buffers
+    // (pyarrow ipc compression options) decode transparently
+    val reader = new ArrowFileReader(ch, alloc,
+      new org.apache.arrow.compression.CommonsCompressionFactory())
     try f(reader)
     finally { reader.close(); ch.close(); alloc.close() }
   }
@@ -91,7 +109,7 @@ class ArrowTable(props: Map[String, String]) extends Table with SupportsRead {
     sys.error("graft-arrow: 'path' option required"))
   override def name(): String = s"graft_arrow($path)"
   override def schema(): StructType =
-    ArrowDataSource.withReader(path) { r =>
+    ArrowDataSource.withReader(ArrowDataSource.files(path).head) { r =>
       ArrowDataSource.sparkSchema(
         r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq)
     }
@@ -121,28 +139,31 @@ class ArrowScan(path: String, full: StructType, required: StructType)
     s"graft-arrow $path cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    // footer-only planning: one partition per record batch
-    ArrowDataSource.withReader(path) { r =>
-      (0 until r.getRecordBlocks.size())
-        .map(i => ArrowBatchPartition(i): InputPartition).toArray
-    }
+    // footer-only planning: one partition per (file, record batch)
+    ArrowDataSource.files(path).flatMap { f =>
+      ArrowDataSource.withReader(f) { r =>
+        (0 until r.getRecordBlocks.size())
+          .map(i => ArrowBatchPartition(f, i): InputPartition)
+      }
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(path, full.fieldNames, required)
+    new ArrowReaderFactory(full.fieldNames, required)
 }
 
-case class ArrowBatchPartition(batchIdx: Int) extends InputPartition
+case class ArrowBatchPartition(file: String, batchIdx: Int) extends InputPartition
 
-class ArrowReaderFactory(path: String, allNames: Array[String],
+class ArrowReaderFactory(allNames: Array[String],
     required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val idx = p.asInstanceOf[ArrowBatchPartition].batchIdx
+    val ArrowBatchPartition(path, idx) = p.asInstanceOf[ArrowBatchPartition]
     new PartitionReader[InternalRow] {
       private val alloc = new RootAllocator()
       private val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(path),
         java.nio.file.StandardOpenOption.READ)
-      private val reader = new ArrowFileReader(ch, alloc)
+      private val reader = new ArrowFileReader(ch, alloc,
+        new org.apache.arrow.compression.CommonsCompressionFactory())
       // seek straight to this task's batch; nothing else is loaded
       reader.loadRecordBatch(reader.getRecordBlocks.get(idx))
       private val root = reader.getVectorSchemaRoot

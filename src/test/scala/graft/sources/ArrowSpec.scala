@@ -46,6 +46,37 @@ class ArrowSpec extends SparkSpec {
     assert(!plan.contains("cols=id,sensor"), plan)
   }
 
+  test("distributed sink round-trips exactly, nulls included") {
+    import spark.implicits._
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_arrow_sink_spec").getAbsolutePath
+    val src = spark.range(20000).select(
+      col("id"),
+      when(col("id") % 97 =!= 0, concat(lit("v"), col("id") % 11)).as("tag"),
+      (col("id") % 13 * 0.25).as("x"),
+      (col("id") % 2 === 0).as("even"))
+      .repartition(4)
+    graft.sources.arrow.ArrowSink.write(src, dir, batchRows = 4096)
+    val back = spark.read.format("graft-arrow").option("path", dir).load()
+    // 4 part files, ceil(5000/4096)=2 batches each
+    assert(back.rdd.getNumPartitions == 8)
+    assert(back.schema == src.schema)
+    val a = src.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("zstd-compressed IPC (pyarrow compression option) decodes") {
+    val df = spark.read.format("graft-arrow")
+      .option("path", "/root/repo/data/metrics_zstd.arrow").load()
+    assert(df.count() == 1000)
+    import spark.implicits._
+    val plain = spark.read.format("graft-arrow")
+      .option("path", "/root/repo/data/metrics.arrow").load()
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("unsupported Arrow types are rejected loudly at planning") {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     val bad = new Field("ts",

@@ -46,6 +46,14 @@ with pa.OSFile("data/metrics.arrow", "wb") as sink:
         for b in batches:
             writer.write_batch(b)
 
+# same content, zstd-compressed buffers (IPC body compression) — the
+# reader must decode transparently via arrow's compression factory
+opts = pa.ipc.IpcWriteOptions(compression="zstd")
+with pa.OSFile("data/metrics_zstd.arrow", "wb") as sink:
+    with pa.ipc.new_file(sink, schema, options=opts) as writer:
+        for b in batches:
+            writer.write_batch(b)
+
 pq.write_table(pa.Table.from_batches(batches), "data/arrow_expected.parquet")
 print(f"wrote data/metrics.arrow ({len(batches)} batches x {BATCH} rows)"
       " and data/arrow_expected.parquet")
