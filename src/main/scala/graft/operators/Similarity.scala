@@ -24,8 +24,12 @@ object Similarity {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Fused single-loop codegen kernel (functions/CosineSim) — bit-equal
+    * to `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with none of the
+    * boxed intermediate arrays.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.CosineSim(a, b)
 
   /** Per-cluster centroids: mean per dimension, returned as
     * (clusterCol, centroid: array<double>). One pass with a per-position

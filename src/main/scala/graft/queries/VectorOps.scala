@@ -27,8 +27,14 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Fused codegen kernel (functions/CosineSim): bit-identical to the
+    * previous aggregate(zip_with) composition — same per-element double
+    * widening, same left-fold association — at a fraction of the cost
+    * (no boxed intermediate array, no lambda frames; see the
+    * VectorMacroBench numbers in CLAUDE.md).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k against a query vector (the ANN baseline). */
   val q40KnnBrute = Q(
