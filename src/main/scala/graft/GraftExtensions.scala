@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneBands, PandasFloatString, PointInPolygon}
+import graft.functions.{CosineSim, HyperplaneBands, PandasFloatString, PointInPolygon}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pandasFloatStr)
     ext.injectFunction(GraftExtensions.pointInPolygon)
     ext.injectFunction(GraftExtensions.hyperplaneBands)
+    ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -28,7 +29,7 @@ object GraftExtensions {
     * extensions class covers `spark.sql.extensions` at session build).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(pandasFloatStr, pointInPolygon, hyperplaneBands).foreach {
+    Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -57,6 +58,17 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 4, "point_in_polygon(px, py, xs, ys)")
       PointInPolygon(args(0), args(1), args(2), args(3))
+    })
+
+  /** cosine_sim(a, b): fused single-loop cosine similarity over two
+    * numeric arrays (null on length mismatch).
+    */
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "cosine_sim(a, b)")
+      CosineSim(args(0), args(1))
     })
 
   /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH

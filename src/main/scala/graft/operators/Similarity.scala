@@ -16,14 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) with per-element double casts; deterministic left fold,
-    * whole-stage codegen'd (no UDF).
-    */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Fused single-loop codegen kernel (functions/CosineSim) — bit-equal
     * to `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with none of the
     * boxed intermediate arrays.

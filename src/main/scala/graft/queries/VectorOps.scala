@@ -13,8 +13,9 @@ import graft.core.Tables
   * map — linear scan, no shuffle. The bucketed variant (sign-bit LSH) is
   * the 100 TB path for all-pairs similarity: candidates only meet inside a
   * bucket, turning O(n²) into a per-bucket join after one shuffle on the
-  * signature. Dot products use `zip_with` + `aggregate` — a left fold in
-  * array order, deterministic, whole-stage codegen'd (no UDF).
+  * signature. Cosine runs through the fused codegen kernel
+  * functions/CosineSim — one primitive loop per row, deterministic left
+  * folds in array order, no UDF.
   */
 object VectorOps {
 
@@ -22,11 +23,6 @@ object VectorOps {
     Tables.load(s, dir, n)
 
   /** dot(a, b) with per-element double casts; deterministic left fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Fused codegen kernel (functions/CosineSim): bit-identical to the
     * previous aggregate(zip_with) composition — same per-element double
     * widening, same left-fold association — at a fraction of the cost

@@ -43,6 +43,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sig.length == 4 && sig.forall(v => v >= 0 && v < 256))
   }
 
+  test("cosine_sim is callable from SQL and matches the known formula") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT cosine_sim(array(1.0, 0.0), array(2.0, 0.0)) AS same,
+             cosine_sim(array(1.0, 0.0), array(0.0, 1.0)) AS orth,
+             cosine_sim(array(1.0), array(1.0, 2.0)) AS mismatch""").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0 && r.isNullAt(2))
+  }
+
   test("injected SQL functions compose with builtin SQL over views") {
     GraftExtensions.register(spark)
     Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
