@@ -82,6 +82,80 @@ object DedupQueries {
              min(lbl) = node AS is_survivor
       FROM reach GROUP BY node"""))
 
+  /** INCREMENTAL dedup — the production daily-ingest shape: a delta of
+    * new documents is checked against an EXISTING corpus through a
+    * persisted band-signature index (Layout.bucketedTable on band_hash)
+    * without ever re-shingling or re-shuffling the corpus payloads at
+    * match time: only the compact (band_id, band_hash, id) index rows
+    * sit in the bucketed table, the small delta side shuffles to the
+    * index's bucketing, candidates verify with exact Jaccard against
+    * corpus shingles joined by id, and delta-internal duplicates are
+    * handled by the same pairwise rule as q37. A delta doc survives iff
+    * it matches no corpus doc and no lower-id delta doc.
+    */
+  val q116IncrementalDedup = Q(
+    "q116_incremental_dedup",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+
+      def sh(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id").as("id"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      def bandRows(d: org.apache.spark.sql.DataFrame) = sh(d)
+        .withColumn("shh", transform(col("sh"), t => xxhash64(t)))
+        .select(col("id"), explode(Dedup.bandedSignature(
+          Dedup.minhashSignatureFromHashes(col("shh"), 64), 64, 16)).as("b"))
+        .select(col("id"), col("b.band_id").as("band_id"),
+          col("b.band_hash").as("band_hash"))
+
+      // persisted corpus index: compact keys only, bucketed on band_hash
+      val h = Integer.toHexString(dir.hashCode)
+      val index = graft.sources.Layout.bucketedTable(
+        bandRows(corpus), s"graft_dedup_idx_$h",
+        s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$h", 8, "band_hash")
+        .select(col("band_id"), col("band_hash"), col("id").as("corpus_id"))
+
+      val corpusSh = sh(corpus)
+        .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+      val deltaSh = sh(delta).cache()
+
+      val vsCorpus = bandRows(delta)
+        .join(index, Seq("band_id", "band_hash"))
+        .select(col("id"), col("corpus_id")).distinct()
+        .join(deltaSh, Seq("id"))
+        .join(corpusSh, Seq("corpus_id"))
+        .filter(size(array_intersect(col("sh"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh"), col("sh_c"))) >= 0.8)
+        .select(col("id")).distinct()
+      val vsDelta = Dedup.minhashCandidates(delta, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_b").as("id")).distinct()
+
+      delta.join(vsCorpus.union(vsDelta).distinct()
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_accepted"))
+    },
+    Some(s"""
+      WITH shc AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")}),
+      shd AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 = 0)")}),
+      dropped AS (
+        SELECT DISTINCT d.doc_id FROM shd d JOIN shc c ON TRUE
+        WHERE CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE)
+              / len(list_distinct(d.sh || c.sh)) >= 0.8
+        UNION
+        SELECT DISTINCT b.doc_id FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8)
+      SELECT lang, count(*) AS n_accepted
+      FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      GROUP BY 1"""))
+
   /** SimHash near-dup pairs over documents (hamming <= 3 of 64-bit sigs). */
   val q38SimhashPairs = Q(
     "q38_simhash_pairs",
@@ -345,5 +419,5 @@ object DedupQueries {
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
-      q102AviMjpeg, q112ClusterDedup)
+      q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup)
 }
