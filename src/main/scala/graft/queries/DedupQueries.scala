@@ -123,8 +123,15 @@ object DedupQueries {
         .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
       val deltaSh = sh(delta).cache()
 
-      val vsCorpus = bandRows(delta)
-        .join(index, Seq("band_id", "band_hash"))
+      // join keyed on band_hash ALONE (band_id equality as a residual
+      // filter): the index's hash-distribution on band_hash then
+      // satisfies the join's requirement, so when the delta outgrows
+      // broadcast range the sort-merge join shuffles ONLY the delta —
+      // joining on (band_id, band_hash) would hash the composite key
+      // and re-shuffle the whole index (PlanSpec pins one-Exchange)
+      val vsCorpus = bandRows(delta).withColumnRenamed("band_id", "bid_d")
+        .join(index.withColumnRenamed("band_id", "bid_c"), Seq("band_hash"))
+        .filter(col("bid_d") === col("bid_c"))
         .select(col("id"), col("corpus_id")).distinct()
         .join(deltaSh, Seq("id"))
         .join(corpusSh, Seq("corpus_id"))

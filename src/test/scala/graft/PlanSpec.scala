@@ -114,6 +114,43 @@ class PlanSpec extends SparkSpec {
     assert(all.length > 2, s"layout has only ${all.length} partitions")
   }
 
+  test("q116: the corpus band index joins without shuffling (delta side only)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    // executedPlan (post-EnsureRequirements) carries the exchanges this
+    // test counts; AQE off so it isn't hidden in an adaptive wrapper
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // building the query registers/reuses the bucketed index table
+      Registry.queries("q116_incremental_dedup")(spark, dir)
+      val idx = spark.table(
+        spark.catalog.listTables().collect()
+          .map(_.name).find(_.startsWith("graft_dedup_idx")).get)
+      import org.apache.spark.sql.functions._
+      val delta = spark.range(1000).select(
+        xxhash64(col("id")).as("band_hash"), col("id").as("did"))
+      val joined = delta.join(idx, Seq("band_hash"))
+      val p = joined.queryExecution.executedPlan
+      val smj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"no SortMergeJoin in $p")
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // exactly ONE shuffle: the delta; the bucketed index's
+      // hash-distribution on band_hash satisfies the join directly
+      assert(exchanges.size == 1, s"expected only the delta to shuffle:\n$p")
+      assert(smj.head.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"index side shuffles:\n${smj.head.right}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q93: bucketed tables join with no exchange and no sort on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
