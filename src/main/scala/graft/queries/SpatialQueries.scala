@@ -445,7 +445,56 @@ object SpatialQueries {
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
-    q113PolygonMetrics, q114ArrowScan, q115ArrowSink)
+    q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal)
+
+  /** WKB-decoded zonal assignment: polygons arrive as ISO WKB blobs
+    * (the shapely/geopandas interchange format the reference's basin
+    * parquet carries), are decoded to vertex arrays by the codegen
+    * expression functions/WkbRingCoords, and drive the same
+    * point-in-polygon zonal pipeline as q78. The oracle reads the xs/ys
+    * arrays stored ALONGSIDE the blobs by the independent python WKB
+    * writer (tools/wkb_fixture.py, both byte orders) — the hash match
+    * proves the decode reproduces every coordinate bit-for-bit.
+    */
+  lazy val q117WkbZonal = Q(
+    "q117_wkb_zonal",
+    (s, dir) => {
+      import graft.functions.WkbRingCoords
+      val polys = s.read.parquet("/root/repo/data/basins_wkb.parquet")
+        .select(col("zone"),
+          WkbRingCoords.xs(col("wkb")).as("xs"),
+          WkbRingCoords.ys(col("wkb")).as("ys"))
+      val points = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"),
+        ((col("c_custkey") % 20) * 0.5 + 0.25).as("latitude"),
+        (expr("(c_custkey div 20) % 20") * 0.5 + 0.25).as("longitude"))
+      GridOps.polygonZonalAssign(points, polys, "zone", cellSize = 2.0)
+        .groupBy("zone")
+        .agg(count(lit(1)).as("n_points"),
+          Sql.exactSum(col("c_acctbal")).as("sum_bal"))
+    },
+    Some("""
+      WITH shapes AS (
+        SELECT zone, xs, ys FROM '/root/repo/data/basins_wkb.parquet'),
+      points AS (
+        SELECT c_custkey, c_acctbal,
+               (c_custkey % 20) * 0.5 + 0.25 AS latitude,
+               ((c_custkey // 20) % 20) * 0.5 + 0.25 AS longitude
+        FROM customer),
+      hits AS (
+        SELECT s.zone, p.c_acctbal
+        FROM points p JOIN shapes s
+          ON len(list_filter(generate_series(1, len(s.xs) - 1), i ->
+               ((s.ys[i] > p.latitude) <> (s.ys[i+1] > p.latitude))
+               AND (CASE WHEN s.ys[i+1] - s.ys[i] > 0
+                    THEN (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         < (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i])
+                    ELSE (p.longitude - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                         > (s.xs[i+1] - s.xs[i]) * (p.latitude - s.ys[i])
+                    END))) % 2 = 1)
+      SELECT zone, count(*) AS n_points,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+      FROM hits GROUP BY 1"""))
 
   /** Arrow IPC SINK round trip: an orders slice is written as a
     * directory of part-file IPC batches (ArrowSink — one bounded batch
