@@ -18,6 +18,29 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()
 
+  /** Sums task metrics across the whole app; queries run sequentially,
+    * so the before/after delta around one pass IS that query's I/O.
+    * Shuffle bytes are the scale currency — a headline query whose
+    * shuffle grows round-over-round has a plan problem even when its
+    * wall-clock hides it in VM noise.
+    */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (input.get, shuffleRead.get, shuffleWrite.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -86,9 +109,14 @@ object Bench {
         p
       }
       .getOrElse(3)
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     // a failing query must surface as status=err and a nonzero exit,
     // never as a silently-near-zero timing
     val results = targets.map { q =>
+      // I/O delta measured around the FIRST timed pass (metrics are
+      // deterministic per pass; timings are not)
+      val ioBefore = io.snapshot
       val passes = (1 to nPasses).map { _ =>
         val t0 = System.nanoTime()
         val status =
@@ -100,33 +128,48 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, status)
       }
+      val ioAfter = io.snapshot
+      // averaged over the passes: the listener is async, so a straggling
+      // task's metrics may land in the next delta — averaging bounds the
+      // error to noise while shuffle volumes differ by orders of magnitude
+      val perPass = Seq(
+        (ioAfter._1 - ioBefore._1) / nPasses,
+        (ioAfter._2 - ioBefore._2) / nPasses,
+        (ioAfter._3 - ioBefore._3) / nPasses)
       val status = if (passes.exists(_._2 == "err")) "err" else "ok"
       // the headline min counts only SUCCESSFUL passes — a fast-failing
       // pass must never report as a near-zero timing
       val okTimes = passes.collect { case (t, "ok") => t }
       val headline =
         if (okTimes.nonEmpty) okTimes.min else passes.map(_._1).max
-      (q.name, headline, passes.map(_._1), status)
+      (q.name, headline, passes.map(_._1), status, perPass)
     }
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k + f"""\":$v%.4f""" }
+      .map { case (k, v, _, _, _) => "\"" + k + f"""\":$v%.4f""" }
       .mkString("{", ",", "}")
     val allPasses = results
-      .map { case (k, _, ps, _) =>
+      .map { case (k, _, ps, _, _) =>
         "\"" + k + "\":" + ps.map(p => f"$p%.4f").mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val statuses = results
-      .map { case (k, _, _, st) => "\"" + k + "\":\"" + st + "\"" }
+      .map { case (k, _, _, st, _) => "\"" + k + "\":\"" + st + "\"" }
       .mkString("{", ",", "}")
     val hashes = results
-      .map { case (k, _, _, _) =>
+      .map { case (k, _, _, _, _) =>
         "\"" + k + "\":\"" + planHashes.getOrElse(k, "err") + "\""
+      }
+      .mkString("{", ",", "}")
+    val ioStats = results
+      .map { case (k, _, _, _, ip) =>
+        val mb = ip.map(_ / 1048576.0)
+        "\"" + k + "\":" +
+          f"""{"input_mb":${mb(0)}%.3f,"shuffle_read_mb":${mb(1)}%.3f,"shuffle_write_mb":${mb(2)}%.3f}"""
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"io":$ioStats,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._4 == "err")) sys.exit(1)
   }
