@@ -439,8 +439,52 @@ object EventOps {
              count(*) AS n_events
       FROM l GROUP BY 1"""))
 
+  /** Ordered conversion FUNNEL (view → click → purchase, strictly
+    * increasing event times per user) — the one classic event-analytics
+    * shape the surface lacked. Each stage is a small keyed aggregate
+    * joined forward (first view, first click AFTER it, first purchase
+    * after that); no window over the full event stream, no self-join of
+    * events against events — per-stage filters cut the input before any
+    * shuffle, so stage cost tracks stage cardinality, not corpus size.
+    */
+  val q119Funnel = Q(
+    "q119_funnel",
+    (s, dir) => {
+      val e = t(s, dir)("events")
+      def firstAfter(stage: String, prev: DataFrame, prevTs: String,
+          outTs: String): DataFrame =
+        e.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts"))
+          .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(outTs))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = firstAfter("click", v, "t_view", "t_click")
+      val p = firstAfter("purchase", c, "t_click", "t_purchase")
+      v.select(lit("1_view").as("stage")).groupBy("stage").count()
+        .unionByName(c.select(lit("2_click").as("stage")).groupBy("stage").count())
+        .unionByName(p.select(lit("3_purchase").as("stage")).groupBy("stage").count())
+        .withColumnRenamed("count", "n_users")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
-    q99StreamRunning, q106SessionWindow)
+    q99StreamRunning, q106SessionWindow, q119Funnel)
 }

@@ -683,11 +683,39 @@ object Relational {
       FROM f JOIN d USING (k)
       GROUP BY 1"""))
 
+  /** The documented 100 TB opt-in for q01's exact-quantile semantics:
+    * `approx_percentile` (mergeable bounded-state sketch — no per-group
+    * sort, no full-value buffering). Sketch values are run-dependent
+    * within their rank-error bound, so the gate follows the q43 recipe:
+    * emit EXACT values plus boolean in-tolerance flags; the oracle
+    * recomputes the exact side and expects every flag TRUE. l_quantity
+    * spans 1..50, accuracy 10000 at sf0.01 row counts bounds the rank
+    * error well under one value step — tolerance 1.0 is generous yet
+    * meaningful.
+    */
+  val q118ApproxQuantiles = Q(
+    "q118_approx_quantiles",
+    (s, dir) => {
+      t(s, dir)("lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          percentile(col("l_quantity"), lit(0.5)).as("_exact"),
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("_apx"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          round(col("_exact"), 6).as("exact_median"),
+          (abs(col("_apx") - col("_exact")) <= 1.0).as("approx_in_bound"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
+             TRUE AS approx_in_bound
+      FROM lineitem GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(
     q01AggQuantiles, q02FilterProject, q03CaseLadder, q04JoinBroadcast,
     q05JoinMulti, q06Top1PerGroup, q07WindowMax, q08ControlJoinBack,
     q09Union, q10DenseUniverse, q11SortTopK, q12DateDerive, q13ExceedFlags,
     q14Haversine, q15Md5, q16Wkt, q17TileParse, q18MinMaxProbe,
     q19SemiJoin, q20RoundedKeyJoin, q93BucketedJoin, q95SaltedAgg,
-    q96SaltedJoin, q103HotkeySaltedJoin)
+    q96SaltedJoin, q103HotkeySaltedJoin, q118ApproxQuantiles)
 }
