@@ -329,6 +329,27 @@ object SpatialQueries {
       SELECT latitude, longitude, uparea
       FROM '/root/repo/data/uparea_expected.parquet'"""))
 
+  /** Zarr v3 scan through the same graft-zarr DSv2 (version dispatch on
+    * zarr.json vs .zarray): the uparea grid is stored SHARDED
+    * (sharding_indexed — 16x32 outer shards of 8x16 gzip inner chunks,
+    * crc32c-checked index, all-1s sentinel for fill-only inner chunks),
+    * the v3 answer to object-count explosion at 100 TB: one shard = one
+    * object GET = one input partition, inner chunks decoded within the
+    * task. Fixture + expected parquet from the independent python v3
+    * writer (tools/zarr3_fixture.py, spec-only, no zarr library).
+    */
+  val q120Zarr3Sharded = Q(
+    "q120_zarr3_sharded",
+    (s, _) =>
+      s.read.format("graft-zarr")
+        .option("path", "/root/repo/data/uparea_v3.zarr")
+        .option("var", "uparea")
+        .load()
+        .select(col("latitude"), col("longitude"), col("value").as("uparea")),
+    Some("""
+      SELECT latitude, longitude, uparea
+      FROM '/root/repo/data/uparea_v3_expected.parquet'"""))
+
   /** S7→yes + the reference's real basin flow end-to-end: polygons come
     * from an actual ESRI shapefile (graft-shp DSv2 — .shx-indexed
     * ranged record reads, HYBAS_ID from the .dbf sidecar,
@@ -445,7 +466,8 @@ object SpatialQueries {
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
-    q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal)
+    q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
+    q120Zarr3Sharded)
 
   /** WKB-decoded zonal assignment: polygons arrive as ISO WKB blobs
     * (the shapely/geopandas interchange format the reference's basin

@@ -23,9 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object ZarrStore {
 
+  /** v3 sharding_indexed parameters: inner chunk shape, inner codec
+    * chain (bytes [+ gzip]), index checksum + placement.
+    */
+  case class V3Shard(inner: Seq[Int], innerGzip: Boolean,
+      indexCrc: Boolean, indexAtEnd: Boolean)
+
+  /** Normalized metadata for BOTH format versions: v3 arrays carry the
+    * v2-style dtype code plus the v3-only fields (chunk-key separator,
+    * gzip codec, optional sharding). The decode path downstream is
+    * shared.
+    */
   case class ArrayMeta(
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      zlib: Boolean, fillValue: Double)
+      zlib: Boolean, fillValue: Double,
+      v3: Boolean = false, sep: String = ".",
+      gzip: Boolean = false, shard: Option[V3Shard] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -57,7 +70,94 @@ object ZarrStore {
     case '8' => 8
   }
 
-  def readMeta(conf: Configuration, arrayDir: String): ArrayMeta = {
+  /** Version dispatch: a v3 array carries `zarr.json`, a v2 one
+    * `.zarray`. Everything downstream shares ArrayMeta.
+    */
+  def readMeta(conf: Configuration, arrayDir: String): ArrayMeta =
+    if (fs(conf, arrayDir).exists(new Path(s"$arrayDir/zarr.json")))
+      readMetaV3(conf, arrayDir)
+    else readMetaV2(conf, arrayDir)
+
+  /** Zarr v3 array metadata (public zarr-specs v3.0 + the
+    * sharding_indexed codec spec). Supported: regular chunk grid,
+    * default chunk-key encoding, numeric little-endian data types,
+    * codec chains `[bytes]`, `[bytes, gzip]`, and `sharding_indexed`
+    * wrapping either; anything else fails loudly at metadata time.
+    */
+  private def readMetaV3(conf: Configuration, arrayDir: String): ArrayMeta = {
+    val node = mapper.readTree(readFile(conf, s"$arrayDir/zarr.json"))
+    require(node.get("zarr_format").asInt() == 3, "zarr_format must be 3")
+    require(node.get("node_type").asText() == "array",
+      s"$arrayDir/zarr.json: node_type must be 'array'")
+    val dtype = node.get("data_type").asText() match {
+      case "float64" => "<f8"
+      case "float32" => "<f4"
+      case "int64" => "<i8"
+      case "int32" => "<i4"
+      case "int16" => "<i2"
+      case "uint8" => "|u1"
+      case d => sys.error(s"data_type $d unsupported")
+    }
+    val grid = node.get("chunk_grid")
+    require(grid.get("name").asText() == "regular",
+      "only the regular chunk grid is supported")
+    val chunks = grid.get("configuration").get("chunk_shape")
+      .elements().asScala.map(_.asInt()).toSeq
+    val keyEnc = node.get("chunk_key_encoding")
+    require(keyEnc == null || keyEnc.get("name").asText() == "default",
+      "only the default chunk-key encoding is supported")
+    val sep = Option(keyEnc).flatMap(k => Option(k.get("configuration")))
+      .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
+    val f = node.get("fill_value")
+    val fill =
+      if (f == null || f.isNull) 0.0
+      else if (f.isTextual) f.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case t => t.toDouble
+      }
+      else f.asDouble()
+    // codec chain: either [bytes(le)[, gzip]] or [sharding_indexed{...}]
+    def parseChain(codecs: com.fasterxml.jackson.databind.JsonNode):
+        (Boolean, Option[V3Shard]) = {
+      val cs = codecs.elements().asScala.toSeq
+      require(cs.nonEmpty, "empty codec chain")
+      cs.head.get("name").asText() match {
+        case "sharding_indexed" =>
+          require(cs.size == 1, "sharding_indexed must be the only codec")
+          val c = cs.head.get("configuration")
+          val inner = c.get("chunk_shape").elements().asScala.map(_.asInt()).toSeq
+          val (innerGzip, innerShard) = parseChain(c.get("codecs"))
+          require(innerShard.isEmpty, "nested sharding unsupported")
+          val idx = c.get("index_codecs").elements().asScala.toSeq
+            .map(_.get("name").asText())
+          require(idx.headOption.contains("bytes") &&
+            idx.drop(1).forall(_ == "crc32c"),
+            s"index_codecs ${idx.mkString(",")} unsupported (need bytes[, crc32c])")
+          val atEnd = Option(c.get("index_location"))
+            .forall(_.asText() == "end")
+          (false, Some(V3Shard(inner, innerGzip, idx.contains("crc32c"), atEnd)))
+        case "bytes" =>
+          val endian = Option(cs.head.get("configuration"))
+            .flatMap(c => Option(c.get("endian"))).map(_.asText())
+            .getOrElse("little")
+          require(endian == "little", "only little-endian bytes codec supported")
+          val rest = cs.tail.map(_.get("name").asText())
+          require(rest.forall(_ == "gzip"),
+            s"codecs ${rest.mkString(",")} unsupported after bytes (need gzip only)")
+          (rest.contains("gzip"), None)
+        case other => sys.error(s"leading codec $other unsupported")
+      }
+    }
+    val (gz, shard) = parseChain(node.get("codecs"))
+    ArrayMeta(
+      node.get("shape").elements().asScala.map(_.asInt()).toSeq,
+      chunks, dtype, zlib = false, fill,
+      v3 = true, sep = sep, gzip = gz, shard = shard)
+  }
+
+  private def readMetaV2(conf: Configuration, arrayDir: String): ArrayMeta = {
     val node = mapper.readTree(readFile(conf, s"$arrayDir/.zarray"))
     val comp = node.get("compressor")
     val zlib = comp != null && !comp.isNull && {
@@ -78,40 +178,13 @@ object ZarrStore {
       dtype, zlib, fill)
   }
 
-  /** Decode one chunk file to doubles (full chunk size, fill-padded). */
-  def readChunk(conf: Configuration, arrayDir: String, meta: ArrayMeta,
-      chunkIdx: Seq[Int]): Array[Double] = {
-    val nElems = meta.chunks.product
-    val es = elemSize(meta.dtype)
-    val path = s"$arrayDir/${chunkIdx.mkString(".")}"
-    val out = new Array[Double](nElems)
-    if (!fs(conf, path).exists(new Path(path))) {
-      java.util.Arrays.fill(out, meta.fillValue)
-      return out
-    }
-    val raw0 = readFile(conf, path)
-    val raw = if (!meta.zlib) raw0 else {
-      val inf = new Inflater()
-      inf.setInput(raw0)
-      val o = new Array[Byte](nElems * es)
-      var total = 0
-      try {
-        while (total < o.length && !inf.finished()) {
-          val n = inf.inflate(o, total, o.length - total)
-          // a truncated chunk file (routine object-store failure) makes
-          // inflate return 0 forever — fail loudly, never spin
-          require(n > 0 || inf.finished(),
-            s"$path: truncated zlib chunk ($total of ${o.length} bytes)")
-          total += n
-        }
-      } finally inf.end() // free native zlib memory on the throw paths too
-      require(total == o.length, s"inflated $total of ${o.length} bytes")
-      o
-    }
+  /** Raw little-endian bytes → doubles for `n` elements of `dtype`. */
+  private def decodeRaw(raw: Array[Byte], dtype: String, n: Int): Array[Double] = {
+    val out = new Array[Double](n)
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var k = 0
-    while (k < nElems) {
-      out(k) = meta.dtype.drop(1) match {
+    while (k < n) {
+      out(k) = dtype.drop(1) match {
         case "f8" => bb.getDouble(k * 8)
         case "f4" => bb.getFloat(k * 4).toDouble
         case "i8" => bb.getLong(k * 8).toDouble
@@ -123,6 +196,144 @@ object ZarrStore {
       k += 1
     }
     out
+  }
+
+  private def inflateZlib(raw0: Array[Byte], outLen: Int, path: String): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw0)
+    val o = new Array[Byte](outLen)
+    var total = 0
+    try {
+      while (total < o.length && !inf.finished()) {
+        val n = inf.inflate(o, total, o.length - total)
+        // a truncated chunk file (routine object-store failure) makes
+        // inflate return 0 forever — fail loudly, never spin
+        require(n > 0 || inf.finished(),
+          s"$path: truncated zlib chunk ($total of ${o.length} bytes)")
+        total += n
+      }
+    } finally inf.end() // free native zlib memory on the throw paths too
+    require(total == o.length, s"inflated $total of ${o.length} bytes")
+    o
+  }
+
+  /** RFC1952 gzip (the v3 `gzip` codec) — bounded read, loud on short. */
+  private def gunzip(raw0: Array[Byte], outLen: Int, path: String): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw0))
+    val o = new Array[Byte](outLen)
+    var total = 0
+    try {
+      var n = in.read(o, total, o.length - total)
+      while (n > 0 && total < o.length) {
+        total += n
+        if (total < o.length) n = in.read(o, total, o.length - total)
+      }
+      require(total == o.length,
+        s"$path: gunzipped $total of ${o.length} bytes")
+      o
+    } finally in.close()
+  }
+
+  /** Decode one chunk to doubles (full chunk size, fill-padded): v2
+    * chunk files, v3 unsharded chunks, and v3 shards (the outer chunk
+    * IS the shard; inner chunks are assembled into it, with the all-1s
+    * offset/nbytes sentinel marking fill-only inner chunks).
+    */
+  def readChunk(conf: Configuration, arrayDir: String, meta: ArrayMeta,
+      chunkIdx: Seq[Int]): Array[Double] = {
+    val nElems = meta.chunks.product
+    val es = elemSize(meta.dtype)
+    val path =
+      if (meta.v3) s"$arrayDir/${("c" +: chunkIdx.map(_.toString)).mkString(meta.sep)}"
+      else s"$arrayDir/${chunkIdx.mkString(".")}"
+    val out = new Array[Double](nElems)
+    if (!fs(conf, path).exists(new Path(path))) {
+      java.util.Arrays.fill(out, meta.fillValue)
+      return out
+    }
+    val raw0 = readFile(conf, path)
+    meta.shard match {
+      case Some(shard) => readShard(raw0, meta, shard, path, out)
+      case None =>
+        val raw =
+          if (meta.zlib) inflateZlib(raw0, nElems * es, path)
+          else if (meta.gzip) gunzip(raw0, nElems * es, path)
+          else raw0
+        val vals = decodeRaw(raw, meta.dtype, nElems)
+        System.arraycopy(vals, 0, out, 0, nElems)
+    }
+    out
+  }
+
+  /** Assemble a v3 shard: parse the (offset, nbytes) uint64-pair index
+    * (little-endian, optional trailing crc32c, at end or start), decode
+    * each present inner chunk through the inner codec chain, and copy
+    * it into place in the outer chunk. 1-D and 2-D arrays (the engine's
+    * raster surface).
+    */
+  private def readShard(bytes: Array[Byte], meta: ArrayMeta, shard: V3Shard,
+      path: String, out: Array[Double]): Unit = {
+    val es = elemSize(meta.dtype)
+    val innerGrid = meta.chunks.zip(shard.inner)
+      .map { case (c, i) => (c + i - 1) / i }
+    val nInner = innerGrid.product
+    val idxLen = nInner * 16 + (if (shard.indexCrc) 4 else 0)
+    require(bytes.length >= idxLen,
+      s"$path: shard smaller (${bytes.length}) than its index ($idxLen)")
+    val idxOff = if (shard.indexAtEnd) bytes.length - idxLen else 0
+    if (shard.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, idxOff, nInner * 16)
+      val stored = ByteBuffer.wrap(bytes, idxOff + nInner * 16, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
+      require(crc.getValue == stored,
+        s"$path: shard index crc32c mismatch (${crc.getValue} != $stored)")
+    }
+    val idx = ByteBuffer.wrap(bytes, idxOff, nInner * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val innerElems = shard.inner.product
+    java.util.Arrays.fill(out, meta.fillValue)
+    var k = 0
+    while (k < nInner) {
+      val off = idx.getLong(idxOff + k * 16)
+      val len = idx.getLong(idxOff + k * 16 + 8)
+      if (off != -1L || len != -1L) { // all-1s sentinel = fill-only
+        require(off >= 0 && len > 0 && off + len <= bytes.length,
+          s"$path: inner chunk $k range [$off, ${off + len}) out of bounds")
+        val raw0 = java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt)
+        val raw =
+          if (shard.innerGzip) gunzip(raw0, innerElems * es, s"$path#$k")
+          else raw0
+        val vals = decodeRaw(raw, meta.dtype, innerElems)
+        // place inner chunk k (row-major over innerGrid) into the outer
+        meta.chunks match {
+          case Seq(_) =>
+            val lo = k * shard.inner.head
+            val n = math.min(shard.inner.head, out.length - lo)
+            System.arraycopy(vals, 0, out, lo, n)
+          case Seq(_, chunkCols) =>
+            val ir = k / innerGrid(1)
+            val ic = k % innerGrid(1)
+            val (rows, cols) = (shard.inner(0), shard.inner(1))
+            var r = 0
+            while (r < rows) {
+              val outRow = ir * rows + r
+              val outCol = ic * cols
+              if (outRow < meta.chunks.head) {
+                val n = math.min(cols, chunkCols - outCol)
+                if (n > 0)
+                  System.arraycopy(vals, r * cols, out,
+                    outRow * chunkCols + outCol, n)
+              }
+              r += 1
+            }
+          case s => sys.error(s"sharded ${s.length}-D arrays unsupported")
+        }
+      }
+      k += 1
+    }
   }
 
   /** Read a full 1-D coordinate array (tiny — lat/lon axes). */

@@ -51,6 +51,63 @@ class ZarrSpec extends SparkSpec {
     assert(top.count() == expected)
   }
 
+  test("v3: sharded store metadata + formula values through the DSv2 source") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v3 = "/root/repo/data/uparea_v3.zarr"
+    val meta = ZarrStore.readMeta(conf, s"$v3/uparea")
+    assert(meta.v3 && meta.shape == Seq(40, 64) && meta.chunks == Seq(16, 32))
+    assert(meta.shard.exists(s => s.inner == Seq(8, 16) && s.innerGzip &&
+      s.indexCrc && s.indexAtEnd))
+    val df = spark.read.format("graft-zarr")
+      .option("path", v3).option("var", "uparea").load()
+    // one partition per SHARD (3x2 grid)
+    assert(df.rdd.getNumPartitions == 6)
+    def v3formula(r: Int, c: Int): Option[Double] =
+      if ((r + c) % 9 == 0) None else Some((r * 13 + c * 7) % 641)
+    val got = df.as[(Double, Double, Double)].collect()
+      .map { case (la, lo, v) => (la, lo) -> v }.toMap
+    val want = (for (r <- 0 until 40; c <- 0 until 64; v <- v3formula(r, c))
+      yield (55.0 - r * 0.05, 5.0 + c * 0.05) -> v).toMap
+    assert(got == want)
+  }
+
+  test("v3: a corrupted shard index fails the crc32c check loudly") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v3 = "/root/repo/data/uparea_v3.zarr"
+    val src = java.nio.file.Paths.get(s"$v3/uparea/c/0/0")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    // flip one byte inside the index region (before the trailing crc)
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x5A).toByte
+    val dir = java.nio.file.Files.createTempDirectory("zarr3corrupt")
+    val bad = dir.resolve("shard")
+    java.nio.file.Files.write(bad, bytes)
+    val meta = ZarrStore.readMeta(conf, s"$v3/uparea")
+    // point readChunk at the corrupted copy via a store-shaped dir
+    val store2 = dir.resolve("uparea")
+    java.nio.file.Files.createDirectories(store2.resolve("c/0"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$v3/uparea/zarr.json"),
+      store2.resolve("zarr.json"))
+    java.nio.file.Files.copy(bad, store2.resolve("c/0/0"))
+    val e = intercept[Exception](
+      ZarrStore.readChunk(conf, store2.toString, meta, Seq(0, 0)))
+    assert(e.getMessage.contains("crc32c mismatch"), e.getMessage)
+  }
+
+  test("v3: unsupported codec chains are rejected at metadata time") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("zarr3meta")
+    val json = """{"zarr_format":3,"node_type":"array","shape":[4],
+      "data_type":"float64",
+      "chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+      "chunk_key_encoding":{"name":"default"},
+      "fill_value":0.0,
+      "codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+                {"name":"zstd","configuration":{}}]}"""
+    java.nio.file.Files.write(dir.resolve("zarr.json"), json.getBytes)
+    val e = intercept[Exception](ZarrStore.readMeta(conf, dir.toString))
+    assert(e.getMessage.contains("zstd"), e.getMessage)
+  }
+
   test("distributed writeGrid round-trips through the DSv2 reader") {
     val src = spark.read.format("graft-zarr")
       .option("path", store).option("var", "uparea").load()
