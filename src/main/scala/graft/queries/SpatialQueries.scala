@@ -467,7 +467,41 @@ object SpatialQueries {
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
-    q120Zarr3Sharded)
+    q120Zarr3Sharded, q121Zarr3Sink)
+
+  /** Zarr v3 SHARDED sink round trip (writeGridV3 → graft-zarr read):
+    * an aggregated grid is written as v3 shards — one shard object per
+    * outer chunk, gzip inner chunks, crc32c index — and read back; the
+    * oracle recomputes the grid straight from orders. Completes the v3
+    * "source AND sink" pair the same way q81 does for NetCDF.
+    */
+  lazy val q121Zarr3Sink = Q(
+    "q121_zarr3_sink",
+    (s, dir) => {
+      val lats = Array.tabulate(40)(i => 12.0 - i * 0.25)
+      val lons = Array.tabulate(60)(j => 30.0 + j * 0.25)
+      val grid = Tables.load(s, dir, "orders").select(
+        (lit(12.0) - (col("o_custkey") % 40) * 0.25).as("latitude"),
+        (lit(30.0) + expr("(o_custkey div 40) % 60") * 0.25).as("longitude"),
+        (col("o_orderkey") % 89).as("v"))
+        .groupBy("latitude", "longitude")
+        .agg(max(col("v")).cast("double").as("max_v"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zarr3_sink_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      graft.sources.zarr.ZarrStore.writeGridV3(grid, path, "max_v",
+        "latitude", "longitude", "max_v", lats, lons,
+        chunkRows = 16, chunkCols = 32, innerRows = 8, innerCols = 16)
+      s.read.format("graft-zarr")
+        .option("path", path).option("var", "max_v").load()
+        .filter(!isnan(col("value")))
+        .select(col("latitude"), col("longitude"), col("value").as("max_v"))
+    },
+    Some("""
+      SELECT 12.0 - (o_custkey % 40) * 0.25 AS latitude,
+             30.0 + ((o_custkey // 40) % 60) * 0.25 AS longitude,
+             CAST(max(o_orderkey % 89) AS DOUBLE) AS max_v
+      FROM orders GROUP BY 1, 2"""))
 
   /** WKB-decoded zonal assignment: polygons arrive as ISO WKB blobs
     * (the shapely/geopandas interchange format the reference's basin
