@@ -70,9 +70,23 @@ object RasterSinkMacroBench {
         .option("path", tifPath).option("nodata", "0").load().count()
     }
 
+    // Zarr v3 sharded sink: one shard object per 512x512 outer chunk of
+    // 128x128 gzip inner chunks — the object-count shape at scale
+    val zarrPath = s"$tmp/sink_macro_v3.zarr"
+    val (_, zSec) = time {
+      graft.sources.zarr.ZarrStore.writeGridV3(cells, zarrPath, "v",
+        "latitude", "longitude", "v", lats, lons,
+        chunkRows = 512, chunkCols = 512, innerRows = 128, innerCols = 128)
+    }
+    val (zRows, zReadSec) = time {
+      spark.read.format("graft-zarr")
+        .option("path", zarrPath).option("var", "v").load()
+        .filter(!isnan(col("value"))).count()
+    }
+
     val expected = cells.count()
     println(
-      f"""{"metric":"raster_sink_macro","value":${ncSec + tifSec}%.1f,"unit":"sec","cells":$expected,"nc_write_sec":$ncSec%.1f,"nc_read_sec":$ncReadSec%.1f,"nc_rows":$ncRows,"cog_write_sec":$tifSec%.1f,"cog_read_sec":$tifReadSec%.1f,"cog_rows":$tifRows}""")
+      f"""{"metric":"raster_sink_macro","value":${ncSec + tifSec + zSec}%.1f,"unit":"sec","cells":$expected,"nc_write_sec":$ncSec%.1f,"nc_read_sec":$ncReadSec%.1f,"nc_rows":$ncRows,"cog_write_sec":$tifSec%.1f,"cog_read_sec":$tifReadSec%.1f,"cog_rows":$tifRows,"zarr3_write_sec":$zSec%.1f,"zarr3_read_sec":$zReadSec%.1f,"zarr3_rows":$zRows}""")
     spark.stop()
   }
 }
