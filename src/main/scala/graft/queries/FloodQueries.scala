@@ -566,5 +566,28 @@ object FloodQueries {
 
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
-    q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng)
+    q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
+    q122NcClassic)
+
+  /** NetCDF CLASSIC scan (CDF-2, big-endian) through the same
+    * graft-netcdf source — NcFormat dispatches on the file magic, so a
+    * user pointing the reader at an archive-era classic file instead of
+    * a NetCDF-4/HDF5 one just gets rows (reference: xarray does the
+    * same dispatch via its engine machinery). Row bands stay one
+    * contiguous positional read each (the classic fixed-variable
+    * layout). Fixture + expected parquet from the independent
+    * pure-python spec writer (tools/cdf3_fixture.py).
+    */
+  lazy val q122NcClassic = Q(
+    "q122_nc_classic",
+    (s, _) =>
+      s.read.format("graft-netcdf")
+        .option("path", "/root/repo/data/classic2.nc")
+        .option("var", "v")
+        .load()
+        .filter(!isnan(col("value")))
+        .select(col("latitude"), col("longitude"), col("value").as("v")),
+    Some("""
+      SELECT latitude, longitude, v
+      FROM '/root/repo/data/classic_expected.parquet'"""))
 }

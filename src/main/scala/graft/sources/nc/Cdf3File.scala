@@ -1,0 +1,158 @@
+package graft.sources.nc
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+
+/** NetCDF CLASSIC format reader (CDF-1 32-bit and CDF-2 64-bit offset
+  * variants) — the pre-HDF5 container older GloFAS-era and many archive
+  * products still ship. Public spec: the NetCDF Classic Format
+  * Specification (Unidata). Everything is BIG-endian; the header lists
+  * dims, global attributes, and variables with their absolute data
+  * offsets (`begin`), so planning is a header-only read and a row band
+  * of a fixed 2-D variable is ONE contiguous positional read at
+  * `begin + rowLo*rowBytes` — the same native parallel unit the HDF5
+  * path uses.
+  *
+  * Supported: fixed-size variables of the numeric types. Record
+  * variables (those using the unlimited dimension) interleave per
+  * record and are rejected loudly — the grid surface this engine reads
+  * never uses them.
+  */
+final class Cdf3File(path: String) extends AutoCloseable {
+
+  private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+  override def close(): Unit = ch.close()
+
+  private def readAt(off: Long, len: Int): ByteBuffer = {
+    val b = ByteBuffer.allocate(len) // big-endian by default
+    var total = 0
+    while (total < len) {
+      val n = ch.read(b, off + total)
+      require(n > 0, s"$path: EOF at ${off + total} (wanted $len bytes)")
+      total += n
+    }
+    b.flip(); b
+  }
+
+  case class Var(name: String, dimIds: Seq[Int], ncType: Int, begin: Long) {
+    def elemSize: Int = Cdf3File.typeSize(ncType)
+    def dims: Seq[Long] = dimIds.map(dimLengths(_).toLong)
+  }
+
+  // ---- header parse (one buffered read of the header region) ----
+  private val header: ByteBuffer = {
+    val sz = math.min(ch.size(), 1 << 20).toInt // headers are tiny
+    readAt(0L, sz)
+  }
+  require(header.get() == 'C' && header.get() == 'D' && header.get() == 'F',
+    s"$path: not a classic NetCDF file (no CDF magic)")
+  private val version = header.get() & 0xFF
+  require(version == 1 || version == 2,
+    s"$path: CDF version $version unsupported (need 1 or 2; 5 = CDF-5 " +
+      "and HDF5-based NetCDF-4 take the other reader)")
+  locally { header.getInt } // numrecs (or STREAMING); record vars rejected anyway
+
+  private def name(): String = {
+    val n = header.getInt
+    val bytes = new Array[Byte](n)
+    header.get(bytes)
+    header.position(header.position() + Cdf3File.pad4(n))
+    new String(bytes, "UTF-8")
+  }
+
+  private def taggedCount(expectTag: Int): Int = {
+    val tag = header.getInt
+    val count = header.getInt
+    require(tag == expectTag || (tag == 0 && count == 0),
+      s"$path: header tag $tag (expected $expectTag or ABSENT)")
+    count
+  }
+
+  private val dimLengths: Array[Int] = {
+    val n = taggedCount(0x0A) // NC_DIMENSION
+    Array.fill(n) { name(); header.getInt }
+  }
+  private val recordDim: Int = dimLengths.indexOf(0)
+
+  private def skipAttributes(): Unit = {
+    val n = taggedCount(0x0C) // NC_ATTRIBUTE
+    var i = 0
+    while (i < n) {
+      name()
+      val t = header.getInt
+      val count = header.getInt
+      val bytes = count * Cdf3File.typeSize(t)
+      header.position(header.position() + bytes + Cdf3File.pad4(bytes))
+      i += 1
+    }
+  }
+  skipAttributes() // global attributes
+
+  private val vars: Map[String, Var] = {
+    val n = taggedCount(0x0B) // NC_VARIABLE
+    (0 until n).map { _ =>
+      val nm = name()
+      val nd = header.getInt
+      val ids = Seq.fill(nd)(header.getInt)
+      skipAttributes()
+      val t = header.getInt
+      locally { header.getInt } // vsize (padded; recomputed from dims)
+      val begin = if (version == 1) header.getInt.toLong & 0xFFFFFFFFL
+        else header.getLong
+      nm -> Var(nm, ids, t, begin)
+    }.toMap
+  }
+
+  def variable(nm: String): Var = vars.getOrElse(nm,
+    sys.error(s"$path: no variable '$nm' (have ${vars.keys.mkString(", ")})"))
+
+  private def requireFixed(v: Var): Unit =
+    require(recordDim < 0 || !v.dimIds.contains(recordDim),
+      s"$path: ${v.name} is a RECORD variable (unlimited dim) — " +
+        "per-record interleaving unsupported")
+
+  /** Whole 1-D variable as doubles (coordinate axes). */
+  def readDoubles(nm: String): Array[Double] = {
+    val v = variable(nm)
+    requireFixed(v)
+    require(v.dims.length == 1, s"$nm: expected 1-D")
+    val n = v.dims.head.toInt
+    val b = readAt(v.begin, n * v.elemSize)
+    Array.tabulate(n)(i => Cdf3File.readAs(b, v.ncType, i))
+  }
+
+  /** Contiguous row band [rowLo, rowHi) of a fixed 2-D variable —
+    * one positional read.
+    */
+  def readRowBand(nm: String, rowLo: Int, rowHi: Int): Array[Byte] = {
+    val v = variable(nm)
+    requireFixed(v)
+    require(v.dims.length == 2, s"$nm: expected 2-D")
+    val rowBytes = v.dims(1) * v.elemSize
+    val out = readAt(v.begin + rowLo * rowBytes,
+      ((rowHi - rowLo) * rowBytes).toInt)
+    out.array()
+  }
+}
+
+object Cdf3File {
+  def pad4(n: Int): Int = (4 - n % 4) % 4
+
+  def typeSize(ncType: Int): Int = ncType match {
+    case 1 | 2 => 1 // byte, char
+    case 3 => 2 // short
+    case 4 | 5 => 4 // int, float
+    case 6 => 8 // double
+    case t => sys.error(s"nc_type $t unsupported")
+  }
+
+  def readAs(b: ByteBuffer, ncType: Int, idx: Int): Double = ncType match {
+    case 1 => b.get(idx).toDouble
+    case 3 => b.getShort(idx * 2).toDouble
+    case 4 => b.getInt(idx * 4).toDouble
+    case 5 => b.getFloat(idx * 4).toDouble
+    case 6 => b.getDouble(idx * 8)
+    case t => sys.error(s"nc_type $t unsupported for numeric read")
+  }
+}

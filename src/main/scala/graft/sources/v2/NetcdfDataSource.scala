@@ -14,7 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.nc.Hdf5File
+
 
 /** DataSource V2 over real NetCDF-4/HDF5 raster files (graft.sources.nc),
   * unpivoting a 2-D `var(lat, lon)` grid to long-form rows
@@ -134,9 +134,9 @@ class NetcdfScan(spec: NetcdfSpec, required: StructType,
   // Planning-time metadata read: dims + (when pruning) the tiny lat
   // coordinate array. The data variable itself is never touched here.
   @transient private lazy val planned: (Int, Int, Int, Int) = {
-    val f = new Hdf5File(spec.path)
+    val f = graft.sources.nc.NcFormat.open(spec.path)
     try {
-      val dims = f.dataset(spec.varName).dims
+      val dims = f.varDims(spec.varName)
       require(dims.length == 2, s"${spec.varName} must be 2-D (lat, lon)")
       val (nLat, nLon) = (dims(0).toInt, dims(1).toInt)
       var (lo, hi) = (0, nLat)
@@ -177,7 +177,7 @@ class NetcdfReaderFactory(spec: NetcdfSpec, cols: Array[String])
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val band = p.asInstanceOf[NetcdfInputPartition]
     new PartitionReader[InternalRow] {
-      private val file = new Hdf5File(spec.path)
+      private val file = graft.sources.nc.NcFormat.open(spec.path)
       private val needLat = cols.contains("latitude")
       private val needLon = cols.contains("longitude")
       private val needVal = cols.contains("value")
@@ -185,14 +185,15 @@ class NetcdfReaderFactory(spec: NetcdfSpec, cols: Array[String])
         if (needLat) file.readDoubles(spec.latVar) else null
       private val lons: Array[Double] =
         if (needLon) file.readDoubles(spec.lonVar) else null
-      private val nLon = file.dataset(spec.varName).dims(1).toInt
+      private val nLon = file.varDims(spec.varName)(1).toInt
       private val values: ByteBuffer =
         if (needVal)
           ByteBuffer.wrap(file.readRowBand(spec.varName, band.rowLo, band.rowHi))
-            .order(ByteOrder.LITTLE_ENDIAN)
+            .order(if (file.littleEndian) ByteOrder.LITTLE_ENDIAN
+              else ByteOrder.BIG_ENDIAN)
         else null
       private val elemSize =
-        if (needVal) file.dataset(spec.varName).elemSize else 0
+        if (needVal) file.varElemSize(spec.varName) else 0
 
       private var i = band.rowLo
       private var j = -1
