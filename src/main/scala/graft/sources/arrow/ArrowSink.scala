@@ -105,7 +105,12 @@ object ArrowSink {
         } finally {
           writer.close(); ch.close(); root.close(); alloc.close()
         }
-        require(tmp.renameTo(fin), s"rename $tmp -> $fin failed")
+        // REPLACE_EXISTING: a retried task must overwrite the prior
+        // attempt's part file, not fail the rename forever
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
     }
   }
