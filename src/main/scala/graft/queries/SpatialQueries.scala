@@ -467,7 +467,27 @@ object SpatialQueries {
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
-    q120Zarr3Sharded, q121Zarr3Sink)
+    q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d)
+
+  /** 3-D raster scan: `dis(time, lat, lon)` — the reference's actual
+    * discharge shape (dims (number, step, latitude, longitude),
+    * data_generation.py:28-36; step × grid after member selection) —
+    * unpivoted to (t, latitude, longitude, value) rows with one input
+    * partition per 3-D chunk. Same graft-zarr source; the schema grows
+    * a leading `t` column when the variable is 3-D.
+    */
+  lazy val q123Zarr3d = Q(
+    "q123_zarr_3d",
+    (s, _) =>
+      s.read.format("graft-zarr")
+        .option("path", "/root/repo/data/uparea_v3.zarr")
+        .option("var", "dis")
+        .load()
+        .select(col("t"), col("latitude"), col("longitude"),
+          col("value").as("dis")),
+    Some("""
+      SELECT t, latitude, longitude, dis
+      FROM '/root/repo/data/dis_v3_expected.parquet'"""))
 
   /** Zarr v3 SHARDED sink round trip (writeGridV3 → graft-zarr read):
     * an aggregated grid is written as v3 shards — one shard object per

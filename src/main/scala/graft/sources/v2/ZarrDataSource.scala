@@ -16,10 +16,13 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.zarr.ZarrStore
 
-/** DataSource V2 over Zarr v2 stores (graft.sources.zarr), unpivoting a
-  * 2-D `var(lat, lon)` array to long rows `(latitude, longitude, value)`
-  * — the reference's xarray→dataframe shape (io_managers.py:119-129,
-  * raster_converter.py:24-37).
+/** DataSource V2 over Zarr stores (graft.sources.zarr, v2 and v3),
+  * unpivoting a 2-D `var(lat, lon)` array to long rows
+  * `(latitude, longitude, value)` — or a 3-D `var(t, lat, lon)` array
+  * (the reference's `dis24(step, lat, lon)` shape, data_generation.py:
+  * 28-36) to `(t, latitude, longitude, value)` with `t` taken from the
+  * `tvar` coordinate — the xarray→dataframe shape (io_managers.py:
+  * 119-129, raster_converter.py:24-37).
   *
   * Scale design: zarr's CHUNK layout exists precisely for parallel IO —
   * one InputPartition per chunk; each task reads + inflates exactly its
@@ -44,10 +47,13 @@ object ZarrDataSource {
     StructField("latitude", DoubleType, nullable = false),
     StructField("longitude", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+  /** 3-D variables carry the leading coordinate as `t`. */
+  val Schema3: StructType = StructType(
+    StructField("t", DoubleType, nullable = false) +: Schema.fields.toSeq)
 }
 
 case class ZarrSpec(store: String, varName: String, latVar: String,
-    lonVar: String, keepNaN: Boolean)
+    lonVar: String, tVar: String, keepNaN: Boolean)
 
 class ZarrTable(props: Map[String, String]) extends Table with SupportsRead {
   private val spec = ZarrSpec(
@@ -55,20 +61,31 @@ class ZarrTable(props: Map[String, String]) extends Table with SupportsRead {
     varName = props.getOrElse("var", sys.error("graft-zarr: 'var' option required")),
     latVar = props.getOrElse("latvar", "lat"),
     lonVar = props.getOrElse("lonvar", "lon"),
+    tVar = props.getOrElse("tvar", "time"),
     keepNaN = props.getOrElse("keepnan", "false").toBoolean)
   override def name(): String = s"graft_zarr(${spec.store}#${spec.varName})"
-  override def schema(): StructType = ZarrDataSource.Schema
+  // schema depends on the variable's rank — one metadata read at planning
+  override def schema(): StructType = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val meta = ZarrStore.readMeta(conf, s"${spec.store}/${spec.varName}")
+    meta.shape.length match {
+      case 2 => ZarrDataSource.Schema
+      case 3 => ZarrDataSource.Schema3
+      case n => sys.error(s"${spec.varName}: $n-D arrays unsupported (need 2 or 3)")
+    }
+  }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(spec)
+    new ZarrScanBuilder(spec, schema())
 }
 
-class ZarrScanBuilder(spec: ZarrSpec)
+class ZarrScanBuilder(spec: ZarrSpec, full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private var required: StructType = ZarrDataSource.Schema
+  private var required: StructType = full
   private var latLo = Double.NegativeInfinity
   private var latHi = Double.PositiveInfinity
   private var accepted: Array[sources.Filter] = Array.empty
@@ -111,10 +128,15 @@ class ZarrScan(spec: ZarrSpec, required: StructType,
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val meta = ZarrStore.readMeta(conf, s"${spec.store}/${spec.varName}")
-    require(meta.shape.length == 2, s"${spec.varName} must be 2-D (lat, lon)")
+    val is3 = meta.shape.length == 3
+    require(meta.shape.length == 2 || is3,
+      s"${spec.varName} must be 2-D (lat, lon) or 3-D (t, lat, lon)")
+    val latDim = if (is3) 1 else 0
+    val lonDim = latDim + 1
     val lats = ZarrStore.readVector(conf, s"${spec.store}/${spec.latVar}")
-    val nChunkRows = (meta.shape(0) + meta.chunks(0) - 1) / meta.chunks(0)
-    val nChunkCols = (meta.shape(1) + meta.chunks(1) - 1) / meta.chunks(1)
+    val nChunkT = if (is3) (meta.shape(0) + meta.chunks(0) - 1) / meta.chunks(0) else 1
+    val nChunkRows = (meta.shape(latDim) + meta.chunks(latDim) - 1) / meta.chunks(latDim)
+    val nChunkCols = (meta.shape(lonDim) + meta.chunks(lonDim) - 1) / meta.chunks(lonDim)
     // chunk-row pruning from the coordinate vector (with one whole row
     // of slack each side — magnitude-safe; filters are residual)
     val keepRow: Int => Boolean =
@@ -125,14 +147,17 @@ class ZarrScan(spec: ZarrSpec, required: StructType,
         else {
           val lo = math.max(idx.min - 1, 0)
           val hi = math.min(idx.max + 1, lats.length - 1)
-          cr => cr * meta.chunks(0) <= hi && (cr + 1) * meta.chunks(0) - 1 >= lo
+          cr => cr * meta.chunks(latDim) <= hi &&
+            (cr + 1) * meta.chunks(latDim) - 1 >= lo
         }
       }
     (for {
+      ct <- 0 until nChunkT
       cr <- 0 until nChunkRows
       if keepRow(cr)
       cc <- 0 until nChunkCols
-    } yield ZarrInputPartition(cr, cc): InputPartition).toArray
+    } yield (if (is3) ZarrInputPartition(Seq(ct, cr, cc))
+      else ZarrInputPartition(Seq(cr, cc))): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -141,7 +166,7 @@ class ZarrScan(spec: ZarrSpec, required: StructType,
         .sparkContext.hadoopConfiguration))
 }
 
-case class ZarrInputPartition(chunkRow: Int, chunkCol: Int) extends InputPartition
+case class ZarrInputPartition(chunkIdx: Seq[Int]) extends InputPartition
 
 class ZarrReaderFactory(spec: ZarrSpec, cols: Array[String],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
@@ -151,33 +176,51 @@ class ZarrReaderFactory(spec: ZarrSpec, cols: Array[String],
       private val hconf = conf.value
       private val arrayDir = s"${spec.store}/${spec.varName}"
       private val meta = ZarrStore.readMeta(hconf, arrayDir)
+      private val is3 = meta.shape.length == 3
+      private val latDim = if (is3) 1 else 0
       private val lats = ZarrStore.readVector(hconf, s"${spec.store}/${spec.latVar}")
       private val lons = ZarrStore.readVector(hconf, s"${spec.store}/${spec.lonVar}")
-      private val chunk = ZarrStore.readChunk(hconf, arrayDir, meta,
-        Seq(part.chunkRow, part.chunkCol))
-      private val rowLo = part.chunkRow * meta.chunks(0)
-      private val colLo = part.chunkCol * meta.chunks(1)
-      private val hClip = math.min(meta.chunks(0), meta.shape(0) - rowLo)
-      private val wClip = math.min(meta.chunks(1), meta.shape(1) - colLo)
+      private val ts: Array[Double] =
+        if (is3) ZarrStore.readVector(hconf, s"${spec.store}/${spec.tVar}")
+        else null
+      private val chunk = ZarrStore.readChunk(hconf, arrayDir, meta, part.chunkIdx)
+      private val tLo = if (is3) part.chunkIdx(0) * meta.chunks(0) else 0
+      private val rowLo = part.chunkIdx(latDim) * meta.chunks(latDim)
+      private val colLo = part.chunkIdx(latDim + 1) * meta.chunks(latDim + 1)
+      private val tClip =
+        if (is3) math.min(meta.chunks(0), meta.shape(0) - tLo) else 1
+      private val hClip = math.min(meta.chunks(latDim),
+        meta.shape(latDim) - rowLo)
+      private val wClip = math.min(meta.chunks(latDim + 1),
+        meta.shape(latDim + 1) - colLo)
+      // chunk-local flat offset of clipped index k (row-major, with the
+      // chunk's own (possibly larger-than-clip) extents)
+      private def off(k: Int): Int = {
+        val c = k % wClip
+        val r = (k / wClip) % hClip
+        val t = k / (wClip * hClip)
+        (t * meta.chunks(latDim) + r) * meta.chunks(latDim + 1) + c
+      }
+      private val total = tClip * hClip * wClip
       private var k = -1
 
       override def next(): Boolean = {
         k += 1
         if (!spec.keepNaN) {
-          while (k < wClip * hClip &&
-              chunk((k / wClip) * meta.chunks(1) + (k % wClip)).isNaN)
-            k += 1
+          while (k < total && chunk(off(k)).isNaN) k += 1
         }
-        k < wClip * hClip
+        k < total
       }
 
       override def get(): InternalRow = {
-        val r = k / wClip
         val c = k % wClip
+        val r = (k / wClip) % hClip
+        val t = k / (wClip * hClip)
         InternalRow.fromSeq(cols.toIndexedSeq.map {
+          case "t" => ts(tLo + t)
           case "latitude" => lats(rowLo + r)
           case "longitude" => lons(colLo + c)
-          case "value" => chunk(r * meta.chunks(1) + c)
+          case "value" => chunk(off(k))
         })
       }
 

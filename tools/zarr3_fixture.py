@@ -123,6 +123,35 @@ def main():
             write(os.path.join(OUT, "uparea", "c", str(sr), str(sc)),
                   body + idx)
 
+    # 3-D var dis(time, lat, lon): 6 steps, unsharded [bytes, gzip]
+    # chunks of (2, 16, 32) — the reference's (step, lat, lon) shape
+    def val3(t, r, c):
+        if (t + r + c) % 7 == 0:
+            return float("nan")
+        return float((t * 101 + r * 13 + c * 7) % 419)
+
+    NT, TCH = 6, 2
+    write(os.path.join(OUT, "time", "zarr.json"),
+          array_json([NT], [NT], [BYTES], fill=0.0))
+    write(os.path.join(OUT, "time", "c", "0"),
+          struct.pack(f"<{NT}d", *[24.0 * (t + 1) for t in range(NT)]))
+    write(os.path.join(OUT, "dis", "zarr.json"),
+          array_json([NT, NLAT, NLON], [TCH, 16, 32], [BYTES, GZIP]))
+    for ct in range(NT // TCH):
+        for cr in range(math.ceil(NLAT / 16)):
+            for cc in range(math.ceil(NLON / 32)):
+                cells = []
+                for t in range(TCH):
+                    for r in range(16):
+                        for c in range(32):
+                            gt, gr, gc = ct * TCH + t, cr * 16 + r, cc * 32 + c
+                            v = val3(gt, gr, gc) \
+                                if gt < NT and gr < NLAT and gc < NLON \
+                                else float("nan")
+                            cells.append(v)
+                write(os.path.join(OUT, "dis", "c", str(ct), str(cr), str(cc)),
+                      gzmod.compress(struct.pack(f"<{len(cells)}d", *cells), 6))
+
     # expected parquet straight from the formula
     import duckdb
     rows = [(lats[r], lons[c], val(r, c))
@@ -134,8 +163,16 @@ def main():
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
     con.execute("COPY t TO 'data/uparea_v3_expected.parquet'"
                 " (FORMAT PARQUET)")
-    print(f"wrote {OUT} ({n_sr}x{n_sc} shards, {len(rows)} live cells)"
-          " and data/uparea_v3_expected.parquet")
+    rows3 = [(24.0 * (t + 1), lats[r], lons[c], val3(t, r, c))
+             for t in range(NT) for r in range(NLAT) for c in range(NLON)
+             if not math.isnan(val3(t, r, c))]
+    con.execute("CREATE TABLE t3 (t DOUBLE, latitude DOUBLE,"
+                " longitude DOUBLE, dis DOUBLE)")
+    con.executemany("INSERT INTO t3 VALUES (?, ?, ?, ?)", rows3)
+    con.execute("COPY t3 TO 'data/dis_v3_expected.parquet'"
+                " (FORMAT PARQUET)")
+    print(f"wrote {OUT} ({n_sr}x{n_sc} shards, {len(rows)} live cells;"
+          f" 3-D dis with {len(rows3)} live cells) and expected parquets")
 
 
 if __name__ == "__main__":
