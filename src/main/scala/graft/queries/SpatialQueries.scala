@@ -467,7 +467,33 @@ object SpatialQueries {
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
-    q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d)
+    q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles)
+
+  /** The flagship flood semantic composed DIRECTLY onto the 3-D source:
+    * per-cell exact quantiles over the t dimension of dis(t, lat, lon)
+    * (reference transforms.py:55-70 — ensemble percentiles per grid
+    * cell, here with t playing the member axis). One shuffle on the
+    * cell key; grouped exact `percentile` buffers (A1′ semantics), the
+    * dense NaN cells dropped at the scan.
+    */
+  lazy val q124Zarr3dQuantiles = Q(
+    "q124_zarr3d_quantiles",
+    (s, _) =>
+      s.read.format("graft-zarr")
+        .option("path", "/root/repo/data/uparea_v3.zarr")
+        .option("var", "dis")
+        .load()
+        .groupBy("latitude", "longitude")
+        .agg(count(lit(1)).as("n_steps"),
+          round(percentile(col("value"), lit(0.5)), 6).as("median_dis"),
+          max("value").as("max_dis"))
+        .filter(col("n_steps") >= 4),
+    Some("""
+      SELECT latitude, longitude, count(*) AS n_steps,
+             round(quantile_cont(dis, 0.5), 6) AS median_dis,
+             max(dis) AS max_dis
+      FROM '/root/repo/data/dis_v3_expected.parquet'
+      GROUP BY 1, 2 HAVING count(*) >= 4"""))
 
   /** 3-D raster scan: `dis(time, lat, lon)` — the reference's actual
     * discharge shape (dims (number, step, latitude, longitude),

@@ -88,6 +88,8 @@ class ZarrScanBuilder(spec: ZarrSpec, full: StructType)
   private var required: StructType = full
   private var latLo = Double.NegativeInfinity
   private var latHi = Double.PositiveInfinity
+  private var tLo = Double.NegativeInfinity
+  private var tHi = Double.PositiveInfinity
   private var accepted: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -106,6 +108,12 @@ class ZarrScanBuilder(spec: ZarrSpec, full: StructType)
       case sources.GreaterThanOrEqual("latitude", v) => num(v).exists { d => latLo = math.max(latLo, d); true }
       case sources.LessThan("latitude", v) => num(v).exists { d => latHi = math.min(latHi, d); true }
       case sources.LessThanOrEqual("latitude", v) => num(v).exists { d => latHi = math.min(latHi, d); true }
+      case sources.GreaterThan("t", v) => num(v).exists { d => tLo = math.max(tLo, d); true }
+      case sources.GreaterThanOrEqual("t", v) => num(v).exists { d => tLo = math.max(tLo, d); true }
+      case sources.LessThan("t", v) => num(v).exists { d => tHi = math.min(tHi, d); true }
+      case sources.LessThanOrEqual("t", v) => num(v).exists { d => tHi = math.min(tHi, d); true }
+      case sources.EqualTo("t", v) =>
+        num(v).exists { d => tLo = math.max(tLo, d); tHi = math.min(tHi, d); true }
       case _ => false
     }
     filters
@@ -113,11 +121,12 @@ class ZarrScanBuilder(spec: ZarrSpec, full: StructType)
 
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def build(): Scan = new ZarrScan(spec, required, latLo, latHi)
+  override def build(): Scan =
+    new ZarrScan(spec, required, latLo, latHi, tLo, tHi)
 }
 
 class ZarrScan(spec: ZarrSpec, required: StructType,
-    latLo: Double, latHi: Double)
+    latLo: Double, latHi: Double, tLo: Double, tHi: Double)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,8 +160,22 @@ class ZarrScan(spec: ZarrSpec, required: StructType,
             (cr + 1) * meta.chunks(latDim) - 1 >= lo
         }
       }
+    // t-plane pruning mirrors the latitude logic (chunk slack, residual)
+    val keepT: Int => Boolean =
+      if (!is3 || (!tLo.isFinite && !tHi.isFinite)) _ => true
+      else {
+        val ts = ZarrStore.readVector(conf, s"${spec.store}/${spec.tVar}")
+        val idx = ts.indices.filter(i => ts(i) >= tLo && ts(i) <= tHi)
+        if (idx.isEmpty) _ => false
+        else {
+          val lo = math.max(idx.min - 1, 0)
+          val hi = math.min(idx.max + 1, ts.length - 1)
+          ct => ct * meta.chunks(0) <= hi && (ct + 1) * meta.chunks(0) - 1 >= lo
+        }
+      }
     (for {
       ct <- 0 until nChunkT
+      if keepT(ct)
       cr <- 0 until nChunkRows
       if keepRow(cr)
       cc <- 0 until nChunkCols

@@ -71,6 +71,19 @@ class ZarrSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("3-D var: t predicate prunes chunk PLANES at planning") {
+    val v3 = "/root/repo/data/uparea_v3.zarr"
+    val df = spark.read.format("graft-zarr")
+      .option("path", v3).option("var", "dis").load()
+    // 6 steps in chunks of 2 -> 3 t-planes x 3x2 grid = 18 partitions
+    assert(df.rdd.getNumPartitions == 18)
+    val one = df.filter(col("t") === 24.0)
+    assert(one.rdd.getNumPartitions == 6, s"${one.rdd.getNumPartitions}")
+    // and correctness survives the pruning (residual filter applies)
+    assert(one.count() ==
+      (for (r <- 0 until 40; c <- 0 until 64 if (r + c) % 7 != 0) yield 1).size)
+  }
+
   test("v3: a corrupted shard index fails the crc32c check loudly") {
     val conf = spark.sparkContext.hadoopConfiguration
     val v3 = "/root/repo/data/uparea_v3.zarr"
