@@ -59,4 +59,21 @@ class SourcesSpec extends SparkSpec {
     assert(FsOps.delete(spark, dir))
     assert(!FsOps.exists(spark, dir))
   }
+
+  test("compactParquet merges small files, preserves rows, swaps atomically") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 40 tiny part files (the streaming-sink litter pattern)
+    spark.range(4000).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(40).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .groupBy("g").count().collect().map(_.toString).sorted.toSeq
+    val (nBefore, nAfter) =
+      FsOps.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == 40 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+      .groupBy("g").count().collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(!FsOps.exists(spark, dir + "_compact_staging"))
+    assert(!FsOps.exists(spark, dir + "_compact_old"))
+  }
 }

@@ -196,6 +196,64 @@ class TruncationFuzzSpec extends SparkSpec {
     graft.sources.FsOps.delete(spark, store)
   }
 
+  test("NetCDF classic: truncated files fail loudly or read prefix-consistently") {
+    val donor = "/root/repo/data/classic2.nc"
+    val full = {
+      val f = new graft.sources.nc.Cdf3File(donor)
+      try f.readRowBand("v", 0, 32).toSeq finally f.close()
+    }
+    for (b <- prefixes(donor, 10))
+      fuzzCase(s"cdf len=${b.length}", b) { p =>
+        val f = new graft.sources.nc.Cdf3File(p)
+        try {
+          val got = f.readRowBand("v", 0, 32).toSeq
+          assert(got == full, "row band decoded differently from a prefix")
+        } finally f.close()
+      }
+  }
+
+  test("Arrow IPC: truncated files fail loudly or read prefix-consistently") {
+    val donor = "/root/repo/data/metrics.arrow"
+    val full = graft.sources.v2.ArrowDataSource.withReader(donor) { r =>
+      (0 until r.getRecordBlocks.size()).map { i =>
+        r.loadRecordBatch(r.getRecordBlocks.get(i))
+        i -> r.getVectorSchemaRoot.contentToTSVString()
+      }.toMap
+    }
+    for (b <- prefixes(donor, 10))
+      fuzzCase(s"arrow len=${b.length}", b) { p =>
+        graft.sources.v2.ArrowDataSource.withReader(p) { r =>
+          (0 until r.getRecordBlocks.size()).foreach { i =>
+            r.loadRecordBatch(r.getRecordBlocks.get(i))
+            assertKeyed(s"arrow len=${b.length}", full, i,
+              r.getVectorSchemaRoot.contentToTSVString())
+          }
+        }
+      }
+  }
+
+  test("Zarr v3 shard: truncated shard files fail loudly, never spin") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = "/root/repo/data/uparea_v3.zarr"
+    val meta = graft.sources.zarr.ZarrStore.readMeta(conf, s"$store/uparea")
+    val full = graft.sources.zarr.ZarrStore.readChunk(
+      conf, s"$store/uparea", meta, Seq(0, 0)).toSeq
+    val donor = Files.readAllBytes(Paths.get(s"$store/uparea/c/0/0"))
+    val dir = Files.createTempDirectory("graft-fuzz-shard")
+    Files.createDirectories(dir.resolve("uparea/c/0"))
+    Files.copy(Paths.get(s"$store/uparea/zarr.json"),
+      dir.resolve("uparea/zarr.json"))
+    for (cut <- Seq(0, 1, 16, donor.length / 2, donor.length - 2)) {
+      Files.write(dir.resolve("uparea/c/0/0"),
+        java.util.Arrays.copyOfRange(donor, 0, cut))
+      guarded(s"v3 shard cut=$cut") {
+        val got = graft.sources.zarr.ZarrStore.readChunk(
+          conf, s"${dir.toString}/uparea", meta, Seq(0, 0)).toSeq
+        assert(got == full, s"cut=$cut decoded differently")
+      }
+    }
+  }
+
   test("shapefile: truncated files fail loudly or read prefix-consistently") {
     val locs = graft.sources.shp.Shapefile.index("/root/repo/data/basins.shx")
     val full = graft.sources.shp.Shapefile.readRange(
