@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, HyperplaneBands, PandasFloatString, PointInPolygon}
+import graft.functions.{CosineSim, HyperplaneBands, PandasFloatString, PointInPolygon, WkbRingCoords}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.pointInPolygon)
     ext.injectFunction(GraftExtensions.hyperplaneBands)
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.wkbRing)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -29,7 +30,8 @@ object GraftExtensions {
     * extensions class covers `spark.sql.extensions` at session build).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim).foreach {
+    Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim,
+      wkbRing).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -69,6 +71,17 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 2, "cosine_sim(a, b)")
       CosineSim(args(0), args(1))
+    })
+
+  /** wkb_ring(wkb, code): one coordinate axis of a WKB polygon ring —
+    * code = axis (0 = x, 1 = y) + 2 * ringIndex.
+    */
+  val wkbRing: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wkb_ring"),
+    new ExpressionInfo(classOf[WkbRingCoords].getName, "wkb_ring"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "wkb_ring(wkb, axis + 2*ring)")
+      WkbRingCoords(args(0), args(1))
     })
 
   /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH

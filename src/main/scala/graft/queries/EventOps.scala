@@ -483,8 +483,38 @@ object EventOps {
       UNION ALL SELECT '2_click', count(*) FROM c
       UNION ALL SELECT '3_purchase', count(*) FROM p"""))
 
+  /** GLOBAL cumulative metric in event-time order — the "running total
+    * of the whole stream" analytics shape. Spark's `Window.orderBy`
+    * without a partition key funnels every row through ONE task; this
+    * runs on operators/PrefixSum (range-partition + per-partition
+    * partials + offsets), P-way parallel with the identical result —
+    * the oracle IS the single-reducer window, so the hash match proves
+    * the equivalence on real data. Order key (ts, event_id) is unique,
+    * making the running sum well-defined. Values are cast to cents
+    * (exact: synthetic event values are 2-decimal) so the running sum
+    * is integer arithmetic in both engines.
+    */
+  val q125RunningTotal = Q(
+    "q125_running_total",
+    (s, dir) => {
+      val e = t(s, dir)("events").select(
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.PrefixSum.runningSum(
+          e, Seq(col("ts"), col("event_id")), col("cents"), "running_cents")
+        .select(col("event_id"), col("cents"), col("running_cents"))
+    },
+    Some("""
+      SELECT event_id, cents,
+             CAST(sum(cents) OVER (ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+      FROM (SELECT event_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events)"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
-    q99StreamRunning, q106SessionWindow, q119Funnel)
+    q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal)
 }

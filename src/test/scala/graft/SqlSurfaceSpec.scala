@@ -52,6 +52,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0 && r.isNullAt(2))
   }
 
+  test("wkb_ring is callable from SQL") {
+    GraftExtensions.register(spark)
+    // little-endian WKB polygon, triangle ring
+    val buf = java.nio.ByteBuffer.allocate(9 + 4 + 4 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(3).putInt(1).putInt(4)
+    Seq((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (0.0, 0.0))
+      .foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+    val hex = buf.array().map(b => f"$b%02x").mkString
+    val r = spark.sql(
+      s"SELECT wkb_ring(unhex('$hex'), 0) AS xs, wkb_ring(unhex('$hex'), 1) AS ys")
+      .collect()(0)
+    assert(r.getSeq[Double](0) == Seq(0.0, 4.0, 0.0, 0.0))
+    assert(r.getSeq[Double](1) == Seq(0.0, 0.0, 3.0, 0.0))
+  }
+
   test("injected SQL functions compose with builtin SQL over views") {
     GraftExtensions.register(spark)
     Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
