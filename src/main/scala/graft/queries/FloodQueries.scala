@@ -567,7 +567,42 @@ object FloodQueries {
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
     q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
-    q122NcClassic)
+    q122NcClassic, q126GribSink)
+
+  /** GRIB2 SINK round trip: a 3-member ensemble grid aggregated from
+    * orders is written by the distributed Grib2Writer (template 4.1
+    * messages, simple packing, section-6 bitmap for missing cells) and
+    * read back through graft-grib; the oracle recomputes the grid from
+    * orders. Completes the GRIB source-and-sink pair — simple packing
+    * exactness holds because the payload is integer-valued (R=0/E=0/D=0).
+    */
+  lazy val q126GribSink = Q(
+    "q126_grib_sink",
+    (s, dir) => {
+      val lats = Array.tabulate(24)(i => 18.0 - i * 0.5)
+      val lons = Array.tabulate(36)(j => 40.0 + j * 0.5)
+      val grid = Tables.load(s, dir, "orders").select(
+        (col("o_orderkey") % 3).cast("int").as("number"),
+        (lit(18.0) - (col("o_custkey") % 24) * 0.5).as("latitude"),
+        (lit(40.0) + expr("(o_custkey div 24) % 36") * 0.5).as("longitude"),
+        (col("o_orderkey") % 211).as("v"))
+        .groupBy("number", "latitude", "longitude")
+        .agg(max(col("v")).cast("double").as("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_grib_sink_" + Integer.toHexString(dir.hashCode) + ".grib2")
+        .getAbsolutePath
+      graft.sources.grib.Grib2Writer.writeEnsemble(grid, path, lats, lons)
+      s.read.format("graft-grib").option("path", path).load()
+        .filter(!isnan(col("value")))
+        .select(col("number"), col("latitude"), col("longitude"),
+          col("value").as("max_v"))
+    },
+    Some("""
+      SELECT CAST(o_orderkey % 3 AS INT) AS number,
+             18.0 - (o_custkey % 24) * 0.5 AS latitude,
+             40.0 + ((o_custkey // 24) % 36) * 0.5 AS longitude,
+             CAST(max(o_orderkey % 211) AS DOUBLE) AS max_v
+      FROM orders GROUP BY 1, 2, 3"""))
 
   /** NetCDF CLASSIC scan (CDF-2, big-endian) through the same
     * graft-netcdf source — NcFormat dispatches on the file magic, so a

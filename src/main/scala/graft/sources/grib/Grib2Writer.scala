@@ -1,0 +1,172 @@
+package graft.sources.grib
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed GRIB2 ENSEMBLE writer — the sink half of the GRIB
+  * surface (Grib2File reads; every other binary format already had
+  * both directions). Emits edition-2 messages with grid template 3.0
+  * (regular lat/lon, scan mode 0), product template 4.1 (individual
+  * ensemble member; number 0 written as the control), simple packing
+  * 5.0 with R=0/E=0/D=0 (so integer-valued data round-trips EXACTLY),
+  * and a section-6 bitmap (indicator 0) whenever cells are missing —
+  * the same subset the reader decodes and the independent python
+  * writer (tools/grib2_fixture.py) produces, so the whole format
+  * contract is already cross-validated.
+  *
+  * Scale shape mirrors Hdf5Writer: rows shuffle ONCE on their member,
+  * each task streams ONE member's grid buffer at a time and writes a
+  * complete staged message file, and the driver concatenates staged
+  * messages in member order (a GRIB file IS concatenated messages —
+  * the driver streams bytes, never holds a grid).
+  */
+object Grib2Writer {
+
+  /** `df`: (number int, latitude, longitude, value double) on the
+    * regular grid `lats` (descending) × `lons` (ascending). Values must
+    * be integer-valued in [0, 2^bpv); missing cells (absent rows or
+    * NaN) become bitmap holes.
+    */
+  def writeEnsemble(df: DataFrame, path: String,
+      lats: Array[Double], lons: Array[Double], bpv: Int = 16): Unit = {
+    require(bpv == 16, "only bpv=16 supported (the fixture/reader subset)")
+    val spark = df.sparkSession
+    val (ni, nj) = (lons.length, lats.length)
+    val la1 = lats.head
+    val lo1 = lons.head
+    val dj = if (nj > 1) (lats.head - lats.last) / (nj - 1) else 1.0
+    val di = if (ni > 1) (lons.last - lons.head) / (ni - 1) else 1.0
+    val stageDir = new java.io.File(path + "_stage")
+    if (stageDir.exists()) stageDir.listFiles().foreach(_.delete())
+    stageDir.mkdirs()
+
+    val bLat = spark.sparkContext.broadcast(lats.zipWithIndex.toMap)
+    val bLon = spark.sparkContext.broadcast(lons.zipWithIndex.toMap)
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism
+    df.select(col("number").cast("int"), col("latitude").cast("double"),
+        col("longitude").cast("double"), col("value").cast("double"))
+      .as[(Int, Double, Double, Double)]
+      .mapPartitions { it =>
+        val latI = bLat.value
+        val lonI = bLon.value
+        it.map { case (m, la, lo, v) => (m, latI(la) * lonI.size + lonI(lo), v) }
+      }
+      .toDF("m", "cell", "v")
+      .repartition(math.min(n, 64), col("m"))
+      .sortWithinPartitions("m", "cell")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        var cur = -1
+        var buf: Array[Double] = null
+        def flush(): Unit = if (cur >= 0) {
+          val msg = encodeMessage(cur, buf, ni, nj, la1, lo1, di, dj)
+          val out = new java.io.FileOutputStream(
+            new java.io.File(stageDir, f"m$cur%05d.part"))
+          try out.write(msg) finally out.close()
+        }
+        rows.foreach { r =>
+          val m = r.getInt(0)
+          if (m != cur) {
+            flush(); cur = m
+            buf = Array.fill(ni * nj)(Double.NaN)
+          }
+          buf(r.getInt(1)) = r.getDouble(2)
+        }
+        flush()
+      }
+
+    // driver: stream-concat staged messages in member order
+    val parts = Option(stageDir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".part")).sortBy(_.getName)
+    require(parts.nonEmpty, s"$path: no members staged")
+    val out = new java.io.FileOutputStream(path)
+    try parts.foreach { p =>
+      val in = new java.io.FileInputStream(p)
+      try in.transferTo(out) finally in.close()
+    } finally out.close()
+    parts.foreach(_.delete()); stageDir.delete()
+  }
+
+  /** One complete edition-2 message (sections 0–8) for member `m`. */
+  private def encodeMessage(m: Int, grid: Array[Double], ni: Int, nj: Int,
+      la1: Double, lo1: Double, di: Double, dj: Double): Array[Byte] = {
+    def sec(num: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(5 + body.length).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(5 + body.length).put(num.toByte).put(body)
+      b.array()
+    }
+    val present = grid.filterNot(_.isNaN)
+    val hasHoles = present.length != grid.length
+    present.foreach { v =>
+      require(v >= 0 && v < (1 << 16) && v == math.rint(v),
+        s"value $v not an integer in [0, 65536) — simple packing R=0/E=0/D=0")
+    }
+
+    val s1 = sec(1, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      b.putShort(98).putShort(0).put(2.toByte).put(1.toByte).put(1.toByte)
+      b.putShort(2026).put(1.toByte).put(1.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).put(1.toByte)
+      b.array()
+    })
+    val s3 = sec(3, {
+      val b = ByteBuffer.allocate(9 + 58).order(ByteOrder.BIG_ENDIAN)
+      b.put(0.toByte).putInt(ni * nj).put(0.toByte).put(0.toByte).putShort(0)
+      // template 3.0
+      b.put(6.toByte).put(0.toByte).putInt(0).put(0.toByte).putInt(0)
+        .put(0.toByte).putInt(0)
+      b.putInt(ni).putInt(nj).putInt(0).putInt(0)
+      b.putInt(math.round(la1 * 1e6).toInt)
+      b.putInt(math.round(lo1 * 1e6).toInt)
+      b.put(0x30.toByte)
+      b.putInt(math.round((la1 - (nj - 1) * dj) * 1e6).toInt)
+      b.putInt(math.round((lo1 + (ni - 1) * di) * 1e6).toInt)
+      b.putInt(math.round(di * 1e6).toInt)
+      b.putInt(math.round(dj * 1e6).toInt)
+      b.put(0.toByte) // scan mode 0: +i, -j, i fastest
+      b.array()
+    })
+    val s4 = sec(4, {
+      val b = ByteBuffer.allocate(4 + 28).order(ByteOrder.BIG_ENDIAN)
+      b.putShort(0).putShort(1) // template 4.1
+      b.put(0.toByte).put(192.toByte).put(2.toByte).put(0.toByte)
+        .put(0.toByte).putShort(0).put(0.toByte).put(1.toByte).putInt(24)
+      b.put(1.toByte).put(0.toByte).putInt(0)
+      b.put(255.toByte).put(0.toByte).putInt(0)
+      // WMO 4.6: 1 = unperturbed control ("cf"), 3 = perturbed ("pf")
+      b.put((if (m == 0) 1 else 3).toByte).put(m.toByte).put(3.toByte)
+      b.array()
+    })
+    val s5 = sec(5, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(present.length).putShort(0) // template 5.0
+      b.putFloat(0.0f).putShort(0).putShort(0)
+      b.put(16.toByte).put(0.toByte)
+      b.array()
+    })
+    val s6 =
+      if (!hasHoles) sec(6, Array(255.toByte))
+      else sec(6, {
+        val bits = new Array[Byte](1 + (grid.length + 7) / 8)
+        bits(0) = 0 // indicator: bitmap applies, defined here
+        grid.indices.foreach { k =>
+          if (!grid(k).isNaN)
+            bits(1 + (k >> 3)) = (bits(1 + (k >> 3)) | (0x80 >> (k & 7))).toByte
+        }
+        bits
+      })
+    val s7 = sec(7, {
+      val b = ByteBuffer.allocate(present.length * 2).order(ByteOrder.BIG_ENDIAN)
+      present.foreach(v => b.putShort(v.toInt.toShort))
+      b.array()
+    })
+    val body = s1 ++ s3 ++ s4 ++ s5 ++ s6 ++ s7 ++ "7777".getBytes
+    val total = 16 + body.length
+    val s0 = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    s0.put("GRIB".getBytes).putShort(0).put(0.toByte).put(2.toByte)
+      .putLong(total.toLong)
+    s0.array() ++ body
+  }
+}

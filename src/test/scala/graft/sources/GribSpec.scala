@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.sources.grib.Grib2File
+import graft.sources.grib.{Grib2File, Grib2Writer}
 
 /** Byte-level GRIB2 fixture tests: the fixtures are written by the
   * INDEPENDENT pure-python spec implementation (tools/grib2_fixture.py),
@@ -115,6 +115,31 @@ class GribSpec extends SparkSpec {
     val info = Grib2File.index(f.getAbsolutePath).head
     val e = intercept[RuntimeException](Grib2File.read(f.getAbsolutePath, info))
     assert(e.getMessage.contains("bitmap indicator 254"))
+  }
+
+  test("distributed Grib2Writer round-trips through the reader, bitmap included") {
+    val lats = Array.tabulate(9)(i => 42.0 - i * 0.5)
+    val lons = Array.tabulate(14)(j => 3.0 + j * 0.5)
+    val cells = for {
+      m <- 0 until 3; i <- lats.indices; j <- lons.indices
+      if (m + i + j) % 5 != 0 // holes → section-6 bitmap
+    } yield (m, lats(i), lons(j), ((m * 31 + i * 7 + j * 3) % 997).toDouble)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_grib_rt.grib2").getAbsolutePath
+    Grib2Writer.writeEnsemble(
+      cells.toDF("number", "latitude", "longitude", "value")
+        .repartition(5),
+      path, lats, lons)
+    val infos = Grib2File.index(path)
+    assert(infos.map(mi => (mi.dataType, mi.number)) ==
+      Seq(("cf", 0), ("pf", 1), ("pf", 2)))
+    assert((infos.head.ni, infos.head.nj, infos.head.la1, infos.head.lo1,
+      infos.head.di, infos.head.dj) == (14, 9, 42.0, 3.0, 0.5, 0.5))
+    val back = spark.read.format("graft-grib").option("path", path).load()
+      .filter(!isnan(col("value")))
+      .select(col("number"), col("latitude"), col("longitude"), col("value"))
+      .as[(Int, Double, Double, Double)].collect().toSet
+    assert(back == cells.map(c => (c._1, c._2, c._3, c._4)).toSet)
   }
 
   test("packing template 5.40 (JPEG2000) is rejected with the repack path") {
