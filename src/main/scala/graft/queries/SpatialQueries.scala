@@ -467,7 +467,41 @@ object SpatialQueries {
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
-    q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles)
+    q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
+    q127CompactedScan)
+
+  /** Small-file compaction under the gate: an orders slice is written
+    * as 32 tiny part files (the streaming-sink litter pattern),
+    * compacted by FsOps.compactParquet into one target-sized file with
+    * the atomic two-rename swap, and read back aggregated; the oracle
+    * recomputes from orders directly — the hash match proves compaction
+    * is row-exact, and the query asserts the file count actually
+    * dropped (hygiene that silently no-ops is worse than none).
+    */
+  lazy val q127CompactedScan = Q(
+    "q127_compacted_scan",
+    (s, dir) => {
+      val slice = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compact_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      slice.repartition(32).write.mode("overwrite").parquet(path)
+      val (before, after) =
+        graft.sources.FsOps.compactParquet(s, path, targetBytes = 1L << 30)
+      require(before == 32 && after == 1,
+        s"compaction did not merge: $before -> $after files")
+      s.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Sql.exactSum(col("o_totalprice")).as("sum_price"),
+          max("o_orderkey").as("max_key"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+             max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1"""))
 
   /** The flagship flood semantic composed DIRECTLY onto the 3-D source:
     * per-cell exact quantiles over the t dimension of dis(t, lat, lon)
