@@ -151,6 +151,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q125: global running total plans WITHOUT a single-reducer window") {
+    val p = plan("q125_running_total")
+    // the range-partitioned two-pass sum lives in the upstream RDD
+    // lineage (the plan shows its Scan ExistingRDD); what this pins is
+    // that no WindowExec — the one-task funnel — ever re-enters the plan
+    assert(!p.contains("Window"),
+      s"global running sum fell back to a window (one-task funnel):\n$p")
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("q93: bucketed tables join with no exchange and no sort on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
