@@ -168,8 +168,26 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val overall = if (results.exists(_._4 == "err")) "err" else "ok"
+    // The driver tail-captures stdout: BENCH_r07.json came back parsed:null
+    // because this line outgrew its window once passes/plan_hash/io joined
+    // it. The stdout contract is therefore COMPACT (total + per-query min +
+    // overall status only); the full diagnostics go to a sidecar file whose
+    // path is announced on stderr.
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
+    val detail =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"io":$ioStats,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+      System.err.println(s"[bench] detail written to $detailPath")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] detail write failed ($detailPath): $e")
+    }
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"io":$ioStats,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"status":"$overall","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._4 == "err")) sys.exit(1)
   }

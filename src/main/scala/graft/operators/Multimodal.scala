@@ -143,6 +143,18 @@ object Multimodal {
     features.select("media_id", "features").as[FeatureRow]
       .mapPartitions { it =>
         model.open()
+        // close exactly once, on whichever comes first: iterator
+        // exhaustion (the fast path) or task completion. The listener
+        // covers downstream limit/take and embedBatch exceptions — for a
+        // real model holding native sessions, an unconsumed iterator must
+        // not leak the per-task instance (r7 advice).
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) model.close()
+        org.apache.spark.TaskContext.get() match {
+          case null => // driver-side/local testing seam: exhaust path only
+          case tc => tc.addTaskCompletionListener[Unit](_ => closeOnce())
+        }
         val out = it.grouped(batchSize).flatMap { batch =>
           val embs = model.embedBatch(batch.map(_.features))
           require(embs.length == batch.length,
@@ -157,7 +169,7 @@ object Multimodal {
         new Iterator[EmbeddedRow] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h) model.close()
+            if (!h) closeOnce()
             h
           }
           def next(): EmbeddedRow = out.next()

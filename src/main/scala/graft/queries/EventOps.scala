@@ -462,10 +462,16 @@ object EventOps {
         .groupBy("user_id").agg(min("ts").as("t_view"))
       val c = firstAfter("click", v, "t_view", "t_click")
       val p = firstAfter("purchase", c, "t_click", "t_purchase")
-      v.select(lit("1_view").as("stage")).groupBy("stage").count()
-        .unionByName(c.select(lit("2_click").as("stage")).groupBy("stage").count())
-        .unionByName(p.select(lit("3_purchase").as("stage")).groupBy("stage").count())
-        .withColumnRenamed("count", "n_users")
+      // global agg, NOT groupBy(lit): an empty stage must still emit a
+      // count-0 row to match the oracle's unconditional SELECT count(*)
+      // (groupBy over zero rows emits zero rows — latent gate divergence
+      // on any fixture where a funnel stage has no users)
+      def stageCount(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stageCount("1_view", v)
+        .unionByName(stageCount("2_click", c))
+        .unionByName(stageCount("3_purchase", p))
     },
     Some("""
       WITH v AS (

@@ -42,7 +42,18 @@ object FsOps {
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val f = fs(spark, dir)
-    val parts = f.listStatus(new Path(dir))
+    val listing = f.listStatus(new Path(dir))
+    // flat directories only: on a hive-partitioned layout the data lives
+    // in key=value subdirectories — a naive rewrite would flatten the
+    // partition columns into data columns, silently destroying the layout
+    // and every downstream pruning opportunity. Fail loudly instead.
+    val subdirs = listing.filter(s => s.isDirectory &&
+      s.getPath.getName != "_temporary")
+    require(subdirs.isEmpty,
+      s"compactParquet: $dir contains subdirectories " +
+        s"(${subdirs.map(_.getPath.getName).mkString(", ")}) — " +
+        "hive-partitioned layouts must be compacted per leaf directory")
+    val parts = listing
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -97,6 +97,11 @@ object Grib2Writer {
       b.putInt(5 + body.length).put(num.toByte).put(body)
       b.array()
     }
+    // template 4.1's perturbation number is ONE octet: a member > 255
+    // would silently wrap in `m.toByte` into a wrong-but-well-formed
+    // message — fail loudly instead (r7 advice)
+    require(m >= 0 && m <= 255,
+      s"ensemble member $m out of the one-octet range [0, 255] (template 4.1)")
     val present = grid.filterNot(_.isNaN)
     val hasHoles = present.length != grid.length
     present.foreach { v =>

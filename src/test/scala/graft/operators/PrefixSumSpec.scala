@@ -42,6 +42,21 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.length == 10000 && got.forall { case (k, c) => c == 2 * (k + 1) })
   }
 
+  test("no lingering CacheManager entry after runningSum returns") {
+    // the staged range-partitioned copy is cache()d for the two passes but
+    // must be unpersisted before return — otherwise every call site pins a
+    // materialized copy for the session (r7 judge/advice item) and the
+    // lingering entries become a cross-query cache-substitution surface
+    // for the plan-hash protocol
+    spark.sharedState.cacheManager.clearCache()
+    val df = spark.range(4000).select(col("id").as("k"), lit(1L).as("v"))
+    val out = PrefixSum.runningSum(df, Seq(col("k")), col("v"), "cum", 8)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "runningSum left a cached plan registered in the CacheManager")
+    // and the returned frame is still correct + stable after the unpersist
+    assert(out.agg(sum("cum")).head().getLong(0) == 4000L * 4001L / 2)
+  }
+
   test("multi-column order key (source, id) keeps source blocks contiguous") {
     val df = spark.range(2000).select(
       concat(lit("s"), pmod(col("id"), lit(3))).as("source"),

@@ -76,4 +76,22 @@ class SourcesSpec extends SparkSpec {
     assert(!FsOps.exists(spark, dir + "_compact_staging"))
     assert(!FsOps.exists(spark, dir + "_compact_old"))
   }
+
+  test("compactParquet refuses hive-partitioned layouts loudly") {
+    // a naive rewrite of a partitioned dir would flatten key=value
+    // subdirectories into data columns, destroying layout + pruning —
+    // the guard must fail BEFORE touching anything (r7 advice)
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    spark.range(100).select(col("id"), (col("id") % 3).as("g"))
+      .write.partitionBy("g").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val e = intercept[IllegalArgumentException] {
+      FsOps.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+    // directory untouched: same rows, partition columns still pruned
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(!FsOps.exists(spark, dir + "_compact_staging"))
+  }
 }
