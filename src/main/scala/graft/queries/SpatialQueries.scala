@@ -468,7 +468,57 @@ object SpatialQueries {
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
-    q127CompactedScan)
+    q127CompactedScan, q128CogOverview)
+
+  /** COG OVERVIEWS under the gate: the `cog_translate` reduced-resolution
+    * IFD chain (io_managers.py:103-110 writes overviews by default). The
+    * q82 pixel grid is written with 2×/4× overview levels — each computed
+    * DISTRIBUTED as a per-level groupBy block-mean over the shared pixel
+    * frame — then read back at level 1 through the graft-cog DSv2 `level`
+    * option. The overview value is the HALF-UP ROUNDED MEAN of present
+    * base pixels in exact long arithmetic ((2·sum+n)/(2·n)), so the
+    * DuckDB oracle replicates it bit-for-bit with hugeint division; the
+    * hash match proves the whole chain: distributed coarsen → IFD chain
+    * encode → chain walk → derived georeferencing → tile decode.
+    */
+  lazy val q128CogOverview = Q(
+    "q128_cog_overview",
+    (s, dir) => {
+      val (ox, oy, sx, sy) = (500000.0, 7000000.0, 30.0, 30.0)
+      val grid = Tables.load(s, dir, "lineitem").select(
+        (col("l_suppkey") % 100).as("pc"),
+        (col("l_partkey") % 72).as("pr"),
+        (col("l_partkey") % 999 + 1).as("v"))
+        .groupBy("pc", "pr").agg(max(col("v")).as("value"))
+        .select(
+          (lit(ox) + (col("pc") + 0.5) * sx).as("x"),
+          (lit(oy) - (col("pr") + 0.5) * sy).as("y"),
+          col("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cog_ov_" + Integer.toHexString(dir.hashCode) + ".tif")
+        .getAbsolutePath
+      graft.sources.tiff.TiffWriter.writeGrid(grid, path, "x", "y", "value",
+        ox, oy, sx, sy, width = 100, height = 72,
+        tileW = 32, tileH = 32, bits = 16, overviews = Seq(2, 4))
+      s.read.format("graft-cog")
+        .option("path", path).option("nodata", "0").option("level", "1")
+        .load()
+        .select(col("x"), col("y"), col("value").cast("int").as("mean_v"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT (l_suppkey % 100) AS pc, (l_partkey % 72) AS pr,
+               max(l_partkey % 999) + 1 AS v
+        FROM lineitem GROUP BY 1, 2),
+      ov AS (
+        SELECT pc // 2 AS oc, pr // 2 AS orow,
+               CAST((2 * sum(v) + count(*)) // (2 * count(*)) AS INTEGER)
+                 AS mean_v
+        FROM base GROUP BY 1, 2)
+      SELECT 500000.0 + (oc + 0.5) * 60.0 AS x,
+             7000000.0 - (orow + 0.5) * 60.0 AS y,
+             mean_v
+      FROM ov"""))
 
   /** Small-file compaction under the gate: an orders slice is written
     * as 32 tiny part files (the streaming-sink litter pattern),

@@ -57,13 +57,25 @@ object TiffFile {
     (ch, new Reader(ch, order))
   }
 
-  /** Parse the first IFD into grid + block metadata (no pixel data).
-    * Handles classic TIFF (magic 42: 12-byte entries, u32 counts and
-    * offsets) and BigTIFF (magic 43: 20-byte entries, u64 counts and
-    * offsets, LONG8 arrays) — real GFC mosaics and large COGs exceed
-    * classic TIFF's 4 GB offset space.
+  /** Parse the first (full-resolution) IFD — the pre-overview surface;
+    * equivalent to `levels(path).head`.
     */
-  def info(path: String): TiffInfo = {
+  def info(path: String): TiffInfo = levels(path).head
+
+  /** Parse the WHOLE IFD chain: the full-resolution image first, then
+    * any reduced-resolution overview IFDs a cloud-optimized GeoTIFF
+    * carries (NewSubfileType bit 0 — TIFF 6.0 tag 254; the `cog_translate`
+    * overview convention). Handles classic TIFF (magic 42: 12-byte
+    * entries, u32 counts and offsets) and BigTIFF (magic 43: 20-byte
+    * entries, u64 counts and offsets, LONG8 arrays) — real GFC mosaics
+    * and large COGs exceed classic TIFF's 4 GB offset space.
+    *
+    * Overview IFDs conventionally omit the GeoTIFF scale/tiepoint tags
+    * (GDAL derives them); we do the same: the decimation factor is
+    * `round(fullWidth / ovWidth)` and the overview pixel scale is the
+    * full-resolution scale times that factor, same origin.
+    */
+  def levels(path: String): Seq[TiffInfo] = {
     val (ch, r) = open(path)
     try {
       val head = r.readAt(0, 16)
@@ -72,12 +84,35 @@ object TiffFile {
       val big = magic == 43
       if (big) require(head.getShort(4) == 8 && head.getShort(6) == 0,
         s"$path: malformed BigTIFF header")
-      val ifdOff = if (big) head.getLong(8) else head.getInt(4).toLong & 0xFFFFFFFFL
+      val firstOff = if (big) head.getLong(8) else head.getInt(4).toLong & 0xFFFFFFFFL
+      val out = scala.collection.mutable.ArrayBuffer.empty[TiffInfo]
+      var ifdOff = firstOff
+      while (ifdOff != 0L) {
+        val (inf, next) = parseIfd(path, r, big, ifdOff, out.headOption)
+        out += inf
+        ifdOff = next
+      }
+      out.toSeq
+    } finally ch.close()
+  }
+
+  /** Parse one IFD at `ifdOff`; geo tags may be absent on overview IFDs
+    * (derive from `full`, the first IFD). Returns the info plus the
+    * next-IFD offset (0 = end of chain).
+    */
+  private def parseIfd(path: String, r: Reader, big: Boolean, ifdOff: Long,
+      full: Option[TiffInfo]): (TiffInfo, Long) = {
+    {
       val entryStride = if (big) 20 else 12
       val nEntries =
         if (big) r.readAt(ifdOff, 8).getLong(0).toInt
         else r.readAt(ifdOff, 2).getShort(0) & 0xFFFF
       val entries = r.readAt(ifdOff + (if (big) 8 else 2), nEntries * entryStride)
+      val nextOff = {
+        val p = ifdOff + (if (big) 8 else 2) + nEntries.toLong * entryStride
+        if (big) r.readAt(p, 8).getLong(0)
+        else r.readAt(p, 4).getInt(0).toLong & 0xFFFFFFFFL
+      }
 
       var width = 0; var height = 0; var bits = 8; var compression = 1
       var tileW = 0; var tileH = 0; var rowsPerStrip = 0
@@ -150,12 +185,24 @@ object TiffFile {
         s"$path: compression $compression unsupported (need none/deflate)")
       require(bits == 8 || bits == 16 || bits == 32,
         s"$path: $bits bits per sample unsupported")
-      require(scale != null && tiepoint != null && tiepoint.length >= 6,
-        s"$path: missing GeoTIFF pixel scale / tiepoint tags")
-      // tiepoint maps raster (i,j) [pixel corner] to geo (x,y):
-      // originX = X - i*scaleX, originY = Y + j*scaleY
-      val originX = tiepoint(3) - tiepoint(0) * scale(0)
-      val originY = tiepoint(4) + tiepoint(1) * scale(1)
+      val (originX, originY, scaleX, scaleY) =
+        if (scale != null && tiepoint != null && tiepoint.length >= 6) {
+          // tiepoint maps raster (i,j) [pixel corner] to geo (x,y):
+          // originX = X - i*scaleX, originY = Y + j*scaleY
+          (tiepoint(3) - tiepoint(0) * scale(0),
+            tiepoint(4) + tiepoint(1) * scale(1),
+            scale(0), scale(1))
+        } else full match {
+          // overview IFDs omit geo tags (the GDAL/cog_translate
+          // convention): same extent as the full image, pixel scale
+          // multiplied by the decimation factor
+          case Some(f) =>
+            val factor = math.round(f.width.toDouble / width).toInt
+            require(factor >= 1, s"$path: overview larger than full image")
+            (f.originX, f.originY, f.scaleX * factor, f.scaleY * factor)
+          case None => sys.error(
+            s"$path: missing GeoTIFF pixel scale / tiepoint tags")
+        }
 
       val blocks: Seq[BlockInfo] =
         if (offsets != null) {
@@ -175,9 +222,9 @@ object TiffFile {
               0, rowLo, width, math.min(rps, height - rowLo))
           }
         }
-      TiffInfo(width, height, bits, compression, originX, originY,
-        scale(0), scale(1), blocks)
-    } finally ch.close()
+      (TiffInfo(width, height, bits, compression, originX, originY,
+        scaleX, scaleY, blocks), nextOff)
+    }
   }
 
   /** Decode one block to row-major Int samples (block-local layout;

@@ -69,39 +69,59 @@ object TiffWriter {
     def toArray: Array[Byte] = out.toByteArray
   }
 
+  /** Per-level geometry, computed up front from the decimation factor. */
+  private case class Level(factor: Int, w: Int, h: Int,
+      tilesAcross: Int, nTiles: Int)
+
   /** Distributed write of `df` (xCol, yCol, valCol ints) as a tiled
     * GeoTIFF at `path`. The grid is `width`×`height` pixels with pixel
     * CENTERS at `originX + (col+0.5)*scaleX`, `originY - (row+0.5)*scaleY`
     * (the graft-cog read-back convention). Missing pixels and edge-tile
     * padding become `nodata`.
+    *
+    * `overviews` adds reduced-resolution overview IFDs (the other half
+    * of what makes a COG cloud-optimized — `cog_translate` emits them by
+    * default, io_managers.py:103-110): each factor f produces a
+    * ceil(w/f)×ceil(h/f) image whose pixel (c, r) is the ROUNDED MEAN of
+    * the PRESENT source pixels in the f×f block (half-up in exact long
+    * arithmetic: (2·sum + n) / (2·n) — cross-engine deterministic);
+    * blocks with no source pixels are nodata. Overview IFDs follow the
+    * GDAL convention: NewSubfileType=1, no geo tags (readers derive
+    * scale from the size ratio), same tile size, chained off the main
+    * IFD. Each level is computed DISTRIBUTED — one groupBy per level on
+    * the shared pixel frame, then the same one-shuffle tile staging as
+    * the base image.
     */
   def writeGrid(df: DataFrame, path: String,
       xCol: String, yCol: String, valCol: String,
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6,
-      forceBigTiff: Boolean = false): Unit = {
+      forceBigTiff: Boolean = false, overviews: Seq[Int] = Seq.empty): Unit = {
     require(bits == 8 || bits == 16 || bits == 32, s"bits $bits")
     require(tileW % 16 == 0 && tileH % 16 == 0,
       "TIFF tiles must be multiples of 16") // TIFF 6.0 §15
+    require(overviews.forall(_ >= 2) && overviews == overviews.sorted &&
+      overviews.distinct == overviews,
+      s"overview factors must be distinct, ascending, >= 2: $overviews")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    val tilesAcross = (width + tileW - 1) / tileW
-    val tilesDown = (height + tileH - 1) / tileH
-    val nTiles = tilesAcross * tilesDown
+    val levels: Seq[Level] = (1 +: overviews).map { f =>
+      val (w, h) = ((width + f - 1) / f, (height + f - 1) / f)
+      val ta = (w + tileW - 1) / tileW
+      Level(f, w, h, ta, ta * ((h + tileH - 1) / tileH))
+    }
     val outPath = new Path(path)
     val fs = outPath.getFileSystem(hconf)
     val staging = new Path(path + ".staging")
     fs.mkdirs(staging)
 
-    // ------ stage tiles: ONE shuffle on the tile id. Same streaming
-    // repartition + sortWithinPartitions shape as Hdf5Writer — one tile
-    // buffer per task, no per-key Iterable materialization. ------
+    // ------ pixel frame: the affine inversion happens ONCE; overview
+    // levels re-aggregate it, so cache it when it is reused ------
     val bConf = spark.sparkContext.broadcast(new SerializableConfiguration(hconf))
     val stagingStr = staging.toString
-    val parts = math.min(nTiles, spark.sparkContext.defaultParallelism).max(1)
     import spark.implicits._
-    df.select(col(xCol).cast("double"), col(yCol).cast("double"),
+    val pixels = df.select(col(xCol).cast("double"), col(yCol).cast("double"),
         col(valCol).cast("int"))
       .as[(Double, Double, Int)]
       .mapPartitions { it =>
@@ -112,35 +132,61 @@ object TiffWriter {
           val pRow = math.rint((originY - y) / scaleY - 0.5).toInt
           require(pCol >= 0 && pCol < width && pRow >= 0 && pRow < height,
             s"pixel ($pCol,$pRow) outside ${width}x$height")
-          ((pRow / tileH) * tilesAcross + pCol / tileW,
-            pRow % tileH * tileW + pCol % tileW, v)
+          (pCol, pRow, v)
         }
       }
-      .toDF("t", "local", "v")
-      .repartition(parts, col("t"))
-      .sortWithinPartitions("t")
-      .foreachPartition { rows: Iterator[Row] =>
-        val conf = bConf.value.value
-        var cur = -1
-        var buf: Array[Int] = null
-        def flush(): Unit = if (cur >= 0) {
-          val bytes = encodeTile(buf, bits, deflateLevel)
-          val p = new Path(s"$stagingStr/tile-%05d".format(cur))
-          val out = p.getFileSystem(conf).create(p, true)
-          try out.write(bytes) finally out.close()
-        }
-        rows.foreach { r =>
-          val t = r.getInt(0)
-          if (t != cur) {
-            flush()
-            cur = t
-            buf = new Array[Int](tileW * tileH)
-            java.util.Arrays.fill(buf, nodata)
+      .toDF("pc", "pr", "v")
+    if (overviews.nonEmpty) pixels.cache()
+
+    // ------ stage tiles per level: ONE shuffle on the tile id. Same
+    // streaming repartition + sortWithinPartitions shape as Hdf5Writer —
+    // one tile buffer per task, no per-key Iterable materialization ------
+    def stage(lvl: Int, lv: Level, px: DataFrame): Unit = {
+      val parts = math.min(lv.nTiles, spark.sparkContext.defaultParallelism).max(1)
+      val (ta, tw, th) = (lv.tilesAcross, tileW, tileH)
+      px.select(
+          ((col("pr").cast("int") / th).cast("int") * ta +
+            (col("pc").cast("int") / tw).cast("int")).as("t"),
+          (pmod(col("pr"), lit(th)) * tw + pmod(col("pc"), lit(tw)))
+            .cast("int").as("local"),
+          col("v").cast("int"))
+        .repartition(parts, col("t"))
+        .sortWithinPartitions("t")
+        .foreachPartition { rows: Iterator[Row] =>
+          val conf = bConf.value.value
+          var cur = -1
+          var buf: Array[Int] = null
+          def flush(): Unit = if (cur >= 0) {
+            val bytes = encodeTile(buf, bits, deflateLevel)
+            val p = new Path(s"$stagingStr/L$lvl-tile-%05d".format(cur))
+            val out = p.getFileSystem(conf).create(p, true)
+            try out.write(bytes) finally out.close()
           }
-          buf(r.getInt(1)) = r.getInt(2)
+          rows.foreach { r =>
+            val t = r.getInt(0)
+            if (t != cur) {
+              flush()
+              cur = t
+              buf = new Array[Int](tw * th)
+              java.util.Arrays.fill(buf, nodata)
+            }
+            buf(r.getInt(1)) = r.getInt(2)
+          }
+          flush()
         }
-        flush()
-      }
+    }
+    stage(0, levels.head, pixels)
+    levels.zipWithIndex.drop(1).foreach { case (lv, lvl) =>
+      val f = lv.factor
+      // rounded mean of present source pixels, exact long arithmetic
+      val ov = pixels.groupBy(
+          (col("pc") / f).cast("int").as("pc"),
+          (col("pr") / f).cast("int").as("pr"))
+        .agg((((sum(col("v").cast("long")) * 2 + count(lit(1))) /
+          (count(lit(1)) * 2)).cast("int")).as("v"))
+      stage(lvl, lv, ov)
+    }
+    if (overviews.nonEmpty) pixels.unpersist(blocking = false)
 
     val emptyTile = {
       val buf = new Array[Int](tileW * tileH)
@@ -150,77 +196,101 @@ object TiffWriter {
     // ONE listing of the staging dir (not nTiles existence probes)
     val staged: Map[String, Long] = fs.listStatus(staging)
       .map(st => st.getPath.getName -> st.getLen).toMap
-    val tileSizes: Array[Long] = (0 until nTiles).map { t =>
-      staged.getOrElse("tile-%05d".format(t), emptyTile.length.toLong)
-    }.toArray
+    val tileSizes: Seq[Array[Long]] = levels.zipWithIndex.map { case (lv, lvl) =>
+      Array.tabulate(lv.nTiles) { t =>
+        staged.getOrElse(s"L$lvl-tile-%05d".format(t), emptyTile.length.toLong)
+      }
+    }
 
     // ------ layout. Classic TIFF (magic 42, u32 offsets) up to 4 GB;
     // BigTIFF (magic 43, u64 offsets, LONG8 arrays) beyond — selected
-    // automatically so a big enough grid never wraps its offsets. ------
-    val nEntries = 13
-    val dataBytes = tileSizes.sum
-    val classicFixed = 8L + (2 + nEntries * 12 + 4) + 8L * nTiles + 24 + 48
+    // automatically so a big enough grid never wraps its offsets.
+    // File order: header, [IFD + offset/count arrays (+ geo arrays,
+    // level 0 only)] per level, then all tile data level by level. ------
+    def nEntries(lvl: Int) = if (lvl == 0) 13 else 12 // ov: +254, -geo tags
+    val dataBytes = tileSizes.map(_.sum).sum
+    val classicFixed = 8L + levels.indices.map { lvl =>
+      (2 + nEntries(lvl) * 12 + 4).toLong + 8L * levels(lvl).nTiles +
+        (if (lvl == 0) 24 + 48 else 0)
+    }.sum
     val big = forceBigTiff || classicFixed + dataBytes > 0xFFFFFFFFL
     val offSz = if (big) 8 else 4 // size of an offset/count array slot
-    val ifdOff = if (big) 16L else 8L
-    val ifdSize =
-      if (big) 8 + nEntries * 20 + 8
-      else 2 + nEntries * 12 + 4
-    val offsetsOff = ifdOff + ifdSize
-    val countsOff = offsetsOff + offSz.toLong * nTiles
-    val scaleOff = countsOff + offSz.toLong * nTiles
-    val tiepointOff = scaleOff + 24L
-    val tile0Off = tiepointOff + 48L
-    val tileOffs = tileSizes.scanLeft(tile0Off)(_ + _)
+    def ifdSize(lvl: Int) =
+      if (big) 8 + nEntries(lvl) * 20 + 8
+      else 2 + nEntries(lvl) * 12 + 4
+    // per-level metadata block offsets, laid out sequentially
+    case class Meta(ifdOff: Long, offsetsOff: Long, countsOff: Long,
+        scaleOff: Long, tiepointOff: Long, end: Long)
+    val metas: Seq[Meta] = levels.indices.foldLeft(Seq.empty[Meta]) { (acc, lvl) =>
+      val base = acc.lastOption.map(_.end).getOrElse(if (big) 16L else 8L)
+      val offsetsOff = base + ifdSize(lvl)
+      val countsOff = offsetsOff + offSz.toLong * levels(lvl).nTiles
+      val geoOff = countsOff + offSz.toLong * levels(lvl).nTiles
+      val end = if (lvl == 0) geoOff + 24L + 48L else geoOff
+      acc :+ Meta(base, offsetsOff, countsOff, geoOff, geoOff + 24L, end)
+    }
+    val tile0Off = metas.last.end
+    // absolute tile offsets, all levels concatenated in file order
+    val levelTile0: Seq[Long] = tileSizes.scanLeft(tile0Off)(_ + _.sum)
+    val tileOffs: Seq[Array[Long]] = tileSizes.zipWithIndex.map { case (ts, lvl) =>
+      ts.scanLeft(levelTile0(lvl))(_ + _)
+    }
 
     val head = {
       val b = new Buf
       def off(v: Long): Unit = if (big) { b.u32(v & 0xFFFFFFFFL); b.u32(v >>> 32) } else b.u32(v)
-      if (big) {
-        b.bytes(Array('I', 'I').map(_.toByte)).u16(43).u16(8).u16(0)
-        off(ifdOff)
-        off(nEntries.toLong)
-      } else {
-        b.bytes(Array('I', 'I').map(_.toByte)).u16(42).u32(ifdOff)
-        b.u16(nEntries)
+      if (big) b.bytes(Array('I', 'I').map(_.toByte)).u16(43).u16(8).u16(0)
+      else b.bytes(Array('I', 'I').map(_.toByte)).u16(42)
+      off(metas.head.ifdOff)
+      for (lvl <- levels.indices) {
+        val lv = levels(lvl)
+        val m = metas(lvl)
+        val nT = lv.nTiles
+        if (big) off(nEntries(lvl).toLong) else b.u16(nEntries(lvl))
+        // entries MUST be ascending by tag (TIFF 6.0 §2)
+        def entry(tag: Int, typ: Int, cnt: Long, value: Long): Unit = {
+          b.u16(tag).u16(typ)
+          if (big) { off(cnt); off(value) } else { b.u32(cnt); b.u32(value) }
+        }
+        def shortEntry(tag: Int, v: Int): Unit = entry(tag, 3, 1, v.toLong)
+        val arrTyp = if (big) 16 else 4 // LONG8 vs LONG offset/count arrays
+        if (lvl > 0) entry(254, 4, 1, 1L) // NewSubfileType: reduced-resolution
+        entry(256, 4, 1, lv.w.toLong)
+        entry(257, 4, 1, lv.h.toLong)
+        shortEntry(258, bits)
+        shortEntry(259, 8) // deflate
+        shortEntry(262, 1) // BlackIsZero
+        shortEntry(277, 1) // one sample per pixel
+        shortEntry(322, tileW)
+        shortEntry(323, tileH)
+        if (nT == 1) { // count-1 values live inline
+          entry(324, arrTyp, 1, tileOffs(lvl)(0))
+          entry(325, arrTyp, 1, tileSizes(lvl)(0))
+        } else {
+          entry(324, arrTyp, nT.toLong, m.offsetsOff)
+          entry(325, arrTyp, nT.toLong, m.countsOff)
+        }
+        shortEntry(339, 1) // SampleFormat: unsigned
+        if (lvl == 0) {
+          entry(33550, 12, 3, m.scaleOff)
+          entry(33922, 12, 6, m.tiepointOff)
+        }
+        // next IFD in the overview chain, 0 at the end
+        off(if (lvl + 1 < levels.size) metas(lvl + 1).ifdOff else 0L)
+        // external value arrays (written even in the 1-tile inline case —
+        // the fixed layout keeps offsets simple; 16 dead bytes at most)
+        tileOffs(lvl).take(nT).foreach(off)
+        tileSizes(lvl).foreach(off)
+        if (lvl == 0) {
+          b.f64(scaleX).f64(scaleY).f64(0.0)
+          // tiepoint: raster (0,0) -> geo (originX, originY)
+          b.f64(0.0).f64(0.0).f64(0.0).f64(originX).f64(originY).f64(0.0)
+        }
       }
-      // entries MUST be ascending by tag (TIFF 6.0 §2)
-      def entry(tag: Int, typ: Int, cnt: Long, value: Long): Unit = {
-        b.u16(tag).u16(typ)
-        if (big) { off(cnt); off(value) } else { b.u32(cnt); b.u32(value) }
-      }
-      def shortEntry(tag: Int, v: Int): Unit = entry(tag, 3, 1, v.toLong)
-      val arrTyp = if (big) 16 else 4 // LONG8 vs LONG offset/count arrays
-      entry(256, 4, 1, width.toLong)
-      entry(257, 4, 1, height.toLong)
-      shortEntry(258, bits)
-      shortEntry(259, 8) // deflate
-      shortEntry(262, 1) // BlackIsZero
-      shortEntry(277, 1) // one sample per pixel
-      shortEntry(322, tileW)
-      shortEntry(323, tileH)
-      if (nTiles == 1) { // count-1 values live inline
-        entry(324, arrTyp, 1, tileOffs(0))
-        entry(325, arrTyp, 1, tileSizes(0))
-      } else {
-        entry(324, arrTyp, nTiles.toLong, offsetsOff)
-        entry(325, arrTyp, nTiles.toLong, countsOff)
-      }
-      shortEntry(339, 1) // SampleFormat: unsigned
-      entry(33550, 12, 3, scaleOff)
-      entry(33922, 12, 6, tiepointOff)
-      off(0L) // no next IFD
-      // external value arrays (written even in the 1-tile inline case —
-      // the fixed layout keeps offsets simple; 16 dead bytes at most)
-      tileOffs.take(nTiles).foreach(off)
-      tileSizes.foreach(off)
-      b.f64(scaleX).f64(scaleY).f64(0.0)
-      // tiepoint: raster (0,0) -> geo (originX, originY)
-      b.f64(0.0).f64(0.0).f64(0.0).f64(originX).f64(originY).f64(0.0)
       b.toArray
     }
     require(head.length == tile0Off, s"header ${head.length} != $tile0Off")
-    require(big || tileOffs.last <= 0xFFFFFFFFL,
+    require(big || tileOffs.last.last <= 0xFFFFFFFFL,
       s"$path: classic layout overflowed unexpectedly")
 
     // ------ driver pass: header, then stream staged tiles ------
@@ -228,8 +298,8 @@ object TiffWriter {
     try {
       out.write(head)
       val copyBuf = new Array[Byte](256 * 1024)
-      for (t <- 0 until nTiles) {
-        val p = new Path(s"$stagingStr/tile-%05d".format(t))
+      for (lvl <- levels.indices; t <- 0 until levels(lvl).nTiles) {
+        val p = new Path(s"$stagingStr/L$lvl-tile-%05d".format(t))
         if (staged.contains(p.getName)) {
           val in = fs.open(p)
           try {

@@ -57,10 +57,11 @@ class CogTable(props: Map[String, String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CogScanBuilder(path, props.get("nodata").map(_.toInt))
+    new CogScanBuilder(path, props.get("nodata").map(_.toInt),
+      props.get("level").map(_.toInt).getOrElse(0))
 }
 
-class CogScanBuilder(path: String, nodata: Option[Int])
+class CogScanBuilder(path: String, nodata: Option[Int], level: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -98,16 +99,25 @@ class CogScanBuilder(path: String, nodata: Option[Int])
 
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def build(): Scan = new CogScan(path, required, nodata, xLo, xHi, yLo, yHi)
+  override def build(): Scan =
+    new CogScan(path, required, nodata, level, xLo, xHi, yLo, yHi)
 }
 
 class CogScan(path: String, required: StructType, nodata: Option[Int],
-    xLo: Double, xHi: Double, yLo: Double, yHi: Double)
+    level: Int, xLo: Double, xHi: Double, yLo: Double, yHi: Double)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  @transient private lazy val info: TiffFile.TiffInfo = TiffFile.info(path)
+  /** `level` 0 = full resolution; 1.. = the COG's reduced-resolution
+    * overview IFDs (planning still touches only IFD bytes).
+    */
+  @transient private lazy val info: TiffFile.TiffInfo = {
+    val all = TiffFile.levels(path)
+    require(level >= 0 && level < all.size,
+      s"graft-cog: level $level out of range (file has ${all.size} level(s))")
+    all(level)
+  }
 
   /** Tile envelope vs the pushed bbox, with one whole pixel of slack on
     * each side (magnitude-safe, per the grid-source epsilon lesson).
