@@ -567,7 +567,7 @@ object FloodQueries {
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
     q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
-    q122NcClassic, q126GribSink)
+    q122NcClassic, q126GribSink, q129NcRecord)
 
   /** GRIB2 SINK round trip: a 3-member ensemble grid aggregated from
     * orders is written by the distributed Grib2Writer (template 4.1
@@ -625,4 +625,28 @@ object FloodQueries {
     Some("""
       SELECT latitude, longitude, v
       FROM '/root/repo/data/classic_expected.parquet'"""))
+
+  /** NetCDF classic RECORD variables (the unlimited-dimension layout
+    * archive-era CMIP/station time-series use): v(time, cell) with
+    * three interleaved record variables — one slab padded 2→4 bytes —
+    * plus a fixed coordinate, from the independent spec writer
+    * (tools/cdf3_record_fixture.py, numrecs=7). Rows are records, so
+    * each InputPartition reads its record range at stride recSize;
+    * planning stays header-only. The STREAMING (numrecs=0xFFFFFFFF)
+    * variant of the same file is spec-gated (Cdf3Spec).
+    */
+  lazy val q129NcRecord = Q(
+    "q129_nc_record",
+    (s, _) =>
+      s.read.format("graft-netcdf")
+        .option("path", "/root/repo/data/classic_rec.nc")
+        .option("var", "v")
+        .option("latvar", "time").option("lonvar", "cell")
+        .load()
+        .filter(!isnan(col("value")))
+        .select(col("latitude").as("t"), col("longitude").as("cell"),
+          col("value").as("v")),
+    Some("""
+      SELECT t, cell, v
+      FROM '/root/repo/data/classic_rec_expected.parquet'"""))
 }

@@ -14,10 +14,18 @@ import java.nio.file.{Paths, StandardOpenOption}
   * `begin + rowLo*rowBytes` — the same native parallel unit the HDF5
   * path uses.
   *
-  * Supported: fixed-size variables of the numeric types. Record
-  * variables (those using the unlimited dimension) interleave per
-  * record and are rejected loudly — the grid surface this engine reads
-  * never uses them.
+  * Supported: fixed-size variables of the numeric types, and RECORD
+  * variables (those whose first dimension is the unlimited one — the
+  * layout archive-era CMIP/station time-series files use). Record data
+  * interleaves per record after the fixed-size block: record r of
+  * variable v lives at `v.begin + r * recSize`, where recSize is the
+  * sum of every record variable's per-record slab (each padded to 4
+  * bytes unless there is exactly one record variable — the spec's
+  * special case). A row band of a record variable is therefore one
+  * positional read PER RECORD instead of one per band — still
+  * header-only planning and still a clean record-range InputPartition
+  * per task. numrecs = 0xFFFFFFFF (STREAMING) is derived from the file
+  * size instead.
   */
 final class Cdf3File(path: String) extends AutoCloseable {
 
@@ -37,7 +45,13 @@ final class Cdf3File(path: String) extends AutoCloseable {
 
   case class Var(name: String, dimIds: Seq[Int], ncType: Int, begin: Long) {
     def elemSize: Int = Cdf3File.typeSize(ncType)
-    def dims: Seq[Long] = dimIds.map(dimLengths(_).toLong)
+    def isRecord: Boolean = recordDim >= 0 && dimIds.contains(recordDim)
+    /** dims with the unlimited dimension resolved to the record count */
+    def dims: Seq[Long] =
+      dimIds.map(i => if (i == recordDim) numRecs else dimLengths(i).toLong)
+    /** bytes of ONE record of this variable, before inter-record padding */
+    def recBytes: Long =
+      dimIds.filter(_ != recordDim).map(dimLengths(_).toLong).product * elemSize
   }
 
   // ---- header parse (one buffered read of the header region) ----
@@ -51,7 +65,7 @@ final class Cdf3File(path: String) extends AutoCloseable {
   require(version == 1 || version == 2,
     s"$path: CDF version $version unsupported (need 1 or 2; 5 = CDF-5 " +
       "and HDF5-based NetCDF-4 take the other reader)")
-  locally { header.getInt } // numrecs (or STREAMING); record vars rejected anyway
+  private val numRecsRaw: Int = header.getInt // 0xFFFFFFFF = STREAMING
 
   private def name(): String = {
     val n = header.getInt
@@ -107,32 +121,65 @@ final class Cdf3File(path: String) extends AutoCloseable {
   def variable(nm: String): Var = vars.getOrElse(nm,
     sys.error(s"$path: no variable '$nm' (have ${vars.keys.mkString(", ")})"))
 
-  private def requireFixed(v: Var): Unit =
-    require(recordDim < 0 || !v.dimIds.contains(recordDim),
-      s"$path: ${v.name} is a RECORD variable (unlimited dim) — " +
-        "per-record interleaving unsupported")
-
-  /** Whole 1-D variable as doubles (coordinate axes). */
-  def readDoubles(nm: String): Array[Double] = {
-    val v = variable(nm)
-    requireFixed(v)
-    require(v.dims.length == 1, s"$nm: expected 1-D")
-    val n = v.dims.head.toInt
-    val b = readAt(v.begin, n * v.elemSize)
-    Array.tabulate(n)(i => Cdf3File.readAs(b, v.ncType, i))
+  // ---- record geometry (spec: record vars interleave; each record
+  // var's slab pads to 4 bytes UNLESS it is the only record var) ----
+  private val recordVars: Seq[Var] =
+    vars.values.filter(_.isRecord).toSeq.sortBy(_.begin)
+  recordVars.foreach { v =>
+    require(v.dimIds.head == recordDim,
+      s"$path: ${v.name}: the unlimited dimension must be FIRST " +
+        "(classic-format rule)")
   }
 
-  /** Contiguous row band [rowLo, rowHi) of a fixed 2-D variable —
-    * one positional read.
+  /** Stride between consecutive records of the same variable. */
+  val recSize: Long =
+    if (recordVars.size == 1) recordVars.head.recBytes
+    else recordVars.map(v => v.recBytes + Cdf3File.pad4((v.recBytes % 4).toInt)).sum
+
+  /** Record count: from the header, or derived from the file size when
+    * the header says STREAMING (0xFFFFFFFF).
+    */
+  val numRecs: Long =
+    if (recordVars.isEmpty) 0L
+    else if (numRecsRaw != -1) numRecsRaw.toLong & 0xFFFFFFFFL
+    else (ch.size() - recordVars.map(_.begin).min) / recSize
+
+  /** Whole 1-D variable as doubles (coordinate axes; fixed or record). */
+  def readDoubles(nm: String): Array[Double] = {
+    val v = variable(nm)
+    require(v.dimIds.length == 1, s"$nm: expected 1-D")
+    if (v.isRecord) {
+      // one tiny positional read per record (coordinate axes are small)
+      Array.tabulate(numRecs.toInt) { r =>
+        Cdf3File.readAs(readAt(v.begin + r * recSize, v.elemSize), v.ncType, 0)
+      }
+    } else {
+      val n = v.dims.head.toInt
+      val b = readAt(v.begin, n * v.elemSize)
+      Array.tabulate(n)(i => Cdf3File.readAs(b, v.ncType, i))
+    }
+  }
+
+  /** Row band [rowLo, rowHi) of a 2-D variable. Fixed layout: ONE
+    * contiguous positional read. Record layout (row = record): one
+    * positional read per record at stride `recSize`.
     */
   def readRowBand(nm: String, rowLo: Int, rowHi: Int): Array[Byte] = {
     val v = variable(nm)
-    requireFixed(v)
-    require(v.dims.length == 2, s"$nm: expected 2-D")
-    val rowBytes = v.dims(1) * v.elemSize
-    val out = readAt(v.begin + rowLo * rowBytes,
-      ((rowHi - rowLo) * rowBytes).toInt)
-    out.array()
+    require(v.dimIds.length == 2, s"$nm: expected 2-D")
+    val rowBytes = (v.dims(1) * v.elemSize).toInt
+    if (v.isRecord) {
+      val out = new Array[Byte]((rowHi - rowLo) * rowBytes)
+      var r = rowLo
+      while (r < rowHi) {
+        readAt(v.begin + r * recSize, rowBytes)
+          .get(out, (r - rowLo) * rowBytes, rowBytes)
+        r += 1
+      }
+      out
+    } else
+      readAt(v.begin + rowLo.toLong * rowBytes,
+        (rowHi - rowLo) * rowBytes).array()
   }
 }
 
