@@ -28,19 +28,39 @@ object ConnectedComponents {
     * Returns (node, comp) for every node appearing in an edge, where
     * comp = the minimum node id of the node's component. Nodes with no
     * edges are absent — callers coalesce(comp, id) for singletons.
+    *
+    * Durability: by default each round `localCheckpoint`s — blocks live
+    * on EXECUTORS, so on a real cluster one lost executor mid-iteration
+    * kills the job unrecoverably (lineage is truncated; nothing to
+    * rebuild from). Pass `checkpointDir` (an HDFS/object-store path at
+    * cluster scale) to use RELIABLE `checkpoint()` instead: every round
+    * persists to the checkpoint store and a lost executor just re-reads
+    * its partitions. Costs one distributed write per round (overhead
+    * measured by CcMacroBench's `reliable` arm — see CLAUDE.md); flip it
+    * on for long multi-round runs on preemptible/large clusters, leave
+    * it off for single-node or small-graph runs where re-running the
+    * whole job is cheaper than the per-round writes.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src").cast("long").as("src"),
+  def run(edges: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // reliable and local checkpoints both truncate lineage; only the
+    // reliable one survives executor loss. Mixing them would not help:
+    // a round downstream of a lost LOCAL checkpoint is unrecoverable,
+    // so in reliable mode EVERY round goes to the checkpoint store.
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val sym = save(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+    var labels = save(sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
 
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(27,0)"))).head().getDecimal(0)
@@ -57,12 +77,11 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jump: adopt the label of one's label — compresses chains
-      val jumped = stepped
+      val jumped = save(stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("jc")),
           Seq("comp"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp")))
       val cur = labelSum(jumped)
       converged = cur.compareTo(prev) == 0
       prev = cur

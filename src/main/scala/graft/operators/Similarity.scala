@@ -83,11 +83,28 @@ object Similarity {
 
   private[operators] def evictSession(
       session: org.apache.spark.sql.SparkSession): Unit = {
-    val it = indexCache.keySet().iterator()
+    val it = indexCache.entrySet().iterator()
     while (it.hasNext) {
-      if (it.next().session eq session) it.remove()
+      val e = it.next()
+      if (e.getKey.session eq session) {
+        // free cache storage too when the session is still alive (a
+        // stopped context dropped its executors' storage already)
+        if (!session.sparkContext.isStopped)
+          e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
     }
   }
+
+  /** Explicitly drop one persisted index: unpersists the cached
+    * centroid table and removes the entry, so a long-lived session that
+    * rebuilds indexes (daily re-index, A/B keys) does not accumulate
+    * cache storage. No-op if the key is absent.
+    */
+  def dropIndex(session: org.apache.spark.sql.SparkSession, key: String): Unit =
+    Option(indexCache.remove(new SessionKey(session, key))).foreach { df =>
+      if (!session.sparkContext.isStopped) df.unpersist(blocking = false)
+    }
 
   private[operators] def cachedIndexCount: Int = indexCache.size()
 

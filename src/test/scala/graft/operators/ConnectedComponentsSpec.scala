@@ -34,4 +34,22 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge set returns an empty labeling") {
     assert(cc() == Map.empty)
   }
+
+  test("reliable-checkpoint arm matches the default and writes to the dir") {
+    // the cluster-durability posture: with checkpointDir set, every
+    // round goes through reliable checkpoint() (survives executor
+    // loss) instead of executor-local blocks. Same labels, and the
+    // checkpoint store must actually contain RDD checkpoint data.
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-spec")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+    val got = ConnectedComponents
+      .run(edges.toDF("src", "dst"), checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == cc(edges: _*))
+    import scala.jdk.CollectionConverters._
+    val wrote = java.nio.file.Files.walk(dir).iterator().asScala
+      .exists(_.toString.contains("rdd-"))
+    assert(wrote, "no reliable checkpoint data written under checkpointDir")
+  }
 }

@@ -142,6 +142,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cachedIndexCount == before + 1)
   }
 
+  test("dropIndex unpersists the cached centroid storage on a live session") {
+    val before = Similarity.cachedIndexCount
+    val idx = Similarity.ivfIndex(clustered, "cluster", "vec",
+      key = "drop-spec", dim = 12)
+    assert(Similarity.cachedIndexCount == before + 1)
+    assert(idx.storageLevel.useMemory, "index not cached")
+    Similarity.dropIndex(spark, "drop-spec")
+    assert(Similarity.cachedIndexCount == before)
+    assert(!idx.storageLevel.useMemory,
+      "dropIndex left the centroid table persisted")
+    // absent key: no-op
+    Similarity.dropIndex(spark, "drop-spec")
+    // a rebuild after the drop is a fresh entry, not the old reference
+    val again = Similarity.ivfIndex(clustered, "cluster", "vec",
+      key = "drop-spec", dim = 12)
+    assert(!(again eq idx))
+    Similarity.dropIndex(spark, "drop-spec")
+  }
+
   test("ivfSearch with nprobe=all equals brute force everywhere") {
     val query = Seq.tabulate(12)(i => 1.0 + i * 0.1)
     val ivf = Similarity.ivfSearch(clustered, "cluster", "vec", "vec_id",
