@@ -15,7 +15,9 @@ import graft.sources.tiff.TiffWriter
   */
 object RasterSinkMacroBench {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(4000)
+    val withOverviews = args.contains("--overviews")
+    val n = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(4000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,9 +86,30 @@ object RasterSinkMacroBench {
         .filter(!isnan(col("value"))).count()
     }
 
+    // opt-in arm: the same COG with a 2x/4x/8x overview pyramid — one
+    // distributed block-mean groupBy per level on top of the base
+    // staging; read back the 8x level (the web-map/preview path)
+    val ovField = if (withOverviews) {
+      val ovPath = s"$tmp/sink_macro_ov.tif"
+      val (_, ovSec) = time {
+        TiffWriter.writeGrid(px, ovPath, "x", "y", "value",
+          500000.0, 7000000.0, 30.0, 30.0, n, n,
+          tileW = 256, tileH = 256, bits = 16, overviews = Seq(2, 4, 8))
+      }
+      val (ovRows, ovReadSec) = time {
+        spark.read.format("graft-cog")
+          .option("path", ovPath).option("nodata", "0").option("level", "3")
+          .load().count()
+      }
+      val lvl8 = (n + 7) / 8
+      require(ovRows <= lvl8.toLong * lvl8,
+        s"overview level 3 returned $ovRows rows for a ${lvl8}x$lvl8 image")
+      f""","cog_ov_write_sec":$ovSec%.1f,"cog_ov_read8x_sec":$ovReadSec%.1f,"cog_ov_rows":$ovRows"""
+    } else ""
+
     val expected = cells.count()
     println(
-      f"""{"metric":"raster_sink_macro","value":${ncSec + tifSec + zSec}%.1f,"unit":"sec","cells":$expected,"nc_write_sec":$ncSec%.1f,"nc_read_sec":$ncReadSec%.1f,"nc_rows":$ncRows,"cog_write_sec":$tifSec%.1f,"cog_read_sec":$tifReadSec%.1f,"cog_rows":$tifRows,"zarr3_write_sec":$zSec%.1f,"zarr3_read_sec":$zReadSec%.1f,"zarr3_rows":$zRows}""")
+      f"""{"metric":"raster_sink_macro","value":${ncSec + tifSec + zSec}%.1f,"unit":"sec","cells":$expected,"nc_write_sec":$ncSec%.1f,"nc_read_sec":$ncReadSec%.1f,"nc_rows":$ncRows,"cog_write_sec":$tifSec%.1f,"cog_read_sec":$tifReadSec%.1f,"cog_rows":$tifRows,"zarr3_write_sec":$zSec%.1f,"zarr3_read_sec":$zReadSec%.1f,"zarr3_rows":$zRows$ovField}""")
     spark.stop()
   }
 }

@@ -127,6 +127,40 @@ class TruncationFuzzSpec extends SparkSpec {
     }
   }
 
+  test("TIFF overview chain: truncated files fail loudly or walk prefix-consistently") {
+    // donor: a COG with a 2x/4x overview pyramid written here (data/ has
+    // no overview fixture); keys are (level, block offset) so a corrupt
+    // chain walk can neither invent levels nor cross-wire blocks
+    val donor = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val px = (for (r <- 0 until 40; c <- 0 until 50)
+        yield (500000.0 + (c + 0.5) * 30.0, 7000000.0 - (r + 0.5) * 30.0,
+          (c * 13 + r * 7) % 997 + 1)).toDF("x", "y", "value")
+      val out = Files.createTempDirectory("fuzz-ov").toString + "/ov.tif"
+      graft.sources.tiff.TiffWriter.writeGrid(px, out, "x", "y", "value",
+        500000.0, 7000000.0, 30.0, 30.0, 50, 40, tileW = 32, tileH = 32,
+        bits = 16, overviews = Seq(2, 4))
+      out
+    }
+    val fullLevels = graft.sources.tiff.TiffFile.levels(donor)
+    val full: Map[(Int, Long), Seq[Int]] = (for {
+      (inf, lvl) <- fullLevels.zipWithIndex
+      bk <- inf.blocks
+    } yield (lvl, bk.offset) ->
+      graft.sources.tiff.TiffFile.readBlock(donor, inf, bk).toSeq).toMap
+    for (b <- prefixes(donor, 10))
+      fuzzCase(s"tiff-ov len=${b.length}", b) { p =>
+        val lvs = graft.sources.tiff.TiffFile.levels(p)
+        assert(lvs.size <= fullLevels.size,
+          "chain walk invented overview levels")
+        for ((inf, lvl) <- lvs.zipWithIndex; bk <- inf.blocks) {
+          val got = graft.sources.tiff.TiffFile.readBlock(p, inf, bk).toSeq
+          assertKeyed(s"tiff-ov len=${b.length}", full, (lvl, bk.offset), got)
+        }
+      }
+  }
+
   test("WAV/AVI: truncated payloads fail loudly or decode prefix-consistently") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -208,6 +242,30 @@ class TruncationFuzzSpec extends SparkSpec {
         try {
           val got = f.readRowBand("v", 0, 32).toSeq
           assert(got == full, "row band decoded differently from a prefix")
+        } finally f.close()
+      }
+  }
+
+  test("NetCDF record vars: truncated files fail loudly or read prefix-consistently") {
+    // the STREAMING variant derives numRecs from the file size, so a
+    // truncated record block legitimately yields FEWER records — those
+    // that do parse must be byte-identical to the full file's
+    val fullRows: Map[Int, Seq[Byte]] = {
+      val f = new graft.sources.nc.Cdf3File("/root/repo/data/classic_rec.nc")
+      try (0 until 7).map(r => r -> f.readRowBand("v", r, r + 1).toSeq).toMap
+      finally f.close()
+    }
+    for (donor <- Seq("/root/repo/data/classic_rec.nc",
+        "/root/repo/data/classic_rec_stream.nc");
+        b <- prefixes(donor, 10))
+      fuzzCase(s"cdf-rec len=${b.length}", b) { p =>
+        val f = new graft.sources.nc.Cdf3File(p)
+        try {
+          val n = math.min(f.numRecs, 7L).toInt
+          for (r <- 0 until n)
+            assertKeyed(s"cdf-rec len=${b.length}", fullRows, r,
+              f.readRowBand("v", r, r + 1).toSeq)
+          assert(f.numRecs <= 7, "derived numRecs exceeds the real count")
         } finally f.close()
       }
   }
