@@ -567,7 +567,7 @@ object FloodQueries {
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
     q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
-    q122NcClassic, q126GribSink, q129NcRecord)
+    q122NcClassic, q126GribSink, q129NcRecord, q130RpZip)
 
   /** GRIB2 SINK round trip: a 3-member ensemble grid aggregated from
     * orders is written by the distributed Grib2Writer (template 4.1
@@ -649,4 +649,33 @@ object FloodQueries {
     Some("""
       SELECT t, cell, v
       FROM '/root/repo/data/classic_rec_expected.parquet'"""))
+
+  /** The q72 three-way RP combine WITHOUT ANY SHUFFLE: the aligned
+    * multi-scan reads the same row band from all three GloFAS files in
+    * one InputPartition (planning verified the grids are bit-identical),
+    * so the N-way same-grid join is free at the scan — scan → rows, zero
+    * exchanges (PlanSpec pins that). This is the source-side image of
+    * `xr.open_dataset` aligning variables on shared dims
+    * (rp_thresholds.py:108-131); at 100 TB it replaces q72's one wide
+    * union+pivot exchange with nothing. The oracle joins the three
+    * INDEPENDENT python-parsed parquets on exact coordinates.
+    */
+  lazy val q130RpZip = Q(
+    "q130_rp_zip",
+    (s, _) =>
+      s.read.format("graft-netcdf")
+        .option("paths", Seq(2, 5, 20)
+          .map(n => s"$NcDir/RP${n}ythresholds_GloFASv40.nc").mkString(","))
+        .option("vars", "2yRP_GloFASv4,5yRP_GloFASv4,20yRP_GloFASv4")
+        .option("cols", "threshold_2y,threshold_5y,threshold_20y")
+        .option("partitions", 16)
+        .load(),
+    Some(s"""
+      SELECT a.latitude, a.longitude,
+             a."2yRP_GloFASv4" AS threshold_2y,
+             b."5yRP_GloFASv4" AS threshold_5y,
+             c."20yRP_GloFASv4" AS threshold_20y
+      FROM '$PyParquetDir/rp_2y_thresh.parquet' a
+      JOIN '$PyParquetDir/rp_5y_thresh.parquet' b USING (latitude, longitude)
+      JOIN '$PyParquetDir/rp_20y_thresh.parquet' c USING (latitude, longitude)"""))
 }

@@ -90,4 +90,70 @@ class NetcdfSpec extends SparkSpec {
         assert(df.count() == 644000L, s"RP$rp")
       }
   }
+
+  // ------ aligned multi-scan (paths/vars/cols) ------
+
+  private def zip3 = spark.read.format("graft-netcdf")
+    .option("paths", Seq(2, 5, 20)
+      .map(n => s"$NcDir/RP${n}ythresholds_GloFASv40.nc").mkString(","))
+    .option("vars", "2yRP_GloFASv4,5yRP_GloFASv4,20yRP_GloFASv4")
+    .option("cols", "t2,t5,t20")
+    .load()
+
+  test("aligned multi-scan equals three single scans joined, no shuffle") {
+    assume(available)
+    val zipped = zip3
+    assert(zipped.columns.toSeq ==
+      Seq("latitude", "longitude", "t2", "t5", "t20"))
+    // ZERO exchanges: the N-way same-grid join happens at the scan
+    val shuffles = zipped.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "aligned scan must not shuffle")
+    assert(zipped.count() == 644000L)
+    // values equal the single-var scans, row for row (spot rows)
+    val got = zipped.filter(col("latitude") > 16.9 && col("longitude") < -17.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+        (r.getFloat(2), r.getFloat(3), r.getFloat(4))).toMap
+    val single = Seq("2yRP_GloFASv4", "5yRP_GloFASv4", "20yRP_GloFASv4")
+      .zip(Seq(2, 5, 20)).map { case (v, n) =>
+        nc(s"$NcDir/RP${n}ythresholds_GloFASv40.nc", v)
+          .filter(col("latitude") > 16.9 && col("longitude") < -17.0)
+          .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getFloat(2))
+          .toMap
+      }
+    assert(got.nonEmpty)
+    for ((k, (a, b, c)) <- got) {
+      def eqNaN(x: Float, y: Float) = x == y || (x.isNaN && y.isNaN)
+      assert(eqNaN(a, single(0)(k)) && eqNaN(b, single(1)(k)) &&
+        eqNaN(c, single(2)(k)), s"$k")
+    }
+  }
+
+  test("multi-var from ONE file shares the handle; pruning keeps one column") {
+    assume(available)
+    val df = spark.read.format("graft-netcdf")
+      .option("path", Nc2y)
+      .option("vars", "2yRP_GloFASv4,2yRP_GloFASv4")
+      .option("cols", "a,b")
+      .load()
+    val rows = df.filter(col("latitude") > 16.9).select("a", "b").collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getFloat(0) == r.getFloat(1) ||
+        (r.getFloat(0).isNaN && r.getFloat(1).isNaN)))
+    // pruning one value column drops the other from the scan schema
+    val plan = df.select("b").queryExecution.executedPlan.toString
+    assert(!plan.contains("a#"))
+  }
+
+  test("misaligned inputs fail loudly at planning, never silently zip") {
+    assume(available)
+    val bad = spark.read.format("graft-netcdf")
+      .option("paths", s"$Nc2y,/root/repo/data/classic2.nc")
+      .option("vars", "2yRP_GloFASv4,v")
+      .load()
+    val e = intercept[Exception](bad.count())
+    assert(e.getMessage.contains("dims") ||
+      e.getMessage.contains("coordinate vectors differ"), e.getMessage)
+  }
 }
