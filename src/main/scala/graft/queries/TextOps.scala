@@ -682,10 +682,153 @@ object TextOps {
       FROM w JOIN sh USING (w)
       GROUP BY 1"""))
 
+  /** TF-IDF keyword extraction: top-3 terms per document.
+    *
+    * Scoring uses the RATIONAL idf form `tf * N / df` (exact long product,
+    * one IEEE division) instead of `tf * ln(N/df)`: the ordering is
+    * identical (ln is monotone) and the score is bit-reproducible across
+    * engines — `ln` implementations are not guaranteed to round
+    * identically, exact integer products + one division are.
+    *
+    * Scale shape: explode → (doc_id, term) partial-agg shuffle; df is a
+    * second agg over the already-distinct tf pairs (no Expand rewrite);
+    * N is a broadcast scalar; the rank window partitions on doc_id (hash
+    * shuffle, millions of partitions' worth of keys — never global).
+    */
+  val q131Tfidf = Q(
+    "q131_tfidf",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) >= 3)
+      val terms = d.select(col("doc_id"), explode(toks).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> len(t) >= 3)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf * n AS DOUBLE) / df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, term, tf, df, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS BIGINT) AS rnk
+        FROM sc)
+      SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3"""))
+
+  /** RAG-style chunking: overlapping token windows (window 32, stride 24).
+    *
+    * nChunks = ((max(n-32,0)+23) div 24) + 1 in pure integer arithmetic,
+    * always >= 1, so `sequence` is TOTAL — per the q98 lesson, array-window
+    * expressions must not rely on an upstream filter for safety. `slice`
+    * clips at the end of the document, so the last chunk is short rather
+    * than padded. Emits md5 of each chunk (not the text) to keep the
+    * dump row-sized. Embarrassingly parallel scan — zero shuffles.
+    */
+  val q132ChunkOverlap = Q(
+    "q132_chunk_overlap",
+    (s, dir) => {
+      val win = 32
+      val stride = 24
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      // int-exact: the double quotient of exact small ints truncates to
+      // the floor (cast toward zero, operands non-negative)
+      val nChunks =
+        ((greatest(size(col("tk")) - win, lit(0)) + (stride - 1))
+          / stride).cast("int") + 1
+      val start = (col("chunk_id").cast("int") - 1) * stride + 1
+      val chunk = slice(col("tk"), start, lit(win))
+      t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), nChunks)).as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          size(chunk).cast("long").as("n_chunk_tokens"),
+          md5(array_join(chunk, " ")).as("chunk_md5"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(
+                 1, ((greatest(len(tk) - 32, 0) + 23) // 24) + 1)) AS chunk_id
+        FROM toks)
+      SELECT doc_id,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(tk[(chunk_id-1)*24+1 : (chunk_id-1)*24+32]) AS BIGINT)
+               AS n_chunk_tokens,
+             md5(array_to_string(tk[(chunk_id-1)*24+1 : (chunk_id-1)*24+32], ' '))
+               AS chunk_md5
+      FROM c"""))
+
+  /** Adjacent-token-pair counts — the inner step of BPE/WordPiece merge
+    * training — global top-20 pairs.
+    *
+    * Pairs come from zipping the token array with its own tail via two
+    * clipped `slice`s (TOTAL on 0/1-token docs — `element_at` would throw
+    * under ANSI). Count then TakeOrderedAndProject: the (cnt DESC, pair)
+    * order is TOTAL so the limit boundary is deterministic in both
+    * engines. Shuffle is on the pair key with map-side partial agg —
+    * vocabulary-pair cardinality, not corpus cardinality, at 100 TB.
+    */
+  val q133BpePairs = Q(
+    "q133_bpe_pairs",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val nPairs = greatest(size(col("tk")) - 1, lit(0))
+      val zipped = arrays_zip(
+        slice(col("tk"), lit(1), nPairs).as("a"),
+        slice(col("tk"), lit(2), nPairs).as("b"))
+      t(s, dir)("documents")
+        .select(toks.as("tk"))
+        .select(explode(zipped).as("z"))
+        .select(concat(col("z.a"), lit(" "), col("z.b")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents),
+      p AS (
+        SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+               AS pair
+        FROM toks)
+      SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM p GROUP BY 1
+      ORDER BY cnt DESC, pair LIMIT 20"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
-    q111SequencePack)
+    q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs)
 }

@@ -42,7 +42,8 @@ class ShortDocTotalitySpec extends SparkSpec {
     "q34_dedup_exact", "q35_fingerprint", "q36_ngram_jaccard",
     "q57_rolling_fingerprint", "q59_redact", "q84_decontaminate",
     "q85_hash_split", "q86_repetition", "q98_span_dedup",
-    "q107_stratified_sample", "q108_line_dedup")
+    "q107_stratified_sample", "q108_line_dedup",
+    "q131_tfidf", "q132_chunk_overlap", "q133_bpe_pairs")
 
   for (name <- docQueries)
     test(s"$name is total on 0-2 token documents") {
