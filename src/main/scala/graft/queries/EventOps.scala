@@ -519,8 +519,81 @@ object EventOps {
                    CAST(round(value * 100) AS BIGINT) AS cents
             FROM events)"""))
 
+  /** SLIDING-window aggregation: overlapping 1-hour windows every
+    * 15 minutes (peak-traffic shape). Spark assigns each event to
+    * window/slide = 4 epoch-aligned windows; the oracle reproduces the
+    * assignment with a floor-divide on epoch micros and a k ∈ 0..3
+    * fan-out. Surfaced as epoch micros (the tz-mismatch rule).
+    *
+    * Scale: the explode is a constant ×4 before the partial agg, so the
+    * shuffle carries (#windows × #types) aggregated rows, not ×4 events.
+    */
+  val q134SlidingWindow = Q(
+    "q134_sliding_window",
+    (s, dir) => {
+      t(s, dir)("events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Sql.exactSum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      w AS (
+        SELECT (us // 900000000) * 900000000 - k * 900000000 AS start_us,
+               event_type, value
+        FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      SELECT CAST(start_us AS BIGINT) AS start_us,
+             CAST(start_us + 3600000000 AS BIGINT) AS end_us,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2, 3"""))
+
+  /** The sliding-window aggregation THROUGH the streaming gate
+    * (EventStreams.slidingCounts + FileReplay): append-mode overlapping
+    * windows under a watermark must close to exactly the batch q134
+    * result — same oracle SQL.
+    */
+  val q135StreamSliding = Q(
+    "q135_stream_sliding",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_slide")
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_sliding_$h") { stream =>
+          EventStreams.slidingCounts(
+            stream.withColumn("value", col("value").cast("decimal(27,4)")))
+        }
+        .filter(col("event_type") =!= "flush")
+        .select(unix_micros(col("win_start")).as("start_us"),
+          unix_micros(col("win_end")).as("end_us"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+    },
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      w AS (
+        SELECT (us // 900000000) * 900000000 - k * 900000000 AS start_us,
+               event_type, value
+        FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      SELECT CAST(start_us AS BIGINT) AS start_us,
+             CAST(start_us + 3600000000 AS BIGINT) AS end_us,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2, 3"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
-    q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal)
+    q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
+    q134SlidingWindow, q135StreamSliding)
 }

@@ -59,6 +59,25 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SLIDING-window counts per event type (streaming image of
+    * q134_sliding_window): overlapping 1-hour windows every 15 minutes,
+    * so each event lands in window/slide = 4 epoch-aligned windows.
+    * Append mode + the 1-hour watermark bound state at
+    * (windows-per-slide × open-slides × types) — constant in stream
+    * length; final windows flush on the far-future sentinel batch.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      winDur: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), winDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessionization (streaming image of q51_sessionize) via
     * per-user state: a new session opens after a >30 min gap. Emits the
     * running per-user session/event counts on every update.
