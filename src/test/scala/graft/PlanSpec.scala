@@ -218,4 +218,37 @@ class PlanSpec extends SparkSpec {
     // map-side partial aggregation on the min(doc,idx)-per-hash winners
     assert(p.contains("partial_min") || p.contains("partial min"), p)
   }
+
+  test("q131: tf-idf never triggers the distinct Expand rewrite, no cartesian") {
+    val p = plan("q131_tfidf")
+    // df comes from a second agg over the already-distinct (doc, term)
+    // pairs — a countDistinct in the same agg would plan an Expand that
+    // doubles every exploded term row (the round-3 q47 trap)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-doc rank window must hash-partition, never range (global sort)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q132: chunking is a pure scan — zero exchanges") {
+    val p = plan("q132_chunk_overlap")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the chunk-id explode
+  }
+
+  test("q134: sliding windows partial-aggregate below the single exchange") {
+    val p = plan("q134_sliding_window")
+    // Spark plans the x4 window assignment as an Expand; the partial agg
+    // must sit between it and the one hash exchange so the shuffle carries
+    // (window, type) aggregates, not x4 event rows
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
+  test("q133: pair counts are partial-aggregated and top-k via TakeOrdered") {
+    val p = plan("q133_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
