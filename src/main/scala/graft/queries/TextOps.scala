@@ -825,10 +825,46 @@ object TextOps {
       FROM p GROUP BY 1
       ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** Heavy hitters (tokens in > 1% of the corpus token stream) via the
+    * two-pass Misra–Gries shape: pass 1 collects <= 128 bounded-state
+    * candidates (functions/FrequentItems — guaranteed a superset of
+    * anything above N/129 > the 1% cut), pass 2 exact-counts ONLY rows
+    * surviving a broadcast join against the candidates. The final filter
+    * is on exact counts, so the result is deterministic and equals the
+    * oracle's plain GROUP BY ... HAVING — but no full-vocabulary shuffle
+    * ever happens, which is the difference at 100 TB between shuffling
+    * <= 128 counters per task and shuffling every distinct token.
+    */
+  val q136HeavyHitters = Q(
+    "q136_heavy_hitters",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val tok = t(s, dir)("documents").select(explode(toks).as("tok"))
+      val cand = tok
+        .agg(graft.functions.FrequentItems(128)(col("tok")).as("cand"))
+        .select(explode(col("cand")).as("tok"))
+      val n = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 100 > col("n"))
+        .select(col("tok"), col("cnt"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                      t -> len(t) > 0)) AS tok
+        FROM documents)
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1
+      HAVING count(*) * 100 > (SELECT count(*) FROM tok)"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
-    q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs)
+    q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
+    q136HeavyHitters)
 }
