@@ -76,18 +76,25 @@ object TextOps {
   /** Quality scoring: length + lexical-diversity + stopword-ratio mix,
     * then a quality CASE ladder (keep / review / drop).
     */
+  /** The q32 quality mix (length + lexical diversity + stopword ratio),
+    * shared by q137's budgeted selection.
+    */
+  private def qualityScore: Column = {
+    val toks = split(col("text"), " ", -1)
+    val nTokens = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTokens
+    val stops = (occurrences(col("text"), " the ") +
+      occurrences(col("text"), " a ") + occurrences(col("text"), " of ")).cast("double")
+    val stopRatio = round(stops / nTokens, 6)
+    val lenScore = least(nTokens / lit(100.0), lit(1.0))
+    round(lenScore * 0.4 + diversity * 0.4 + least(stopRatio * 5, lit(1.0)) * 0.2, 6)
+  }
+
   val q32QualityScore = Q(
     "q32_quality_score",
     (s, dir) => {
       val d = t(s, dir)("documents")
-      val toks = split(col("text"), " ", -1)
-      val nTokens = size(toks).cast("double")
-      val diversity = size(array_distinct(toks)).cast("double") / nTokens
-      val stops = (occurrences(col("text"), " the ") +
-        occurrences(col("text"), " a ") + occurrences(col("text"), " of ")).cast("double")
-      val stopRatio = round(stops / nTokens, 6)
-      val lenScore = least(nTokens / lit(100.0), lit(1.0))
-      val score = round(lenScore * 0.4 + diversity * 0.4 + least(stopRatio * 5, lit(1.0)) * 0.2, 6)
+      val score = qualityScore
       d.select(col("doc_id"), score.as("quality"),
         when(score >= 0.5, "keep").when(score >= 0.3, "review").otherwise("drop")
           .as("verdict"))
@@ -860,11 +867,61 @@ object TextOps {
       FROM tok GROUP BY 1
       HAVING count(*) * 100 > (SELECT count(*) FROM tok)"""))
 
+  /** Token-budget corpus selection — the "assemble a training mix" op:
+    * rank documents by quality (q32's score, doc_id tiebreak) and keep
+    * the best until the running token total reaches 10% of the corpus.
+    *
+    * The running total goes through PrefixSum (range partition + P
+    * collected partials + one streaming pass), NOT a single-reducer
+    * global window — same scale posture q125 pins. The budget compare
+    * is exact integer arithmetic (cum*10 <= total), and the fraction
+    * makes the cut bite identically at every SF.
+    */
+  val q137TokenBudget = Q(
+    "q137_token_budget",
+    (s, dir) => {
+      val scored = t(s, dir)("documents").select(
+        col("doc_id"),
+        qualityScore.as("quality"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      val withCum = graft.operators.PrefixSum.runningSum(
+        scored, Seq(col("quality").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_tokens")
+      val total = scored.agg(sum("n_tokens").as("total_tokens"))
+      withCum.crossJoin(broadcast(total))
+        .filter(col("cum_tokens") * 10 <= col("total_tokens"))
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens_d,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+               CAST(${occSql("text", " the ")} + ${occSql("text", " a ")}
+                    + ${occSql("text", " of ")} AS DOUBLE) AS stops,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               round(least(n_tokens_d / 100.0, 1.0) * 0.4
+                     + (n_distinct / n_tokens_d) * 0.4
+                     + least(round(stops / n_tokens_d, 6) * 5, 1.0) * 0.2, 6)
+                 AS quality,
+               n_tokens
+        FROM f),
+      c AS (
+        SELECT doc_id, quality, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sc)
+      SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens * 10 <= (SELECT sum(n_tokens) FROM sc)"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
-    q136HeavyHitters)
+    q136HeavyHitters, q137TokenBudget)
 }
