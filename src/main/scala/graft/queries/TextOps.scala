@@ -917,11 +917,64 @@ object TextOps {
       SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens * 10 <= (SELECT sum(n_tokens) FROM sc)"""))
 
+  /** Bigram familiarity — a CCNet-style LM-perplexity proxy without the
+    * LM: score each document by the mean corpus frequency of its
+    * adjacent token pairs (docs full of rare bigrams rank low / noisy).
+    * All-integer sums + one IEEE division keep it bit-reproducible —
+    * the log-domain perplexity form would reintroduce cross-engine
+    * libm drift for an identical ranking.
+    *
+    * Scale shape: the pair relation is q133's shuffle; global pair
+    * counts partial-aggregate on the compact pair key, and the join
+    * back is pair-key hash — never doc x doc, never a vocabulary
+    * broadcast.
+    */
+  val q138BigramFamiliarity = Q(
+    "q138_bigram_familiarity",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val nPairs = greatest(size(col("tk")) - 1, lit(0))
+      val zipped = arrays_zip(
+        slice(col("tk"), lit(1), nPairs).as("a"),
+        slice(col("tk"), lit(2), nPairs).as("b"))
+      val pairs = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(zipped).as("z"))
+        .select(col("doc_id"),
+          concat(col("z.a"), lit(" "), col("z.b")).as("pair"))
+      val global = pairs.groupBy("pair").agg(count(lit(1)).as("gcnt"))
+      pairs.join(global, "pair")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("gcnt").as("sum_gcnt"))
+        .withColumn("familiarity",
+          col("sum_gcnt").cast("double") / col("n_bigrams"))
+        .select("doc_id", "n_bigrams", "sum_gcnt", "familiarity")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+                 AS pair
+        FROM toks),
+      g AS (SELECT pair, CAST(count(*) AS BIGINT) AS gcnt FROM p GROUP BY 1)
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(gcnt) AS BIGINT) AS sum_gcnt,
+             CAST(CAST(sum(gcnt) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
+      FROM p JOIN g USING (pair)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
-    q136HeavyHitters, q137TokenBudget)
+    q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity)
 }

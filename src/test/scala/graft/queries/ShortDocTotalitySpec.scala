@@ -43,7 +43,8 @@ class ShortDocTotalitySpec extends SparkSpec {
     "q57_rolling_fingerprint", "q59_redact", "q84_decontaminate",
     "q85_hash_split", "q86_repetition", "q98_span_dedup",
     "q107_stratified_sample", "q108_line_dedup",
-    "q131_tfidf", "q132_chunk_overlap", "q133_bpe_pairs")
+    "q131_tfidf", "q132_chunk_overlap", "q133_bpe_pairs",
+    "q136_heavy_hitters", "q137_token_budget", "q138_bigram_familiarity")
 
   for (name <- docQueries)
     test(s"$name is total on 0-2 token documents") {
