@@ -591,9 +591,55 @@ object EventOps {
              CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
       FROM w GROUP BY 1, 2, 3"""))
 
+  /** LEFT-OUTER stream-stream interval join through the gate: q88's
+    * attribution plus a null-extended row for every purchase with no
+    * click in its 60-minute window. The outer-specific state machine —
+    * unmatched rows may only emit once the click watermark passes their
+    * window, and the sentinel batch flushes the last of them — must
+    * close to exactly the batch LEFT JOIN. Null click time surfaces as
+    * -1 in both engines (a nullable int column would round-trip through
+    * pandas as float and break the dtype-exact compare).
+    */
+  val q139StreamOuterJoin = Q(
+    "q139_stream_outer_join",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_oattr")
+      // two sentinel batches: the first advances the watermark, the
+      // second's state cleanup emits the null-extended tail (outer-join
+      // null rows come from a LATER batch than the watermark advance,
+      // unlike aggregation flush)
+      FileReplay.stageEventReplay(sel, srcDir)
+      FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_oattr_$h") { stream =>
+          EventStreams.clickAttributionOuter(stream, maxLagMinutes = 60)
+        }
+        // sentinel rows filter HERE, in the closed batch result — see
+        // clickAttributionOuter's scaladoc for why not inside the stream
+        .filter(col("event_id") >= 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("value"),
+          coalesce(unix_micros(col("click_ts")), lit(-1L)).as("click_us"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us, p.value,
+             coalesce(epoch_us(c.ts), -1) AS click_us
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
-    q134SlidingWindow, q135StreamSliding)
+    q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin)
 }

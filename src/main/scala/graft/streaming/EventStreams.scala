@@ -212,6 +212,58 @@ object EventStreams {
         col("value"), col("click_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: q88's attribution, plus a
+    * null-extended row for every purchase with NO click in the window —
+    * the distinct stateful behavior the outer join adds is that an
+    * unmatched left row can only emit once the click-side WATERMARK has
+    * passed its join window (until then a match could still arrive).
+    * The far-future sentinel batch in the FileReplay gate is what
+    * flushes the final unmatched rows, so the closed result equals the
+    * batch LEFT JOIN exactly (q139). Null click_ts surfaces as -1
+    * downstream — both engines, keeping the column BIGINT-non-null (a
+    * nullable int column round-trips through pandas as float and breaks
+    * the dtype-exact compare).
+    *
+    * CRITICAL: the 'flush' sentinels must pass BOTH side filters. The
+    * inner join (q88) emits on match and never needs the final flush, so
+    * filtering them out is harmless there — but the outer join's
+    * null-emission is driven by the watermark, and the event-time stats
+    * are collected at the EventTimeWatermarkExec from the rows that
+    * actually reach it. Catalyst pushes a deterministic event_type
+    * filter BELOW the watermark operator, so writing withWatermark
+    * before the filter does not help: either way the sentinels are
+    * dropped before the stats collector, the watermark never passes the
+    * last real rows, and the tail of unmatched purchases never emits no
+    * matter how many sentinel batches run. Letting event_type='flush'
+    * through makes the sentinels genuine data in both streams; each
+    * sentinel pair self-joins at lag 0 under its unique negative
+    * user_id; the CALLER must drop event_id < 0 rows AFTER the stream
+    * closes (in the batch result) — a filter inside this plan would be
+    * pushed below the purchase-side EventTimeWatermark and kill the
+    * sentinels there again (global watermark = min over BOTH watermark
+    * operators).
+    */
+  def clickAttributionOuter(
+      events: DataFrame, maxLagMinutes: Int = 60): DataFrame = {
+    val clicks = events
+      .filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$maxLagMinutes minutes")
+    val purchases = events
+      .filter(col("event_type").isin("purchase", "flush"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", s"$maxLagMinutes minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $maxLagMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "leftOuter")
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_ts"))
+  }
+
   /** Streaming as-of enrichment (image of q54_asof_join): for each
     * purchase, the most recent prior click per user, via mapGroupsWithState
     * keeping only the last click timestamp per user.

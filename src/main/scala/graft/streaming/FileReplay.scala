@@ -23,7 +23,7 @@ object FileReplay {
     * first order). Idempotent: clears `srcDir` first.
     */
   def stageEventReplay(sel: DataFrame, srcDir: java.io.File,
-      nBuckets: Int = 5): Unit = {
+      nBuckets: Int = 5, nSentinels: Int = 2): Unit = {
     val s = sel.sparkSession
     if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
@@ -50,7 +50,7 @@ object FileReplay {
         unix_micros(col("ts")) < bHi), k)
     }
     import s.implicits._
-    for (k <- nBuckets to nBuckets + 1) {
+    for (k <- nBuckets until nBuckets + nSentinels) {
       stageFile(Seq((-k.toLong, new java.sql.Timestamp(
           (hi / 1000) + k.toLong * 10 * 86400 * 1000),
         -k.toLong, "flush", 0.0))

@@ -188,6 +188,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionOuter null-extends unmatched purchases after the " +
+      "watermark passes, and flush sentinels drive the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(30), 7, "purchase", 9.0),  // matched
+      Event(3, ts(0), 8, "purchase", 5.0))   // unmatched → null row
+    val q = clickAttributionOuter(input.toDF(), maxLagMinutes = 60)
+      .writeStream.format("memory").queryName("oattrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must NOT have
+      // emitted yet (watermark still behind its window)
+      val early = spark.table("oattrib")
+        .select("event_id").as[Long].collect().toSet
+      assert(early == Set(2L))
+      // sentinel batch 1 advances the watermark (flush passes the side
+      // filters by design); batch 2's state cleanup emits the null row
+      input.addData(Event(-5, ts(10 * 86400), -5, "flush", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-6, ts(20 * 86400), -6, "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("oattrib")
+        .filter("event_id >= 0")
+        .select("event_id", "click_ts").as[(Long, Option[java.sql.Timestamp])]
+        .collect().toMap
+      assert(rows.keySet == Set(2L, 3L))
+      assert(rows(2L).contains(ts(0)))
+      assert(rows(3L).isEmpty)
+    } finally q.stop()
+  }
+
   test("asofPurchases attaches the most recent prior click") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
