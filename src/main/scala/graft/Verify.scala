@@ -61,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registered-query manifest: check.py FAILs any registered name
+    // with no oracle AND any oracle-listed name with no dump, so a query
+    // can never silently drop out of the gate (round-9 lesson: 18 events
+    // queries erred and the artifact showed 112/112 "all green").
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // full run completed: every query's dump is fresh, clear the marker
     if (only.isEmpty) Files.deleteIfExists(markerPath)
     spark.stop()

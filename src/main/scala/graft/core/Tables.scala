@@ -16,14 +16,27 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no nanos
-      // timestamp — read as long nanos, truncate to micros (exactly what
-      // DuckDB/pyarrow do when down-casting) and restore TimestampType.
+      // Historically events.parquet stored INT64 TIMESTAMP(NANOS); newer
+      // drops regenerate it as TIMESTAMP_MICROS. Spark has no nanos
+      // timestamp, so enable nanosAsLong (a no-op for micros files) and
+      // branch on the dtype the scan actually produced: long nanos are
+      // truncated to micros (exactly what DuckDB/pyarrow do when
+      // down-casting), native timestamps pass through unchanged.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Naive micros: interpret as UTC instants (sessions run with
+          // spark.sql.session.timeZone=UTC, so this cast is epoch-exact
+          // and matches DuckDB's naive read of the same file).
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

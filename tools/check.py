@@ -123,6 +123,14 @@ def prune_cache(max_age_days=14):
 prune_cache()
 oracle = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
 results = {}
+# Coverage guard (round-9 lesson): every REGISTERED query must appear in
+# the result table — a registered name missing from oracle_sql.json is an
+# explicit FAIL, never a silent omission.
+names_f = Path(f"{outdir}/query_names.json")
+if names_f.exists():
+    for n in json.loads(names_f.read_text()):
+        if n not in oracle:
+            results[n] = "NO_ORACLE: registered query absent from oracle_sql.json"
 cache_stats = {}
 for name, sql in sorted(oracle.items()):
     rdir = Path(outdir) / name
