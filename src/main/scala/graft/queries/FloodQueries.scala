@@ -567,7 +567,228 @@ object FloodQueries {
   val qs: Seq[Q] = Seq(q60FloodDetailed, q61FloodSummary, q62UpstreamFilter,
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
     q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
-    q122NcClassic, q126GribSink, q129NcRecord, q130RpZip)
+    q122NcClassic, q126GribSink, q129NcRecord, q130RpZip,
+    q140E2eDetailed, q141E2eSummary)
+
+  // -------------------------------------------------------------------
+  // END-TO-END flood integration (the reference's entire `forecast`
+  // asset chain, discharge.py:223-409, from BYTES to final tables):
+  // GRIB2 ensemble messages (multi-step, multi-member — the cf/pf split
+  // of io_managers.py:193-210) ⋈ the three REAL GloFAS RP NetCDF
+  // threshold files (rp_thresholds.py:108-131, read with the
+  // zero-shuffle aligned multi-scan) → exceedance flags → grouped exact
+  // quantiles → control join-back → peak/tendency/intensity → detailed
+  // + summary with WKT — ONE composed Catalyst DAG whose only
+  // materialization is the audited `detailed` cache
+  // (FloodPipelineSpec pins that).
+  //
+  // The fixture ensemble grid is a 40×40 window OF the real GloFAS
+  // 0.05° lattice (lat 14.025..15.975, lon 12.025..13.975 — fully
+  // covered by all three RP files), written by the INDEPENDENT python
+  // GRIB2 writer tools/flood_e2e_fixture.py; the oracle recomputes the
+  // whole chain in SQL from the formula-derived expected parquet + the
+  // independently python-parsed RP parquets.
+  // -------------------------------------------------------------------
+
+  private lazy val E2eDir = "/root/repo/data"
+
+  /** The ensemble forecast, from bytes: cf + pf GRIB2 files through the
+    * graft-grib source (message-level planning, `withStep` lead time),
+    * control renumbered to 0, lead-time hours → step/valid_for.
+    */
+  private def e2eForecast(s: SparkSession): DataFrame = {
+    def read(p: String, dt: String): DataFrame =
+      s.read.format("graft-grib").option("path", p)
+        .option("withStep", "true").load()
+        .filter(col("data_type") === dt).drop("data_type")
+    graft.sources.RasterContract.concatEnsemble(
+      read(s"$E2eDir/e2e_cf.grib2", "cf"),
+      read(s"$E2eDir/e2e_pf.grib2", "pf"))
+      .select(col("number"), col("latitude"), col("longitude"),
+        lit("2026-01-01").cast("date").as("issued_on"),
+        expr("CAST(step_hours div 24 AS INT)").as("step"),
+        expr("date_add(DATE'2026-01-01', CAST(step_hours div 24 AS INT))")
+          .as("valid_for"),
+        col("value").as("dis24"))
+  }
+
+  /** The real thresholds: three RP NetCDFs through the aligned
+    * zero-shuffle multi-scan (q130's path), area-restricted to the
+    * fixture window (P3), coords widened to double for the rounded join.
+    */
+  private def e2eThresholds(s: SparkSession): DataFrame =
+    FloodOps.restrictArea(
+      s.read.format("graft-netcdf")
+        .option("paths", Seq(2, 5, 20)
+          .map(n => s"$NcDir/RP${n}ythresholds_GloFASv40.nc").mkString(","))
+        .option("vars", "2yRP_GloFASv4,5yRP_GloFASv4,20yRP_GloFASv4")
+        .option("cols", "threshold_2y,threshold_5y,threshold_20y")
+        .option("partitions", 16)
+        .load(),
+      14.025, 15.975, 12.025, 13.975)
+
+  /** Shared oracle CTE chain: the q60/q61 SQL replayed over the
+    * independent e2e parquets (LEFT join semantics, exact quantiles,
+    * window control, per-cell summary aggregates).
+    */
+  private lazy val e2eCte = s"""
+    forecast AS (
+      SELECT number,
+             round(latitude, 3) AS latitude,
+             round(longitude, 3) AS longitude,
+             DATE '2026-01-01' AS issued_on,
+             CAST(step_hours // 24 AS INTEGER) AS step,
+             DATE '2026-01-01' + CAST(step_hours // 24 AS INTEGER) AS valid_for,
+             value AS dis24
+      FROM '$E2eDir/e2e_expected.parquet'),
+    thresholds AS (
+      SELECT round(CAST(a.latitude AS DOUBLE), 3) AS latitude,
+             round(CAST(a.longitude AS DOUBLE), 3) AS longitude,
+             a."2yRP_GloFASv4" AS threshold_2y,
+             b."5yRP_GloFASv4" AS threshold_5y,
+             c."20yRP_GloFASv4" AS threshold_20y
+      FROM '$E2eDir/rp_2y_thresh.parquet' a
+      JOIN '$E2eDir/rp_5y_thresh.parquet' b USING (latitude, longitude)
+      JOIN '$E2eDir/rp_20y_thresh.parquet' c USING (latitude, longitude)
+      WHERE a.latitude >= 14.0125 AND a.latitude <= 15.9875
+        AND a.longitude >= 12.0125 AND a.longitude <= 13.9875),
+    joined AS (
+      SELECT f.*, t.threshold_2y, t.threshold_5y, t.threshold_20y
+      FROM forecast f LEFT JOIN thresholds t USING (latitude, longitude)),
+    detailed AS (
+      SELECT latitude, longitude, issued_on, valid_for, step,
+             min(dis24) AS min_dis,
+             quantile_cont(dis24, 0.25) AS q1_dis,
+             quantile_cont(dis24, 0.5) AS median_dis,
+             quantile_cont(dis24, 0.75) AS q3_dis,
+             max(dis24) AS max_dis,
+             CAST(sum(CASE WHEN dis24 >= threshold_2y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_2y,
+             CAST(sum(CASE WHEN dis24 >= threshold_5y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_5y,
+             CAST(sum(CASE WHEN dis24 >= threshold_20y THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p_above_20y
+      FROM joined GROUP BY 1, 2, 3, 4, 5),
+    ctl AS (
+      SELECT *, max(CASE WHEN step = 1 THEN median_dis END)
+               OVER (PARTITION BY latitude, longitude) AS control_dis
+      FROM detailed),
+    inten AS (
+      SELECT latitude, longitude,
+             max(p_above_20y) AS max_p_above_20y,
+             max(p_above_5y) AS max_p_above_5y,
+             max(p_above_2y) AS max_p_above_2y
+      FROM detailed GROUP BY 1, 2),
+    alive AS (
+      SELECT latitude, longitude FROM inten
+      WHERE max_p_above_20y >= 0.30 OR max_p_above_5y >= 0.30
+         OR max_p_above_2y >= 0.30)"""
+
+  private def e2eWkt(latExpr: String, lonExpr: String): String =
+    s"""'POLYGON ((' || ${wktSql(s"$lonExpr - 0.025")} || ' ' || ${wktSql(s"$latExpr - 0.025")}
+       || ',' || ${wktSql(s"$lonExpr - 0.025")} || ' ' || ${wktSql(s"$latExpr + 0.025")}
+       || ',' || ${wktSql(s"$lonExpr + 0.025")} || ' ' || ${wktSql(s"$latExpr + 0.025")}
+       || ',' || ${wktSql(s"$lonExpr + 0.025")} || ' ' || ${wktSql(s"$latExpr - 0.025")}
+       || ',' || ${wktSql(s"$lonExpr - 0.025")} || ' ' || ${wktSql(s"$latExpr - 0.025")}
+       || '))'"""
+
+  lazy val q140E2eDetailed = Q(
+    "q140_e2e_detailed",
+    (s, _) => {
+      val (detailed, _) = FloodPipeline.run(e2eForecast(s), e2eThresholds(s))
+      detailed.select(
+        col("latitude"), col("longitude"), col("issued_on"),
+        col("valid_for"), col("step"), col("min_dis"),
+        round(col("q1_dis"), 6).as("q1_dis"),
+        round(col("median_dis"), 6).as("median_dis"),
+        round(col("q3_dis"), 6).as("q3_dis"),
+        col("max_dis"),
+        round(col("p_above_2y"), 6).as("p_above_2y"),
+        round(col("p_above_5y"), 6).as("p_above_5y"),
+        round(col("p_above_20y"), 6).as("p_above_20y"),
+        round(col("control_dis"), 6).as("control_dis"),
+        col("wkt"))
+    },
+    Some(s"""
+      WITH $e2eCte
+      SELECT d.latitude, d.longitude, issued_on, valid_for, step, min_dis,
+             round(q1_dis, 6) AS q1_dis,
+             round(median_dis, 6) AS median_dis,
+             round(q3_dis, 6) AS q3_dis,
+             max_dis,
+             round(p_above_2y, 6) AS p_above_2y,
+             round(p_above_5y, 6) AS p_above_5y,
+             round(p_above_20y, 6) AS p_above_20y,
+             round(control_dis, 6) AS control_dis,
+             ${e2eWkt("d.latitude", "d.longitude")} AS wkt
+      FROM ctl d JOIN alive USING (latitude, longitude)"""))
+
+  lazy val q141E2eSummary = Q(
+    "q141_e2e_summary",
+    (s, _) => {
+      val (_, summary) = FloodPipeline.run(e2eForecast(s), e2eThresholds(s))
+      summary.select(
+        col("latitude"), col("longitude"), col("issued_on"),
+        col("peak_step"), col("peak_day"), col("peak_timing"),
+        round(col("max_median_dis"), 6).as("max_median_dis"),
+        round(col("min_median_dis"), 6).as("min_median_dis"),
+        round(col("control_dis"), 6).as("control_dis"),
+        col("max_max_dis"), col("min_min_dis"), col("tendency"),
+        round(col("max_p_above_20y"), 6).as("max_p_above_20y"),
+        round(col("max_p_above_5y"), 6).as("max_p_above_5y"),
+        round(col("max_p_above_2y"), 6).as("max_p_above_2y"),
+        col("intensity"), col("wkt"))
+    },
+    Some(s"""
+      WITH $e2eCte,
+      cond AS (
+        SELECT *,
+               CASE WHEN p_above_20y >= 0.3 THEN 4
+                    WHEN p_above_5y >= 0.3 THEN 3
+                    WHEN p_above_2y >= 0.3 THEN 2 ELSE 1 END AS cnd,
+               max(CASE WHEN step BETWEEN 1 AND 10 THEN p_above_2y END)
+                 OVER (PARTITION BY latitude, longitude) AS max_2y_start
+        FROM ctl),
+      peak AS (
+        SELECT latitude, longitude, issued_on, step AS peak_step,
+               valid_for AS peak_day,
+               CASE WHEN step IN (1, 2, 3) AND max_2y_start >= 0.30 THEN 'BB'
+                    WHEN step > 10 AND max_2y_start < 0.30 THEN 'GC'
+                    ELSE 'GB' END AS peak_timing
+        FROM (SELECT *, row_number() OVER (PARTITION BY latitude, longitude
+                ORDER BY cnd DESC, median_dis DESC, step ASC) AS rn
+              FROM cond) WHERE rn = 1),
+      tend AS (
+        SELECT latitude, longitude,
+               max(median_dis) AS max_median_dis,
+               min(median_dis) AS min_median_dis,
+               max(control_dis) AS control_dis,
+               max(max_dis) AS max_max_dis,
+               min(min_dis) AS min_min_dis
+        FROM ctl GROUP BY 1, 2),
+      tendf AS (
+        SELECT *, CASE WHEN max_median_dis > control_dis * 1.10 THEN 'U'
+                       WHEN min_median_dis <= control_dis * 0.90
+                            AND max_median_dis <= control_dis * 1.10 THEN 'D'
+                       ELSE 'C' END AS tendency
+        FROM tend),
+      intenf AS (
+        SELECT *, CASE WHEN max_p_above_20y >= 0.30 THEN 'P'
+                       WHEN max_p_above_5y >= 0.30 THEN 'R'
+                       WHEN max_p_above_2y >= 0.30 THEN 'Y'
+                       ELSE 'G' END AS intensity
+        FROM inten)
+      SELECT latitude, longitude, issued_on, peak_step, peak_day, peak_timing,
+             round(max_median_dis, 6) AS max_median_dis,
+             round(min_median_dis, 6) AS min_median_dis,
+             round(control_dis, 6) AS control_dis,
+             max_max_dis, min_min_dis, tendency,
+             round(max_p_above_20y, 6) AS max_p_above_20y,
+             round(max_p_above_5y, 6) AS max_p_above_5y,
+             round(max_p_above_2y, 6) AS max_p_above_2y,
+             intensity,
+             ${e2eWkt("latitude", "longitude")} AS wkt
+      FROM peak
+      LEFT JOIN tendf USING (latitude, longitude)
+      LEFT JOIN intenf USING (latitude, longitude)
+      WHERE intensity <> 'G'"""))
 
   /** GRIB2 SINK round trip: a 3-member ensemble grid aggregated from
     * orders is written by the distributed Grib2Writer (template 4.1

@@ -35,7 +35,8 @@ object Grib2File {
       dataType: String, // "cf" (control) | "pf" (perturbed)
       number: Int,      // perturbation number
       ni: Int, nj: Int, // lon cells, lat rows
-      la1: Double, lo1: Double, di: Double, dj: Double)
+      la1: Double, lo1: Double, di: Double, dj: Double,
+      stepHours: Int = 0) // forecast lead time (product template octets 18-22)
 
   /** A fully-decoded message: values in row-major (j lat outer — north
     * to south for scanning mode 0 — i lon inner) order.
@@ -105,7 +106,7 @@ object Grib2File {
     var cur = off + 16
     var ni = 0; var nj = 0
     var la1 = 0.0; var lo1 = 0.0; var di = 0.0; var dj = 0.0
-    var dataType = ""; var number = -1
+    var dataType = ""; var number = -1; var stepHours = 0
     val end = off + msgLen
     var done = false
     while (!done && cur < end) {
@@ -145,6 +146,20 @@ object Grib2File {
               case t =>
                 sys.error(s"product template $t unsupported (need 4.0 or 4.1)")
             }
+            // forecast lead time: templates 4.0/4.1 share octets 18 (time
+            // unit, code table 4.4) and 19-22 (forecast time) — the value
+            // cfgrib surfaces as `step`. Normalized to hours.
+            val ft = s32(s, 18)
+            stepHours = (u8(s, 17) match {
+              case 0 => require(ft % 60 == 0, s"sub-hour step $ft min"); ft / 60
+              case 1 => ft
+              case 2 => ft * 24
+              case 10 => ft * 3
+              case 11 => ft * 6
+              case 12 => ft * 12
+              case 13 => require(ft % 3600 == 0, s"sub-hour step $ft s"); ft / 3600
+              case u => sys.error(s"time unit $u unsupported (code table 4.4)")
+            }).toInt
           case 5 =>
             val s = readAt(ch, cur, secLen.toInt)
             val t = u16(s, 9)
@@ -175,7 +190,7 @@ object Grib2File {
     }
     require(ni > 0 && nj > 0, s"message at $off: no grid definition section")
     require(number >= 0, s"message at $off: no ensemble product section")
-    MessageInfo(off, msgLen, dataType, number, ni, nj, la1, lo1, di, dj)
+    MessageInfo(off, msgLen, dataType, number, ni, nj, la1, lo1, di, dj, stepHours)
   }
 
   /** Big-endian bitstream over a section buffer, starting at byte

@@ -44,7 +44,7 @@ import graft.sources.grib.Grib2File
 class GribDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-grib"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GribDataSource.Schema
+    GribDataSource.schemaFor(options.getBoolean("withStep", false))
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -59,25 +59,36 @@ object GribDataSource {
     StructField("latitude", DoubleType, nullable = false),
     StructField("longitude", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** `withStep=true` adds the forecast lead time (hours) — the `step`
+    * coordinate cfgrib exposes. Opt-in so existing readers keep their
+    * audited schema/plans.
+    */
+  def schemaFor(withStep: Boolean): StructType =
+    if (!withStep) Schema
+    else StructType(Schema.fields.patch(2,
+      Seq(StructField("step_hours", IntegerType, nullable = false)), 0))
 }
 
 class GribTable(props: Map[String, String]) extends Table with SupportsRead {
   private val paths: Seq[String] =
     props.getOrElse("path", sys.error("graft-grib: 'path' option required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private val withStep = props.get("withstep").exists(_.toBoolean) ||
+    props.get("withStep").exists(_.toBoolean)
   override def name(): String = s"graft_grib(${paths.mkString(",")})"
-  override def schema(): StructType = GribDataSource.Schema
+  override def schema(): StructType = GribDataSource.schemaFor(withStep)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GribScanBuilder(paths)
+    new GribScanBuilder(paths, schema())
 }
 
-class GribScanBuilder(paths: Seq[String])
+class GribScanBuilder(paths: Seq[String], full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private var required: StructType = GribDataSource.Schema
+  private var required: StructType = full
   private var wantType: Option[String] = None
   private var wantNumbers: Option[Set[Int]] = None
   private var accepted: Array[sources.Filter] = Array.empty
@@ -162,6 +173,7 @@ class GribReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
         InternalRow.fromSeq(cols.toIndexedSeq.map {
           case "data_type" => dt
           case "number" => info.number
+          case "step_hours" => info.stepHours
           case "latitude" => info.la1 - j * info.dj
           case "longitude" => info.lo1 + i * info.di
           case "value" => values(k)

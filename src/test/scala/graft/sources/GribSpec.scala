@@ -24,6 +24,25 @@ class GribSpec extends SparkSpec {
     assert((g.ni, g.nj, g.la1, g.lo1, g.di, g.dj) == (4, 3, 60.0, 10.0, 0.5, 0.5))
   }
 
+  test("forecast lead time (octets 18-22) parses and surfaces via withStep") {
+    // e2e fixtures: 5 control steps 24..120 h (tools/flood_e2e_fixture.py)
+    val idx = Grib2File.index("/root/repo/data/e2e_cf.grib2")
+    assert(idx.map(_.stepHours) == Seq(24, 48, 72, 96, 120))
+    assert(idx.forall(m => m.dataType == "cf" && m.number == 0))
+    val df = spark.read.format("graft-grib")
+      .option("path", "/root/repo/data/e2e_pf.grib2")
+      .option("withStep", "true").load()
+    assert(df.columns.toSeq == Seq("data_type", "number", "step_hours",
+      "latitude", "longitude", "value"))
+    assert(df.filter(col("step_hours") === 48)
+      .select("number").distinct().count() == 10)
+    // default schema is unchanged (audited plans stay identical); the
+    // legacy fixture's 24 h lead still parses at the index level
+    val legacy = spark.read.format("graft-grib").option("path", cfPath).load()
+    assert(!legacy.columns.contains("step_hours"))
+    assert(Grib2File.index(cfPath).head.stepHours == 24)
+  }
+
   test("simple-packing decode reproduces the formula values exactly") {
     val pf = Grib2File.index(pfPath)
     val m2 = Grib2File.read(pfPath, pf.find(_.number == 2).get)
