@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.BpeTrainer
+
+/** The full BPE merge-training loop (operators/BpeTrainer) through the
+  * DuckDB gate: the oracle replays training as 10 UNROLLED CTE blocks
+  * using the same two string primitives (marker-prefixed symbol reprs +
+  * literal `replace`, whose left-to-right non-overlapping semantics are
+  * exactly BPE's greedy application order in both engines).
+  */
+object BpeQueries {
+
+  private val Rounds = 10
+
+  /** chr(1)-safe DuckDB expression pieces for the marker encoding. */
+  private val mSql = "chr(1)"
+
+  /** The unrolled training CTE chain: words0 .. words{Rounds}, best1 ..
+    * best{Rounds}. Word reprs are injective per token (strip markers =
+    * token), so no re-grouping is needed between rounds.
+    */
+  private def trainCte: String = {
+    val base = s"""
+      toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> len(t) > 0)) AS token
+        FROM documents),
+      words0 AS (
+        SELECT token,
+               regexp_replace(token, '(.)', $mSql || '\\1', 'g') AS repr,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY 1)"""
+    val rounds = (1 to Rounds).map { k =>
+      s"""
+      pairs$k AS (
+        SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(repr, $mSql)[2:] AS s, freq
+              FROM words${k - 1}),
+             unnest(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2),
+      best$k AS (
+        SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+      words$k AS (
+        SELECT token,
+               replace(repr, $mSql || a || $mSql || b, $mSql || a || b) AS repr,
+               freq
+        FROM words${k - 1}, best$k)"""
+    }.mkString(",", ",", "")
+    base + rounds
+  }
+
+  /** q142: the learned merge table — step, pair, merged symbol, count. */
+  val q142BpeTrain = Q(
+    "q142_bpe_train",
+    (s, dir) => {
+      val words = BpeTrainer.wordTable(Tables.load(s, dir, "documents"), "text")
+      val (merges, finalWords) = BpeTrainer.train(words, Rounds)
+      finalWords.unpersist()
+      val rows = merges.map(m => (m.step.toLong, m.a, m.b, m.a + m.b, m.cnt))
+      import s.implicits._
+      rows.toDF("step", "pair_a", "pair_b", "merged", "cnt")
+    },
+    Some(s"""
+      WITH $trainCte
+      SELECT * FROM (
+        ${(1 to Rounds).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM best$k")
+          .mkString("\n        UNION ALL ")}
+      ) ORDER BY step"""))
+
+  /** q143: every document re-tokenized under the learned merges —
+    * per-doc symbol count + md5 of the space-joined symbol stream
+    * (order-exact via the position sort). The token→final-repr map is a
+    * broadcast-sized vocabulary join, never a per-position merge replay.
+    */
+  val q143BpeRetokenize = Q(
+    "q143_bpe_retokenize",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val words = BpeTrainer.wordTable(docs, "text")
+      val (merges, finalWords) = BpeTrainer.train(words, Rounds)
+      val vocab = finalWords.select(col("token"),
+        // symbol count = marker count; readable stream = markers → spaces
+        (length(col("repr")) - length(call_function("replace",
+          col("repr"), lit(BpeTrainer.M), lit("")))).cast("long").as("n_sym"),
+        ltrim(call_function("replace",
+          col("repr"), lit(BpeTrainer.M), lit(" "))).as("sym_str"))
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val positioned = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      positioned.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+          sum("n_sym").as("n_symbols"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("sym_str")))),
+            x => x.getField("sym_str")), " ")).as("sym_md5"))
+        .select("doc_id", "n_symbols", "sym_md5")
+    },
+    Some(s"""
+      WITH $trainCte,
+      vocab AS (
+        SELECT token,
+               CAST(len(repr) - len(replace(repr, $mSql, '')) AS BIGINT) AS n_sym,
+               ltrim(replace(repr, $mSql, ' ')) AS sym_str
+        FROM words$Rounds),
+      pos AS (
+        SELECT doc_id, i - 1 AS pos, tk[i] AS token
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> len(t) > 0) AS tk
+              FROM documents),
+             unnest(range(1, len(tk) + 1)) AS t(i))
+      SELECT doc_id,
+             CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+             md5(string_agg(sym_str, ' ' ORDER BY pos)) AS sym_md5
+      FROM pos JOIN vocab USING (token)
+      GROUP BY 1"""))
+
+  val qs: Seq[Q] = Seq(q142BpeTrain, q143BpeRetokenize)
+}
