@@ -476,5 +476,99 @@ object VectorOps {
 
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
-    q91IvfPartitioned, q105Sq8Ann)
+    q91IvfPartitioned, q105Sq8Ann, q144SemDedup)
+
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
+    * k-means — warm-started from the label centroids (q44's init) and
+    * iterated with MERGEABLE per-cluster mean aggregation — then cosine
+    * near-dup removal ONLY within final clusters, so the quadratic stage
+    * is bounded by cluster size, never corpus size (the whole point of
+    * the method at 100 TB). Near-dups are deterministic planted copies
+    * (vec_id+1e6, first component +1 — integer-valued floats, so every
+    * mean/dot is order-exact); a removed vector is one with a
+    * smaller-id same-cluster neighbor at cosine >= 0.95. The oracle
+    * replays both Lloyd iterations and the in-cluster pair scan in SQL
+    * over the same parquet.
+    */
+  lazy val q144SemDedup = Q(
+    "q144_semdedup",
+    (s, dir) => {
+      val dim = 64
+      val base = t(s, dir)("embeddings")
+      val planted = base.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        // ×2 is exponent-exact in float: a planted copy at cosine 1
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+      val e = base.select("vec_id", "embedding", "label")
+        .unionByName(planted).cache()
+      def centroids(assigned: DataFrame, clCol: String): DataFrame = {
+        val avgs = (0 until dim).map(i =>
+          round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
+            .as(s"_c$i"))
+        assigned.groupBy(col(clCol).as("cl"))
+          .agg(avgs.head, avgs.tail: _*)
+          .select(col("cl"),
+            array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+      }
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("cl").asc)
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cl"),
+            round(cosine(col("embedding"), col("centroid")), 6).as("cos_sim"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("vec_id", "embedding", "cl")
+      }
+      val a1 = assign(centroids(e, "label"))
+      val a2 = assign(centroids(a1, "cl"))
+      val dups = a2.as("a").join(a2.as("b"),
+          col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6) >= 0.95)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      a2.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cl"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2), label
+        FROM embeddings WHERE vec_id % 10 = 0),
+      flat AS (
+        SELECT vec_id, label, i.range AS pos,
+               CAST(embedding[i.range] AS DOUBLE) AS v
+        FROM aug, range(1, 65) i),
+      cent0 AS (SELECT label AS cl, pos, round(avg(v), 6) AS c
+                FROM flat GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, cl ASC) AS rn
+          FROM (SELECT vec_id, cl,
+                       round(sum(v*c)/(sqrt(sum(v*v))*sqrt(sum(c*c))), 6) AS cos_sim
+                FROM flat JOIN cent0 USING (pos) GROUP BY 1, 2))
+        WHERE rn = 1),
+      cent1 AS (SELECT cl, pos, round(avg(v), 6) AS c
+                FROM flat JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, cl ASC) AS rn
+          FROM (SELECT f.vec_id, cl,
+                       round(sum(v*c)/(sqrt(sum(v*v))*sqrt(sum(c*c))), 6) AS cos_sim
+                FROM flat f JOIN cent1 USING (pos) GROUP BY 1, 2))
+        WHERE rn = 1),
+      dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN (SELECT vec_id, pos, v FROM flat) av ON av.vec_id = a.vec_id
+        JOIN (SELECT vec_id, pos, v FROM flat) bv
+          ON bv.vec_id = b.vec_id AND av.pos = bv.pos
+        GROUP BY a.vec_id, b.vec_id
+        HAVING round(sum(av.v*bv.v)/(sqrt(sum(av.v*av.v))*sqrt(sum(bv.v*bv.v))), 6) >= 0.95)
+      SELECT a2.vec_id, cl,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""))
 }
