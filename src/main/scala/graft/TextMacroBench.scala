@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 10× scale-step guard for the LLM-text-pipeline shapes (q131 TF-IDF,
+  * q133 BPE pair counts, q136 Misra–Gries heavy hitters, q137
+  * token-budget selection, q138 bigram familiarity). Every other operator
+  * family has a macro; these claimed their shuffle shapes scale on
+  * 500-doc gate evidence only. Docs are synthesized TEXT (the real
+  * tokenizers run) over a Zipf-ish mixture vocabulary: ~45% of positions
+  * draw from 16 hot tokens, the rest from a 100k-token tail — so hot-key
+  * pressure on the pair/term shuffles is realistic.
+  *
+  * Cliff gate (round-6 brief): FAIL if any shape's 10× time exceeds
+  * 1.5 × factor × its 1× time — the signature of a plan that stopped
+  * scaling linearly (vocabulary broadcast blow-up, single-reducer
+  * window, spill).
+  *
+  * Usage: TextMacroBench [factor] [baseDocs] (defaults 10, 300000)
+  */
+object TextMacroBench {
+
+  /** (doc_id, text, n_tokens): 20-60 tokens per doc. */
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    val nTok = (pmod(xxhash64(col("id")), lit(41)) + 20).cast("int")
+    val tok = {
+      // i is the 1-based position; ~45% hot (16 tokens), else 100k tail
+      val h = xxhash64(col("id"), col("i"))
+      when(pmod(h, lit(100)) < 45,
+        concat(lit("h"), pmod(xxhash64(col("id"), col("i"), lit(1)), lit(16))))
+        .otherwise(
+          concat(lit("w"), pmod(xxhash64(col("id"), col("i"), lit(2)), lit(100000))))
+    }
+    spark.range(n)
+      .select(col("id").as("doc_id"), explode(sequence(lit(1), nTok)).as("i"))
+      .select(col("doc_id"), tok.as("tok"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("tok"))).as("text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  private def materialize(df: DataFrame): Long = {
+    val r = df.agg(bit_xor(xxhash64(df.columns.map(col).toIndexedSeq: _*)))
+      .collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private def toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+
+  /** q131 shape: tf → df → join → per-doc top-3 window. */
+  private def tfidf(d: DataFrame): DataFrame = {
+    val terms = d.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  private def pairRel(d: DataFrame): DataFrame = {
+    val nPairs = greatest(size(col("tk")) - 1, lit(0))
+    val zipped = arrays_zip(
+      slice(col("tk"), lit(1), nPairs).as("a"),
+      slice(col("tk"), lit(2), nPairs).as("b"))
+    d.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(zipped).as("z"))
+      .select(col("doc_id"), concat(col("z.a"), lit(" "), col("z.b")).as("pair"))
+  }
+
+  /** q133 shape: pair-key partial agg → TakeOrdered. */
+  private def bpePairs(d: DataFrame): DataFrame =
+    pairRel(d).groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+
+  /** q136 shape: bounded-state candidates + exact second pass. */
+  private def heavyHitters(d: DataFrame): DataFrame = {
+    val tok = d.select(explode(toks).as("tok"))
+    val cand = tok
+      .agg(graft.functions.FrequentItems(128)(col("tok")).as("cand"))
+      .select(explode(col("cand")).as("tok"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(cand), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * 100 > col("n"))
+  }
+
+  /** q137 shape: quality rank → PrefixSum running total → budget cut. */
+  private def tokenBudget(d: DataFrame): DataFrame = {
+    val scored = d.select(col("doc_id"),
+      (pmod(xxhash64(col("doc_id")), lit(1000000)) / 1e6).as("quality"),
+      col("n_tokens"))
+    val withCum = graft.operators.PrefixSum.runningSum(
+      scored, Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), "cum_tokens")
+    val total = scored.agg(sum("n_tokens").as("total_tokens"))
+    withCum.crossJoin(broadcast(total))
+      .filter(col("cum_tokens") * 10 <= col("total_tokens"))
+  }
+
+  /** q138 shape: pair relation → global counts → pair-key join back. */
+  private def bigramFamiliarity(d: DataFrame): DataFrame = {
+    val pairs = pairRel(d)
+    val global = pairs.groupBy("pair").agg(count(lit(1)).as("gcnt"))
+    pairs.join(global, "pair")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("gcnt").as("sum_gcnt"))
+      .withColumn("familiarity",
+        col("sum_gcnt").cast("double") / col("n_bigrams"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
+      "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
+      "bigram_familiarity" -> bigramFamiliarity)
+
+    def runAll(nDocs: Long): Map[String, Double] = {
+      val d = docs(spark, nDocs).cache()
+      d.count()
+      val times = shapes.map { case (name, f) =>
+        val t0 = System.nanoTime()
+        materialize(f(d))
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      d.unpersist()
+      times
+    }
+
+    runAll(math.max(baseDocs / 10, 1000)) // warm-up: JIT + codegen
+    val t1 = runAll(baseDocs)
+    val tN = runAll(baseDocs * factor)
+    val ratios = t1.keys.map(k => k -> tN(k) / t1(k)).toMap
+    val cliff = ratios.filter(_._2 > 1.5 * factor)
+    val detail = shapes.map { case (k, _) =>
+      f""""$k":{"t1_sec":${t1(k)}%.2f,"tN_sec":${tN(k)}%.2f,"ratio":${ratios(k)}%.1f}"""
+    }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"text_macro","value":${tN.values.sum}%.1f,"unit":"sec","factor":$factor,"base_docs":$baseDocs,"shapes":$detail,"cliff":${cliff.nonEmpty}}""")
+    require(cliff.isEmpty,
+      s"scale cliff (>${1.5 * factor}x time at ${factor}x data): $cliff")
+    spark.stop()
+  }
+}
