@@ -463,12 +463,64 @@ object SpatialQueries {
       FROM '/root/repo/data/lossyear_big_expected.parquet'
       WHERE lossyear <> 0"""))
 
+  /** Geodetic reprojection (operators/GeoProject): the engine image of
+    * the reference's `gdalwarp -t_srs EPSG:3857` preprocessing step
+    * (sentinel/preprocessing.py:82). A WGS84 pixel table projects
+    * forward to Web Mercator, snaps to a 1 km target grid (the warp's
+    * resample-to-target-raster), aggregates per target pixel, and
+    * reports the inverse-projected pixel center — forward, snap, and
+    * inverse all as codegen'd column expressions, zero native deps. One
+    * partial-agg shuffle on the compact pixel key; the oracle mirrors
+    * the exact operand tree in SQL (libm-at-rounded-precision stability
+    * per the q14 haversine precedent).
+    */
+  lazy val q145Reproject = Q(
+    "q145_reproject",
+    (s, dir) => {
+      import graft.operators.GeoProject
+      val px = Tables.load(s, dir, "lineitem").select(
+        (lit(45.013) + (col("l_partkey") % 200) * 0.01).as("lat"),
+        (lit(7.017) + (col("l_suppkey") % 300) * 0.01).as("lon"),
+        col("l_quantity").as("v"))
+      val proj = px.select(
+        GeoProject.snap(GeoProject.mercX(col("lon")), 0.0, 1000.0).as("px"),
+        GeoProject.snap(GeoProject.mercY(col("lat")), 0.0, 1000.0).as("py"),
+        col("v"))
+      proj.groupBy("px", "py")
+        .agg(count(lit(1)).as("n_src"),
+          max("v").as("max_v"),
+          Sql.exactSum(col("v")).as("sum_v"))
+        .select(col("px"), col("py"), col("n_src"), col("max_v"), col("sum_v"),
+          round(graft.operators.GeoProject.invLon(
+            graft.operators.GeoProject.center(col("px"), 0.0, 1000.0)), 6)
+            .as("center_lon"),
+          round(graft.operators.GeoProject.invLat(
+            graft.operators.GeoProject.center(col("py"), 0.0, 1000.0)), 6)
+            .as("center_lat"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT 45.013 + (l_partkey % 200) * 0.01 AS lat,
+               7.017 + (l_suppkey % 300) * 0.01 AS lon,
+               l_quantity AS v
+        FROM lineitem),
+      proj AS (
+        SELECT CAST(floor((lon * (pi() / 180) * 6378137.0 - 0.0) / 1000.0) AS BIGINT) AS px,
+               CAST(floor((ln(tan(pi() / 4 + lat * (pi() / 180) / 2)) * 6378137.0 - 0.0) / 1000.0) AS BIGINT) AS py,
+               v
+        FROM px)
+      SELECT px, py, count(*) AS n_src, max(v) AS max_v,
+             CAST(sum(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS sum_v,
+             round((0.0 + (CAST(px AS DOUBLE) + 0.5) * 1000.0) / 6378137.0 / (pi() / 180), 6) AS center_lon,
+             round((atan(exp((0.0 + (CAST(py AS DOUBLE) + 0.5) * 1000.0) / 6378137.0)) * 2 - pi() / 2) / (pi() / 180), 6) AS center_lat
+      FROM proj GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
-    q127CompactedScan, q128CogOverview)
+    q127CompactedScan, q128CogOverview, q145Reproject)
 
   /** COG OVERVIEWS under the gate: the `cog_translate` reduced-resolution
     * IFD chain (io_managers.py:103-110 writes overviews by default). The
