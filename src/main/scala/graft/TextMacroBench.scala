@@ -27,11 +27,11 @@ object TextMacroBench {
     val nTok = (pmod(xxhash64(col("id")), lit(41)) + 20).cast("int")
     val tok = {
       // i is the 1-based position; ~45% hot (16 tokens), else 100k tail
-      val h = xxhash64(col("id"), col("i"))
+      val h = xxhash64(col("doc_id"), col("i"))
       when(pmod(h, lit(100)) < 45,
-        concat(lit("h"), pmod(xxhash64(col("id"), col("i"), lit(1)), lit(16))))
+        concat(lit("h"), pmod(xxhash64(col("doc_id"), col("i"), lit(1)), lit(16))))
         .otherwise(
-          concat(lit("w"), pmod(xxhash64(col("id"), col("i"), lit(2)), lit(100000))))
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), col("i"), lit(2)), lit(100000))))
     }
     spark.range(n)
       .select(col("id").as("doc_id"), explode(sequence(lit(1), nTok)).as("i"))

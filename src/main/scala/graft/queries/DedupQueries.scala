@@ -423,8 +423,86 @@ object DedupQueries {
       SELECT media_id, cos_sim
       FROM sims ORDER BY cos_sim DESC, media_id ASC LIMIT 10"""))
 
+  /** Interleaved MULTIMODAL sequence packing — q111's packer extended to
+    * the mixed token stream multimodal training actually packs: text
+    * documents cost their token count, images cost their 16×16 patch
+    * grid (dims from the REAL byte-level PNG decode), audio clips cost
+    * a 25-token/s frame rate (duration from the real WAV header) — all
+    * integer arithmetic. Items interleave deterministically
+    * (pmod(item_id, 7), kind, item_id), the global running total runs
+    * through PrefixSum (range partition + P partials, never a
+    * single-reducer window), and each item lands at (shard,
+    * offset_in_shard) for W=512. The oracle replays the same stream
+    * with a window sum over the independent python writers' expected
+    * parquets.
+    */
+  val q146MultimodalPack = Q(
+    "q146_multimodal_pack",
+    (s, dir) => {
+      def files(glob: String, re: String) =
+        s.read.format("binaryFile").load(glob)
+          .select(regexp_extract(col("path"), re, 1).cast("long").as("media_id"),
+            col("content").as("payload"))
+      val W = 512
+      val text = graft.core.Tables.load(s, dir, "documents").select(
+        lit("text").as("kind"),
+        col("doc_id").as("item_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("cost"))
+      val img = Multimodal.decodeImages(
+          files("/root/repo/data/png/*.png", "img_(\\d+)\\.png$"))
+        .select(lit("image").as("kind"),
+          (col("media_id") + 1000000L).as("item_id"),
+          (expr("(width + 15) div 16") * expr("(height + 15) div 16"))
+            .cast("long").as("cost"))
+      val aud = Multimodal.decodeWav(
+          files("/root/repo/data/wav/*.wav", "clip_(\\d+)\\.wav$"))
+        .select(lit("audio").as("kind"),
+          (col("media_id") + 2000000L).as("item_id"),
+          expr("(n_frames * 25 + sample_rate - 1) div sample_rate")
+            .cast("long").as("cost"))
+      val items = text.unionByName(img).unionByName(aud)
+        .withColumn("ord", pmod(col("item_id"), lit(7)))
+      val cum = graft.operators.PrefixSum.runningSum(
+        items, Seq(col("ord"), col("kind"), col("item_id")),
+        col("cost"), "cum")
+      cum.select(col("kind"), col("item_id"), col("cost"),
+        expr(s"(cum - cost) DIV $W").as("shard"),
+        (col("cum") - col("cost") - expr(s"((cum - cost) DIV $W) * $W"))
+          .as("offset_in_shard"))
+    },
+    Some("""
+      WITH text AS (
+        SELECT 'text' AS kind, doc_id AS item_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        tk -> len(tk) > 0)) AS BIGINT) AS cost
+        FROM documents),
+      img AS (
+        SELECT 'image' AS kind, media_id + 1000000 AS item_id,
+               CAST(((width + 15) // 16) * ((height + 15) // 16) AS BIGINT) AS cost
+        FROM '/root/repo/data/png_expected.parquet'),
+      aud AS (
+        SELECT 'audio' AS kind, media_id + 2000000 AS item_id,
+               CAST((n_frames * 25 + sample_rate - 1) // sample_rate AS BIGINT) AS cost
+        FROM '/root/repo/data/wav_expected.parquet'),
+      items AS (
+        SELECT *, item_id % 7 AS ord FROM
+          (SELECT * FROM text UNION ALL SELECT * FROM img
+           UNION ALL SELECT * FROM aud)),
+      c AS (
+        SELECT kind, item_id, cost,
+               sum(cost) OVER (ORDER BY ord, kind, item_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM items)
+      SELECT kind, item_id, cost,
+             CAST((cum - cost) // 512 AS BIGINT) AS shard,
+             CAST(cum - cost - ((cum - cost) // 512) * 512 AS BIGINT)
+               AS offset_in_shard
+      FROM c"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
-      q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup)
+      q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
+      q146MultimodalPack)
 }
