@@ -251,4 +251,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("q144: in-cluster dedup joins on the cluster key, never a cartesian") {
+    val p = plan("q144_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup pair scan degenerated to a cartesian:\n$p")
+    // centroid assignment broadcasts the k-row centroid table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q145: reprojection aggregates with map-side partials on the pixel key") {
+    val p = plan("q145_reproject")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q146: multimodal packing avoids the single-reducer window") {
+    val p = plan("q146_multimodal_pack")
+    assert(!p.contains("Window"),
+      s"packing running total fell back to a window (one-task funnel):\n$p")
+    assert(p.contains("ExistingRDD"), p)
+  }
 }
