@@ -126,10 +126,22 @@ object TextMacroBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // q142 shape: 3 rounds of the full BPE trainer loop — the word-type
+    // aggregation scales with the corpus, the merge rounds with the
+    // vocabulary, so the ratio should stay well under the data ratio.
+    def bpeTrain(d: DataFrame): DataFrame = {
+      val words = graft.operators.BpeTrainer.wordTable(d, "text")
+      val (_, finalWords) = graft.operators.BpeTrainer.train(words, 3)
+      val out = finalWords.groupBy().agg(count(lit(1)).as("n_types"))
+      out.collect() // fold the unpersist into the timed region
+      finalWords.unpersist()
+      out
+    }
+
     val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
-      "bigram_familiarity" -> bigramFamiliarity)
+      "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain)
 
     def runAll(nDocs: Long): Map[String, Double] = {
       val d = docs(spark, nDocs).cache()

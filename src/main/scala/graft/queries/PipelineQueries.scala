@@ -300,6 +300,131 @@ object PipelineQueries {
       FROM (SELECT DISTINCT p_brand || ':' || p_type || '/' ||
               CAST(p_size AS VARCHAR) AS item FROM part)"""))
 
+  /** The COMPLETE corpus-curation job, composed as one DAG — every
+    * hygiene stage a pretraining data pipeline actually chains, in
+    * order: quality gate (q32) → exact dedup (q34) → MinHash near-dup
+    * dedup (q37, banded LSH) → eval-set decontamination (q84, shared
+    * 3-grams on hashed keys) → token-budget selection (q137, quality
+    * rank through the distributed PrefixSum, keep the best 50% of
+    * tokens). Output is the final training manifest. Each stage's
+    * scale shape is individually pinned by its own query; this gate
+    * proves the COMPOSITION (survivor sets feeding each other) against
+    * an oracle that replays all five stages in SQL with the near-dup
+    * stage as brute-force exact Jaccard ground truth.
+    */
+  val q147CorpusCuration = Q(
+    "q147_corpus_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toksSp = split(col("text"), " ", -1)
+      // 1: quality gate (q39's exact semantics)
+      val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
+        .withColumn("diversity",
+          size(array_distinct(toksSp)).cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
+        .filter(col("quality") >= 0.3)
+      // 2: exact dedup — survivor = min doc_id per digest
+      val exact = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      // 3: near-dup dedup (banded MinHash LSH)
+      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+      // 4: decontamination — eval split = doc_id % 199 == 0 of the RAW
+      // corpus (an eval set is external; it never went through the gate)
+      def grams(df: org.apache.spark.sql.DataFrame) = {
+        val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+        df.select(col("doc_id"), toks.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+              " greatest(size(w) - 2, 0))," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+              " ' ', element_at(w, i + 2)))")).as("gs"))
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .select(col("doc_id"), Dedup.md5Hash64(col("g")).as("gk"))
+      }
+      val evalGrams = grams(docs.filter(col("doc_id") % 199 === 0))
+        .select("gk").distinct()
+      val trainSide = near.filter(col("doc_id") % 199 =!= 0)
+      val contaminated = grams(trainSide).join(evalGrams, "gk")
+        .select("doc_id").distinct()
+      val clean = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      // 5: token budget — best-quality docs until 50% of surviving tokens
+      val withCum = graft.operators.PrefixSum.runningSum(
+        clean, Seq(col("quality").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_tokens")
+      val total = clean.agg(sum("n_tokens").as("total_tokens"))
+      withCum.crossJoin(broadcast(total))
+        .filter(col("cum_tokens") * 2 <= col("total_tokens"))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"),
+          col("n_tokens"), col("cum_tokens"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS diversity
+        FROM documents),
+      q AS (
+        SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
+        FROM g),
+      gate AS (SELECT * FROM q WHERE quality >= 0.3),
+      exact AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM gate) WHERE rn = 1),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, len(t)-2)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
+        WHERE len(t) >= 3),
+      dups AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+      near AS (
+        SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+      evg AS (
+        SELECT DISTINCT unnest(list_distinct(
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)])) AS gm
+        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 tk -> len(tk) > 0) AS w
+              FROM documents WHERE doc_id % 199 = 0)
+        WHERE len(w) >= 3),
+      cont AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, unnest(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)])) AS gm
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   tk -> len(tk) > 0) AS w
+                FROM near WHERE doc_id % 199 <> 0)
+          WHERE len(w) >= 3)
+        WHERE gm IN (SELECT gm FROM evg)),
+      clean AS (
+        SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM near
+        WHERE doc_id % 199 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      c AS (
+        SELECT doc_id, lang, quality, n_tokens,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM clean)
+      SELECT doc_id, lang, round(quality, 6) AS quality, n_tokens,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
-    q48CdcChunks, q49TopkPerGroup, q109WorkItems)
+    q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration)
 }
