@@ -637,9 +637,62 @@ object EventOps {
        AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
       WHERE p.event_type = 'purchase'"""))
 
+  /** STREAMING heavy hitters — the trending-keys job event platforms
+    * run continuously, as the lambda shape: phase 1 streams the replay
+    * through a Complete-mode global aggregate of the Misra–Gries
+    * Aggregator (bounded ≤128-entry state, partials merged map-side per
+    * micro-batch — the one new thing vs q136 is the sketch surviving
+    * ACROSS micro-batch state updates), phase 2 exact-counts only rows
+    * joining the broadcast candidate set. The superset property is
+    * merge-tree-independent (FrequentItemsSpec), so the final output is
+    * deterministic and equals the oracle's plain GROUP BY ... HAVING.
+    * The stream key is derived with realistic skew (a third of events
+    * fold onto 8 hot keys); sentinels are filtered before the sketch.
+    */
+  val q148StreamHeavyHitters = Q(
+    "q148_stream_heavy_hitters",
+    (s, dir) => {
+      import graft.streaming.FileReplay
+      def keyOf(c: org.apache.spark.sql.Column) =
+        when(c % 3 === 0, concat(lit("h"), pmod(c, lit(8))))
+          .otherwise(concat(lit("u"), c))
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_hh")
+      FileReplay.stageEventReplay(sel, srcDir)
+      val cand = FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_hh_$h",
+          org.apache.spark.sql.streaming.OutputMode.Complete()) { stream =>
+          stream.filter(col("event_type") =!= "flush")
+            .select(keyOf(col("user_id")).as("k"))
+            .agg(graft.functions.FrequentItems(128)(col("k")).as("cand"))
+        }
+        .select(explode(col("cand")).as("k"))
+      val keyed = sel.select(keyOf(col("user_id")).as("k"))
+      val n = keyed.agg(count(lit(1)).as("n"))
+      keyed.join(broadcast(cand), "k")
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 100 > col("n"))
+        .select(col("k"), col("cnt"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'h' || CAST(user_id % 8 AS VARCHAR)
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+        FROM events)
+      SELECT k, CAST(count(*) AS BIGINT) AS cnt
+      FROM keyed GROUP BY 1
+      HAVING count(*) * 100 > (SELECT count(*) FROM keyed)"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
-    q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin)
+    q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin,
+    q148StreamHeavyHitters)
 }
