@@ -515,12 +515,72 @@ object SpatialQueries {
              round((atan(exp((0.0 + (CAST(py AS DOUBLE) + 0.5) * 1000.0) / 6378137.0)) * 2 - pi() / 2) / (pi() / 180), 6) AS center_lat
       FROM proj GROUP BY 1, 2"""))
 
+  /** Mosaic + overlapping retile — the engine image of the reference's
+    * `preprocess_retile` step (sentinel/preprocessing.py:109-129:
+    * gdalbuildvrt mosaic, later source wins on overlap, then
+    * gdal_retile with `-overlap`). Three offset source rasters mosaic
+    * by LAST-source-wins (`max_by` on the source index ≡ VRT order),
+    * then every pixel fans out to the 1, 2, or 4 overlapping tiles of a
+    * size-64/overlap-8 tiling (stride 56 — the closed-form interval
+    * membership `greatest((p-8) div 56, 0) .. p div 56`, a bounded
+    * 2-element sequence per axis, never a range join). Per-tile stats
+    * in exact integer arithmetic. One partial-agg shuffle per stage.
+    */
+  lazy val q149MosaicRetile = Q(
+    "q149_mosaic_retile",
+    (s, dir) => {
+      val cells = Tables.load(s, dir, "orders").select(
+        (col("o_orderkey") % 3).cast("int").as("s"),
+        ((col("o_orderkey") % 96) + (col("o_orderkey") % 3) * 40).cast("int").as("gx"),
+        (expr("(o_orderkey div 96) % 96") + (col("o_orderkey") % 3) * 24).cast("int").as("gy"),
+        (col("o_orderkey") % 1000).as("v"))
+        .groupBy("s", "gx", "gy").agg(max("v").as("v"))
+      val mosaic = cells.groupBy("gx", "gy")
+        .agg(max_by(col("v"), col("s")).as("v"))
+      mosaic
+        .withColumn("tile_x",
+          explode(expr("sequence(greatest((gx - 8) div 56, 0), gx div 56)")))
+        .withColumn("tile_y",
+          explode(expr("sequence(greatest((gy - 8) div 56, 0), gy div 56)")))
+        .groupBy("tile_x", "tile_y")
+        .agg(count(lit(1)).as("n_cells"),
+          max("v").as("max_v"),
+          sum("v").as("sum_v"))
+        .select(col("tile_x").cast("long"), col("tile_y").cast("long"),
+          col("n_cells"), col("max_v"), col("sum_v"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT CAST(o_orderkey % 3 AS INT) AS s,
+               CAST(o_orderkey % 96 AS INT) + CAST(o_orderkey % 3 AS INT) * 40 AS gx,
+               CAST((o_orderkey // 96) % 96 AS INT) + CAST(o_orderkey % 3 AS INT) * 24 AS gy,
+               max(o_orderkey % 1000) AS v
+        FROM orders GROUP BY 1, 2, 3),
+      mosaic AS (
+        SELECT gx, gy, arg_max(v, s) AS v FROM cells GROUP BY 1, 2),
+      tx AS (
+        SELECT gy, v,
+               unnest(generate_series(greatest((gx - 8) // 56, 0), gx // 56))
+                 AS tile_x
+        FROM mosaic),
+      tiles AS (
+        SELECT v, tile_x,
+               unnest(generate_series(greatest((gy - 8) // 56, 0), gy // 56))
+                 AS tile_y
+        FROM tx)
+      SELECT CAST(tile_x AS BIGINT) AS tile_x,
+             CAST(tile_y AS BIGINT) AS tile_y,
+             count(*) AS n_cells,
+             CAST(max(v) AS BIGINT) AS max_v,
+             CAST(sum(v) AS BIGINT) AS sum_v
+      FROM tiles GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q58ZorderKey, q65NodataTiles, q66ZonalAssign,
     q67DenseGrid, q68TreelossBasin, q69GridSource, q73PolygonZonal,
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
-    q127CompactedScan, q128CogOverview, q145Reproject)
+    q127CompactedScan, q128CogOverview, q145Reproject, q149MosaicRetile)
 
   /** COG OVERVIEWS under the gate: the `cog_translate` reduced-resolution
     * IFD chain (io_managers.py:103-110 writes overviews by default). The
