@@ -11,13 +11,14 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full composed flood forecast pipeline (threshold join, exceedance
-    * flags, grouped exact quantiles, control/peak/tendency/intensity
-    * windows, gray filter, WKT) — the reference's `forecast` asset as one
-    * Catalyst plan.
+    * The END-TO-END flood forecast pipeline FROM BINARY INPUTS: GRIB2
+    * ensemble messages ⋈ the three real GloFAS RP NetCDFs → exceedance
+    * flags → grouped exact quantiles → control/peak/tendency/intensity →
+    * summary with WKT — the reference's `forecast` asset as one Catalyst
+    * plan whose leaves are the byte-level sources (q141).
     */
   def entry(spark: SparkSession): DataFrame =
-    Registry.queries("q61_flood_summary")(spark, "/root/testdata/sf0.001")
+    Registry.queries("q141_e2e_summary")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
