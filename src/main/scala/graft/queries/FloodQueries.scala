@@ -568,7 +568,48 @@ object FloodQueries {
     q63DenseZonal, q64Coarsen, q72RpCombinedNc, q74PartitionPruned,
     q75GribEnsemble, q79GribComplex, q81NcSink, q100GribBitmap, q104GribPng,
     q122NcClassic, q126GribSink, q129NcRecord, q130RpZip,
-    q140E2eDetailed, q141E2eSummary)
+    q140E2eDetailed, q141E2eSummary, q150GribMultistep)
+
+  /** MULTI-STEP GRIB2 round trip: a (step, member) ensemble grid is
+    * written by the distributed Grib2Writer (one template-4.1 message
+    * per step×member, lead time in octets 19-22) and read back through
+    * graft-grib `withStep` — the full source-and-sink pair for the lead
+    * -time dimension the real forecast archives carry (q126 covers the
+    * single-step sink; q140/q141 consume multi-step bytes from the
+    * independent python writer). The oracle recomputes the grid from
+    * orders.
+    */
+  lazy val q150GribMultistep = Q(
+    "q150_grib_multistep",
+    (s, dir) => {
+      val lats = Array.tabulate(12)(i => 9.0 - i * 0.5)
+      val lons = Array.tabulate(18)(j => 20.0 + j * 0.5)
+      val grid = Tables.load(s, dir, "orders").select(
+        ((col("o_orderkey") % 3) * 24 + 24).cast("int").as("step_hours"),
+        (expr("(o_orderkey div 3) % 2")).cast("int").as("number"),
+        (lit(9.0) - (col("o_custkey") % 12) * 0.5).as("latitude"),
+        (lit(20.0) + expr("(o_custkey div 12) % 18") * 0.5).as("longitude"),
+        (col("o_orderkey") % 199).as("v"))
+        .groupBy("step_hours", "number", "latitude", "longitude")
+        .agg(max(col("v")).cast("double").as("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_grib_steps_" + Integer.toHexString(dir.hashCode) + ".grib2")
+        .getAbsolutePath
+      graft.sources.grib.Grib2Writer.writeEnsemble(grid, path, lats, lons,
+        stepCol = Some("step_hours"))
+      s.read.format("graft-grib").option("path", path)
+        .option("withStep", "true").load()
+        .filter(!isnan(col("value")))
+        .select(col("number"), col("step_hours"), col("latitude"),
+          col("longitude"), col("value").as("max_v"))
+    },
+    Some("""
+      SELECT CAST((o_orderkey // 3) % 2 AS INT) AS number,
+             CAST((o_orderkey % 3) * 24 + 24 AS INT) AS step_hours,
+             9.0 - (o_custkey % 12) * 0.5 AS latitude,
+             20.0 + ((o_custkey // 12) % 18) * 0.5 AS longitude,
+             CAST(max(o_orderkey % 199) AS DOUBLE) AS max_v
+      FROM orders GROUP BY 1, 2, 3, 4"""))
 
   // -------------------------------------------------------------------
   // END-TO-END flood integration (the reference's entire `forecast`

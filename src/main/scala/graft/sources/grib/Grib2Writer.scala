@@ -27,10 +27,15 @@ object Grib2Writer {
   /** `df`: (number int, latitude, longitude, value double) on the
     * regular grid `lats` (descending) × `lons` (ascending). Values must
     * be integer-valued in [0, 2^bpv); missing cells (absent rows or
-    * NaN) become bitmap holes.
+    * NaN) become bitmap holes. `stepCol` names an optional lead-time
+    * column (hours, int) — one message per (step, member), in that
+    * order, completing the multi-step pair with the reader's `withStep`
+    * surface; absent, every message carries the 24 h lead the legacy
+    * fixtures use (byte-identical to the pre-step writer).
     */
   def writeEnsemble(df: DataFrame, path: String,
-      lats: Array[Double], lons: Array[Double], bpv: Int = 16): Unit = {
+      lats: Array[Double], lons: Array[Double], bpv: Int = 16,
+      stepCol: Option[String] = None): Unit = {
     require(bpv == 16, "only bpv=16 supported (the fixture/reader subset)")
     val spark = df.sparkSession
     val (ni, nj) = (lons.length, lats.length)
@@ -46,33 +51,39 @@ object Grib2Writer {
     val bLon = spark.sparkContext.broadcast(lons.zipWithIndex.toMap)
     import spark.implicits._
     val n = spark.sparkContext.defaultParallelism
-    df.select(col("number").cast("int"), col("latitude").cast("double"),
+    val stepExpr = stepCol.map(c => col(c).cast("int")).getOrElse(lit(24))
+    df.select(stepExpr.as("s"), col("number").cast("int"),
+        col("latitude").cast("double"),
         col("longitude").cast("double"), col("value").cast("double"))
-      .as[(Int, Double, Double, Double)]
+      .as[(Int, Int, Double, Double, Double)]
       .mapPartitions { it =>
         val latI = bLat.value
         val lonI = bLon.value
-        it.map { case (m, la, lo, v) => (m, latI(la) * lonI.size + lonI(lo), v) }
+        it.map { case (st, m, la, lo, v) =>
+          (st, m, latI(la) * lonI.size + lonI(lo), v)
+        }
       }
-      .toDF("m", "cell", "v")
-      .repartition(math.min(n, 64), col("m"))
-      .sortWithinPartitions("m", "cell")
+      .toDF("s", "m", "cell", "v")
+      .repartition(math.min(n, 64), col("s"), col("m"))
+      .sortWithinPartitions("s", "m", "cell")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        var cur = -1
+        var curS = -1
+        var curM = -1
         var buf: Array[Double] = null
-        def flush(): Unit = if (cur >= 0) {
-          val msg = encodeMessage(cur, buf, ni, nj, la1, lo1, di, dj)
+        def flush(): Unit = if (curM >= 0) {
+          val msg = encodeMessage(curM, curS, buf, ni, nj, la1, lo1, di, dj)
           val out = new java.io.FileOutputStream(
-            new java.io.File(stageDir, f"m$cur%05d.part"))
+            new java.io.File(stageDir, f"s$curS%05d_m$curM%05d.part"))
           try out.write(msg) finally out.close()
         }
         rows.foreach { r =>
-          val m = r.getInt(0)
-          if (m != cur) {
-            flush(); cur = m
+          val s = r.getInt(0)
+          val m = r.getInt(1)
+          if (m != curM || s != curS) {
+            flush(); curS = s; curM = m
             buf = Array.fill(ni * nj)(Double.NaN)
           }
-          buf(r.getInt(1)) = r.getDouble(2)
+          buf(r.getInt(2)) = r.getDouble(3)
         }
         flush()
       }
@@ -89,8 +100,11 @@ object Grib2Writer {
     parts.foreach(_.delete()); stageDir.delete()
   }
 
-  /** One complete edition-2 message (sections 0–8) for member `m`. */
-  private def encodeMessage(m: Int, grid: Array[Double], ni: Int, nj: Int,
+  /** One complete edition-2 message (sections 0–8) for member `m` at
+    * lead time `stepHours`.
+    */
+  private def encodeMessage(m: Int, stepHours: Int, grid: Array[Double],
+      ni: Int, nj: Int,
       la1: Double, lo1: Double, di: Double, dj: Double): Array[Byte] = {
     def sec(num: Int, body: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(5 + body.length).order(ByteOrder.BIG_ENDIAN)
@@ -102,6 +116,7 @@ object Grib2Writer {
     // message — fail loudly instead (r7 advice)
     require(m >= 0 && m <= 255,
       s"ensemble member $m out of the one-octet range [0, 255] (template 4.1)")
+    require(stepHours >= 0, s"negative lead time $stepHours h")
     val present = grid.filterNot(_.isNaN)
     val hasHoles = present.length != grid.length
     present.foreach { v =>
@@ -137,7 +152,7 @@ object Grib2Writer {
       val b = ByteBuffer.allocate(4 + 28).order(ByteOrder.BIG_ENDIAN)
       b.putShort(0).putShort(1) // template 4.1
       b.put(0.toByte).put(192.toByte).put(2.toByte).put(0.toByte)
-        .put(0.toByte).putShort(0).put(0.toByte).put(1.toByte).putInt(24)
+        .put(0.toByte).putShort(0).put(0.toByte).put(1.toByte).putInt(stepHours)
       b.put(1.toByte).put(0.toByte).putInt(0)
       b.put(255.toByte).put(0.toByte).putInt(0)
       // WMO 4.6: 1 = unperturbed control ("cf"), 3 = perturbed ("pf")
