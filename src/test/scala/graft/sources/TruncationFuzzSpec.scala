@@ -72,17 +72,21 @@ class TruncationFuzzSpec extends SparkSpec {
   }
 
   test("GRIB2: truncated messages fail loudly or decode prefix-consistently") {
-    val donor = "/root/repo/data/ens_complex.grib2"
-    val full: Map[Long, Seq[Double]] = graft.sources.grib.Grib2File.index(donor)
-      .map(mi => mi.offset ->
-        graft.sources.grib.Grib2File.read(donor, mi).values.toSeq).toMap
-    for (b <- prefixes(donor, 12))
-      fuzzCase(s"grib len=${b.length}", b) { p =>
-        graft.sources.grib.Grib2File.index(p).foreach { mi =>
-          val got = graft.sources.grib.Grib2File.read(p, mi).values.toSeq
-          assertKeyed(s"grib len=${b.length}", full, mi.offset, got)
+    // two donors: complex packing, and the multi-step e2e fixture whose
+    // section-4 lead-time parse (octets 18-22) is the newest header path
+    for (donor <- Seq("/root/repo/data/ens_complex.grib2",
+        "/root/repo/data/e2e_cf.grib2")) {
+      val full: Map[Long, Seq[Double]] = graft.sources.grib.Grib2File.index(donor)
+        .map(mi => mi.offset ->
+          graft.sources.grib.Grib2File.read(donor, mi).values.toSeq).toMap
+      for (b <- prefixes(donor, 12))
+        fuzzCase(s"grib len=${b.length}", b) { p =>
+          graft.sources.grib.Grib2File.index(p).foreach { mi =>
+            val got = graft.sources.grib.Grib2File.read(p, mi).values.toSeq
+            assertKeyed(s"grib len=${b.length}", full, mi.offset, got)
+          }
         }
-      }
+    }
   }
 
   test("HDF5: truncated files fail loudly or read prefix-consistently") {
