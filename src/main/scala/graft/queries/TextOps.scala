@@ -970,11 +970,73 @@ object TextOps {
       FROM p JOIN g USING (pair)
       GROUP BY 1"""))
 
+  /** The EVAL-side contamination report (q84's inverse direction): for
+    * every eval document, what fraction of its distinct 3-grams appears
+    * anywhere in the training corpus — the acceptance report run before
+    * a corpus ships. Grams join on the compact 64-bit hash key (train
+    * side deduplicated first), counts are exact, the rate is one IEEE
+    * division of exact longs. Same no-doc×doc posture as q84: gram-key
+    * hash joins only.
+    */
+  val q151EvalContamination = Q(
+    "q151_eval_contamination",
+    (s, dir) => {
+      def grams(df: org.apache.spark.sql.DataFrame) = {
+        val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+        df.select(col("doc_id"), toks.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+              " greatest(size(w) - 2, 0))," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+              " ' ', element_at(w, i + 2)))")).as("gs"))
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .select(col("doc_id"),
+            graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
+      }
+      val docs = t(s, dir)("documents")
+      val evalG = grams(docs.filter(col("doc_id") % 199 === 0))
+      val trainG = grams(docs.filter(col("doc_id") % 199 =!= 0))
+        .select("gk").distinct()
+      val tot = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hit = evalG.join(trainG, Seq("gk"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_grams"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)])) AS g
+        FROM toks WHERE len(w) >= 3),
+      ev AS (SELECT * FROM grams WHERE doc_id % 199 = 0),
+      tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % 199 <> 0),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+      hit AS (
+        SELECT doc_id, count(*) AS n_contaminated
+        FROM ev WHERE g IN (SELECT g FROM tr) GROUP BY 1)
+      SELECT tot.doc_id, tot.n_grams,
+             CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE) / tot.n_grams
+               AS contamination_rate
+      FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
-    q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity)
+    q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity,
+    q151EvalContamination)
 }
