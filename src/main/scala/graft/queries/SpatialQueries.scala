@@ -482,9 +482,12 @@ object SpatialQueries {
         (lit(45.013) + (col("l_partkey") % 200) * 0.01).as("lat"),
         (lit(7.017) + (col("l_suppkey") % 300) * 0.01).as("lon"),
         col("l_quantity").as("v"))
+      // Round the libm output to a fixed decimal BEFORE the grid snap:
+      // a last-ulp ln/tan difference between engines must not be able to
+      // flip the floor() bin (the q105 positive-domain-rounding pattern).
       val proj = px.select(
-        GeoProject.snap(GeoProject.mercX(col("lon")), 0.0, 1000.0).as("px"),
-        GeoProject.snap(GeoProject.mercY(col("lat")), 0.0, 1000.0).as("py"),
+        GeoProject.snap(round(GeoProject.mercX(col("lon")), 6), 0.0, 1000.0).as("px"),
+        GeoProject.snap(round(GeoProject.mercY(col("lat")), 6), 0.0, 1000.0).as("py"),
         col("v"))
       proj.groupBy("px", "py")
         .agg(count(lit(1)).as("n_src"),
@@ -505,8 +508,8 @@ object SpatialQueries {
                l_quantity AS v
         FROM lineitem),
       proj AS (
-        SELECT CAST(floor((lon * (pi() / 180) * 6378137.0 - 0.0) / 1000.0) AS BIGINT) AS px,
-               CAST(floor((ln(tan(pi() / 4 + lat * (pi() / 180) / 2)) * 6378137.0 - 0.0) / 1000.0) AS BIGINT) AS py,
+        SELECT CAST(floor((round(lon * (pi() / 180) * 6378137.0, 6) - 0.0) / 1000.0) AS BIGINT) AS px,
+               CAST(floor((round(ln(tan(pi() / 4 + lat * (pi() / 180) / 2)) * 6378137.0, 6) - 0.0) / 1000.0) AS BIGINT) AS py,
                v
         FROM px)
       SELECT px, py, count(*) AS n_src, max(v) AS max_v,

@@ -480,15 +480,27 @@ object VectorOps {
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
-    * iterated with MERGEABLE per-cluster mean aggregation — then cosine
+    * iterated with MERGEABLE per-cluster aggregation — then cosine
     * near-dup removal ONLY within final clusters, so the quadratic stage
     * is bounded by cluster size, never corpus size (the whole point of
-    * the method at 100 TB). Near-dups are deterministic planted copies
-    * (vec_id+1e6, first component +1 — integer-valued floats, so every
-    * mean/dot is order-exact); a removed vector is one with a
-    * smaller-id same-cluster neighbor at cosine >= 0.95. The oracle
-    * replays both Lloyd iterations and the in-cluster pair scan in SQL
-    * over the same parquet.
+    * the method at 100 TB). Near-dups are planted whole-vector ×2 copies
+    * (vec_id+1e6; ×2 is exponent-exact in float, so each copy sits at
+    * cosine exactly 1 by scale invariance); a removed vector is one with
+    * a smaller-id same-cluster neighbor at cosine >= 0.95.
+    *
+    * Cross-engine determinism is EXACT, not rounding-masked: vectors are
+    * quantized to integers (round((x+2)·1e4)−2e4, positive-domain per the
+    * q105 half-mode rule), the "centroid" is the per-dimension integer
+    * SUM (cosine is scale-invariant, so cos(v, mean) ≡ cos(v, sum) — no
+    * division, no inexact mean), and every dot/norm accumulates exact
+    * longs, which are order-independent at ANY shuffle order. The only
+    * float ops are one cast + sqrt + divide per (row, centroid) — a fixed
+    * IEEE sequence on bit-identical inputs in both engines. Bounds: |vq|
+    * ≤ 1.1e4, so pair dots ≤ 7e9, centroid sums ≤ 1.1e4·n, and Σc² fits
+    * a long for cluster sizes up to ~5e4 (gate SFs are ≪ that; the macro
+    * uses its own closed-form float construction). The oracle replays
+    * both Lloyd iterations and the in-cluster pair scan in SQL over the
+    * same parquet with the same integer arithmetic.
     */
   lazy val q144SemDedup = Q(
     "q144_semdedup",
@@ -500,31 +512,43 @@ object VectorOps {
         // ×2 is exponent-exact in float: a planted copy at cosine 1
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
         col("label"))
+      val longDot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
       val e = base.select("vec_id", "embedding", "label")
-        .unionByName(planted).cache()
+        .unionByName(planted)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x =>
+            (round((x.cast("double") + lit(2.0)) * lit(10000.0), 0)
+              - lit(20000.0)).cast("long")).as("vq"))
+        .withColumn("vv", longDot(col("vq"), col("vq")))
+        .cache()
       def centroids(assigned: DataFrame, clCol: String): DataFrame = {
-        val avgs = (0 until dim).map(i =>
-          round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
-            .as(s"_c$i"))
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("vq"), i + 1)).as(s"_c$i"))
         assigned.groupBy(col(clCol).as("cl"))
-          .agg(avgs.head, avgs.tail: _*)
+          .agg(sums.head, sums.tail: _*)
           .select(col("cl"),
             array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+          .withColumn("cc", longDot(col("centroid"), col("centroid")))
       }
       def assign(cent: DataFrame): DataFrame = {
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cos_sim").desc, col("cl").asc)
         e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cl"),
-            round(cosine(col("embedding"), col("centroid")), 6).as("cos_sim"))
+          .select(col("vec_id"), col("vq"), col("vv"), col("cl"),
+            (longDot(col("vq"), col("centroid")).cast("double")
+              / (sqrt(col("vv").cast("double")) * sqrt(col("cc").cast("double"))))
+              .as("cos_sim"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("vec_id", "embedding", "cl")
+          .select("vec_id", "vq", "vv", "cl")
       }
       val a1 = assign(centroids(e, "label"))
       val a2 = assign(centroids(a1, "cl"))
       val dups = a2.as("a").join(a2.as("b"),
           col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
-        .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6) >= 0.95)
+        .filter(longDot(col("a.vq"), col("b.vq")).cast("double")
+          / (sqrt(col("a.vv").cast("double")) * sqrt(col("b.vv").cast("double")))
+          >= 0.95)
         .select(col("b.vec_id").as("vec_id")).distinct()
       a2.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cl"),
@@ -536,38 +560,53 @@ object VectorOps {
         UNION ALL
         SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2), label
         FROM embeddings WHERE vec_id % 10 = 0),
+      qz AS (
+        SELECT vec_id, label,
+               [CAST(round((CAST(x AS DOUBLE) + 2) * 10000) - 20000 AS BIGINT)
+                for x in embedding] AS vq
+        FROM aug),
       flat AS (
-        SELECT vec_id, label, i.range AS pos,
-               CAST(embedding[i.range] AS DOUBLE) AS v
-        FROM aug, range(1, 65) i),
-      cent0 AS (SELECT label AS cl, pos, round(avg(v), 6) AS c
+        SELECT vec_id, label, i.range AS pos, vq[i.range] AS v
+        FROM qz, range(1, 65) i),
+      vv AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS vv FROM flat GROUP BY 1),
+      cent0 AS (SELECT label AS cl, pos, CAST(sum(v) AS BIGINT) AS c
                 FROM flat GROUP BY 1, 2),
+      cc0 AS (SELECT cl, CAST(sum(c*c) AS BIGINT) AS cc FROM cent0 GROUP BY 1),
+      dot0 AS (SELECT f.vec_id, c0.cl, CAST(sum(f.v * c0.c) AS BIGINT) AS dot
+               FROM flat f JOIN cent0 c0 USING (pos) GROUP BY 1, 2),
       a1 AS (
         SELECT vec_id, cl FROM (
-          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY cos_sim DESC, cl ASC) AS rn
-          FROM (SELECT vec_id, cl,
-                       round(sum(v*c)/(sqrt(sum(v*v))*sqrt(sum(c*c))), 6) AS cos_sim
-                FROM flat JOIN cent0 USING (pos) GROUP BY 1, 2))
+          SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                            / (sqrt(CAST(vv.vv AS DOUBLE)) * sqrt(CAST(cc0.cc AS DOUBLE)))
+                            DESC, d.cl ASC) AS rn
+          FROM dot0 d JOIN vv USING (vec_id) JOIN cc0 ON cc0.cl = d.cl)
         WHERE rn = 1),
-      cent1 AS (SELECT cl, pos, round(avg(v), 6) AS c
+      cent1 AS (SELECT cl, pos, CAST(sum(v) AS BIGINT) AS c
                 FROM flat JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      cc1 AS (SELECT cl, CAST(sum(c*c) AS BIGINT) AS cc FROM cent1 GROUP BY 1),
+      dot1 AS (SELECT f.vec_id, c1.cl, CAST(sum(f.v * c1.c) AS BIGINT) AS dot
+               FROM flat f JOIN cent1 c1 USING (pos) GROUP BY 1, 2),
       a2 AS (
         SELECT vec_id, cl FROM (
-          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY cos_sim DESC, cl ASC) AS rn
-          FROM (SELECT f.vec_id, cl,
-                       round(sum(v*c)/(sqrt(sum(v*v))*sqrt(sum(c*c))), 6) AS cos_sim
-                FROM flat f JOIN cent1 USING (pos) GROUP BY 1, 2))
+          SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY CAST(d.dot AS DOUBLE)
+                            / (sqrt(CAST(vv.vv AS DOUBLE)) * sqrt(CAST(cc1.cc AS DOUBLE)))
+                            DESC, d.cl ASC) AS rn
+          FROM dot1 d JOIN vv USING (vec_id) JOIN cc1 ON cc1.cl = d.cl)
         WHERE rn = 1),
-      dups AS (
-        SELECT DISTINCT b.vec_id
+      pd AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi, CAST(sum(av.v * bv.v) AS BIGINT) AS dot
         FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        JOIN (SELECT vec_id, pos, v FROM flat) av ON av.vec_id = a.vec_id
-        JOIN (SELECT vec_id, pos, v FROM flat) bv
-          ON bv.vec_id = b.vec_id AND av.pos = bv.pos
-        GROUP BY a.vec_id, b.vec_id
-        HAVING round(sum(av.v*bv.v)/(sqrt(sum(av.v*av.v))*sqrt(sum(bv.v*bv.v))), 6) >= 0.95)
+        JOIN flat av ON av.vec_id = a.vec_id
+        JOIN flat bv ON bv.vec_id = b.vec_id AND av.pos = bv.pos
+        GROUP BY 1, 2),
+      dups AS (
+        SELECT DISTINCT pd.bi AS vec_id
+        FROM pd JOIN vv va ON va.vec_id = pd.ai
+        JOIN vv vb ON vb.vec_id = pd.bi
+        WHERE CAST(pd.dot AS DOUBLE)
+              / (sqrt(CAST(va.vv AS DOUBLE)) * sqrt(CAST(vb.vv AS DOUBLE))) >= 0.95)
       SELECT a2.vec_id, cl,
              CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
       FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""))
