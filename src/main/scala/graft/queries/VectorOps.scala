@@ -476,7 +476,8 @@ object VectorOps {
 
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
-    q91IvfPartitioned, q105Sq8Ann, q144SemDedup)
+    q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
+    q153SemDedupIncremental)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -610,4 +611,273 @@ object VectorOps {
       SELECT a2.vec_id, cl,
              CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
       FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""))
+
+  /** q144's SemDeDup with the round-11 SKEW GUARD + broadcast-argmax
+    * assignment, both exercised cross-engine:
+    *
+    *  - Lloyd assignment runs through functions/ArgmaxCosine (broadcast
+    *    centroid index, Elkan-pruned off the warm start — no n×k row
+    *    explosion, no per-vector window shuffle), and
+    *  - the in-cluster pair scan runs through SemDedup.dupsWithinClusters:
+    *    clusters over `sizeCap` are sub-bucketed by banded hyperplane LSH
+    *    so candidates meet on compact (cluster, band, sig) keys — the
+    *    guard that keeps one boilerplate mega-cluster from degrading the
+    *    job to O(m²). The input keeps labels 0/1 at ~5 members (≤ cap →
+    *    all-pairs path) and labels 2-9 full-size (> cap → banded path),
+    *    so BOTH branches are gate-covered at every SF.
+    *
+    * Cross-engine determinism: vectors quantize to INTEGER-VALUED
+    * DOUBLES (round((x+2)·1e4)−2e4 — the q105 positive-domain rule), so
+    * every sum the query takes — centroid per-dim sums, |v|², pair and
+    * centroid dots, hyperplane plane sums (±1 weights) — is a sum of
+    * integers with magnitude ≪ 2^53: EXACT and order-independent in
+    * both engines, no fold-order protocol needed. The only float ops
+    * are the final sqrt/divide per cosine — a fixed IEEE sequence on
+    * bit-identical inputs — and the ≥0 sign tests on exact integers.
+    * Hyperplane weights are the md5-derived ±1 recipe the q46 oracle
+    * already rebuilds (HyperplaneBands.signs: md5("b_i_d") low-60-bits
+    * parity), bands=4 × bits=8.
+    */
+  lazy val q152SemDedupGuarded = Q(
+    "q152_semdedup_guarded",
+    (s, dir) => {
+      import graft.operators.SemDedup
+      val dim = 64
+      val filt = t(s, dir)("embeddings")
+        .filter(col("label") >= 2 || col("vec_id") % 20 === 0)
+      val planted = filt.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+      val e = filt.select("vec_id", "embedding", "label")
+        .unionByName(planted)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x =>
+            round((x.cast("double") + lit(2.0)) * lit(10000.0), 0)
+              - lit(20000.0)).as("vq"))
+        .cache()
+      def centroids(assigned: DataFrame, clCol: String): DataFrame = {
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("vq"), i + 1)).as(s"_c$i"))
+        assigned.groupBy(col(clCol).cast("long").as("cl"))
+          .agg(sums.head, sums.tail: _*)
+          .select(col("cl"),
+            array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+      }
+      def assignOnce(cent: DataFrame, prev: DataFrame, prevCol: Column): DataFrame =
+        SemDedup.assign(prev.withColumn("prev", prevCol.cast("long")),
+            col("vq"), col("prev"), SemDedup.collectIndex(cent, "cl", "centroid"))
+          .select("vec_id", "vq", "cl")
+      val a1 = assignOnce(centroids(e, "label"), e, col("label"))
+      val a2 = assignOnce(centroids(a1, "cl"), a1, col("cl"))
+      val dups = SemDedup.dupsWithinClusters(a2, "vec_id", "vq", "cl",
+        threshold = 0.95, sizeCap = 40, bands = 4, bits = 8)
+      a2.join(dups.withColumnRenamed("dup_id", "vec_id")
+            .withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cl"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    },
+    Some("""
+      WITH aug AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE label >= 2 OR vec_id % 20 = 0
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2), label
+        FROM embeddings WHERE (label >= 2 OR vec_id % 20 = 0) AND vec_id % 10 = 0),
+      qz AS (
+        SELECT vec_id, label,
+               [round((CAST(x AS DOUBLE) + 2) * 10000) - 20000
+                for x in embedding] AS vq
+        FROM aug),
+      flat AS (
+        SELECT vec_id, label, i.range AS pos, vq[i.range] AS v
+        FROM qz, range(1, 65) i),
+      vv AS (SELECT vec_id, sum(v*v) AS vv FROM flat GROUP BY 1),
+      cent0 AS (SELECT CAST(label AS BIGINT) AS cl, pos, sum(v) AS c
+                FROM flat GROUP BY 1, 2),
+      cc0 AS (SELECT cl, sum(c*c) AS cc FROM cent0 GROUP BY 1),
+      dot0 AS (SELECT f.vec_id, c0.cl, sum(f.v * c0.c) AS dot
+               FROM flat f JOIN cent0 c0 USING (pos) GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cl FROM (
+          SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dot / (sqrt(vv.vv) * sqrt(cc0.cc)) DESC,
+                            d.cl ASC) AS rn
+          FROM dot0 d JOIN vv USING (vec_id) JOIN cc0 ON cc0.cl = d.cl)
+        WHERE rn = 1),
+      cent1 AS (SELECT cl, pos, sum(v) AS c
+                FROM flat JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      cc1 AS (SELECT cl, sum(c*c) AS cc FROM cent1 GROUP BY 1),
+      dot1 AS (SELECT f.vec_id, c1.cl, sum(f.v * c1.c) AS dot
+               FROM flat f JOIN cent1 c1 USING (pos) GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cl FROM (
+          SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dot / (sqrt(vv.vv) * sqrt(cc1.cc)) DESC,
+                            d.cl ASC) AS rn
+          FROM dot1 d JOIN vv USING (vec_id) JOIN cc1 ON cc1.cl = d.cl)
+        WHERE rn = 1),
+      szs AS (SELECT cl, count(*) AS n FROM a2 GROUP BY 1),
+      w AS (SELECT b.range AS b, i.range AS i, d.range AS d,
+               CASE WHEN CAST('0x' || substr(md5(b.range || '_' || i.range
+                                || '_' || d.range), 18, 15) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS wt
+            FROM range(0, 4) b, range(0, 8) i, range(0, 64) d),
+      planes AS (SELECT f.vec_id, w.b, w.i, sum(w.wt * f.v) AS s
+                 FROM flat f JOIN w ON w.d = f.pos - 1 GROUP BY 1, 2, 3),
+      sigs AS (SELECT vec_id, b,
+                 bit_or(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i)
+                             ELSE CAST(0 AS BIGINT) END) AS sig
+               FROM planes GROUP BY 1, 2),
+      smallp AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi
+        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN szs ON szs.cl = a.cl WHERE szs.n <= 40),
+      bigp AS (
+        SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+        FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN szs ON szs.cl = a.cl
+        JOIN sigs sa ON sa.vec_id = a.vec_id
+        JOIN sigs sb ON sb.vec_id = b.vec_id AND sa.b = sb.b AND sa.sig = sb.sig
+        WHERE szs.n > 40),
+      cand AS (SELECT ai, bi FROM smallp UNION SELECT ai, bi FROM bigp),
+      pd AS (SELECT c.ai, c.bi, sum(av.v * bv.v) AS dot
+             FROM cand c
+             JOIN flat av ON av.vec_id = c.ai
+             JOIN flat bv ON bv.vec_id = c.bi AND av.pos = bv.pos
+             GROUP BY 1, 2),
+      dups AS (
+        SELECT DISTINCT pd.bi AS vec_id
+        FROM pd JOIN vv va ON va.vec_id = pd.ai
+        JOIN vv vb ON vb.vec_id = pd.bi
+        WHERE pd.dot / (sqrt(va.vv) * sqrt(vb.vv)) >= 0.95)
+      SELECT a2.vec_id, cl,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""))
+
+  /** INCREMENTAL SemDeDup — the daily-ingest shape for embeddings,
+    * mirroring q116's posture for documents: a DELTA of new vectors is
+    * assigned to PERSISTED centroids (functions/ArgmaxCosine over the
+    * broadcast index — the assignment never touches the corpus) and
+    * near-dup-checked ONLY against its assigned cluster's PERSISTED
+    * members, read from a bucketed-on-`cl` index table so the corpus
+    * side never re-shuffles at match time (the delta shuffles TO the
+    * index's bucketing; PlanSpec pins zero Exchange on the index side).
+    * Delta-internal dups use the same smaller-id rule within the
+    * assigned cluster. Planted ×2 copies of corpus vectors ride in the
+    * delta as guaranteed near-dups.
+    *
+    * Cross-engine determinism is the q152 integer-double regime: every
+    * sum is exact and order-independent, assignment and the 0.95 tests
+    * are fixed IEEE sequences on bit-identical inputs.
+    */
+  lazy val q153SemDedupIncremental = Q(
+    "q153_semdedup_incremental",
+    (s, dir) => {
+      import graft.operators.SemDedup
+      val dim = 64
+      val emb = t(s, dir)("embeddings")
+      def quant(c: Column): Column = transform(c, x =>
+        round((x.cast("double") + lit(2.0)) * lit(10000.0), 0) - lit(20000.0))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("cl"),
+          quant(col("embedding")).as("vq"))
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .unionByName(emb
+          .filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 10 === 1)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("vq"))
+      // persisted centroids: exact per-dim integer sums by corpus label
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("vq"), i + 1)).as(s"_c$i"))
+      val cent = corpus.groupBy(col("cl")).agg(sums.head, sums.tail: _*)
+        .select(col("cl"),
+          array((0 until dim).map(i => col(s"_c$i")): _*).as("centroid"))
+      val idx = SemDedup.collectIndex(cent, "cl", "centroid")
+      // persisted member index, bucketed on cl: at match time only the
+      // delta moves; the corpus rows sit in their buckets
+      val h = Integer.toHexString(dir.hashCode)
+      val index = graft.sources.Layout.bucketedTable(corpus,
+        s"graft_semdedup_idx_$h",
+        s"${sys.props("java.io.tmpdir")}/graft_semdedup_idx_$h", 8, "cl")
+        .select(col("cl"), col("vq").as("vq_c"))
+      val asg = SemDedup.assign(
+          delta.withColumn("prev", col("label").cast("long")),
+          col("vq"), col("prev"), idx)
+        .select(col("vec_id"), col("vq"), col("cl"))
+      val vsCorpus = asg.join(index, Seq("cl"))
+        .filter(cosine(col("vq"), col("vq_c")) >= 0.95)
+        .select("vec_id").distinct()
+      val vsDelta = asg.as("a").join(asg.as("b"),
+          col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.vq"), col("b.vq")) >= 0.95)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      asg.join(vsCorpus.union(vsDelta).distinct().withColumn("is_dup", lit(1L)),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cl"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+      delta AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2), label
+        FROM corpus WHERE vec_id % 10 = 1),
+      qzc AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS cl,
+               [round((CAST(x AS DOUBLE) + 2) * 10000) - 20000
+                for x in embedding] AS vq
+        FROM corpus),
+      qzd AS (
+        SELECT vec_id, label,
+               [round((CAST(x AS DOUBLE) + 2) * 10000) - 20000
+                for x in embedding] AS vq
+        FROM delta),
+      flatc AS (
+        SELECT vec_id, cl, i.range AS pos, vq[i.range] AS v
+        FROM qzc, range(1, 65) i),
+      flatd AS (
+        SELECT vec_id, i.range AS pos, vq[i.range] AS v
+        FROM qzd, range(1, 65) i),
+      vvc AS (SELECT vec_id, sum(v*v) AS vv FROM flatc GROUP BY 1),
+      vvd AS (SELECT vec_id, sum(v*v) AS vv FROM flatd GROUP BY 1),
+      cent AS (SELECT cl, pos, sum(v) AS c FROM flatc GROUP BY 1, 2),
+      cc AS (SELECT cl, sum(c*c) AS cc FROM cent GROUP BY 1),
+      dotc AS (SELECT f.vec_id, c0.cl, sum(f.v * c0.c) AS dot
+               FROM flatd f JOIN cent c0 USING (pos) GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id, cl FROM (
+          SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.dot / (sqrt(vvd.vv) * sqrt(cc.cc)) DESC,
+                            d.cl ASC) AS rn
+          FROM dotc d JOIN vvd USING (vec_id) JOIN cc ON cc.cl = d.cl)
+        WHERE rn = 1),
+      pdc AS (SELECT a.vec_id, m.vec_id AS mid, sum(dv.v * cv.v) AS dot
+              FROM asg a JOIN qzc m ON m.cl = a.cl
+              JOIN flatd dv ON dv.vec_id = a.vec_id
+              JOIN flatc cv ON cv.vec_id = m.vec_id AND cv.pos = dv.pos
+              GROUP BY 1, 2),
+      dup1 AS (
+        SELECT DISTINCT pdc.vec_id
+        FROM pdc JOIN vvd ON vvd.vec_id = pdc.vec_id
+        JOIN vvc ON vvc.vec_id = pdc.mid
+        WHERE pdc.dot / (sqrt(vvd.vv) * sqrt(vvc.vv)) >= 0.95),
+      pdd AS (SELECT a.vec_id AS ai, b.vec_id AS bi, sum(av.v * bv.v) AS dot
+              FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+              JOIN flatd av ON av.vec_id = a.vec_id
+              JOIN flatd bv ON bv.vec_id = b.vec_id AND av.pos = bv.pos
+              GROUP BY 1, 2),
+      dup2 AS (
+        SELECT DISTINCT pdd.bi AS vec_id
+        FROM pdd JOIN vvd va ON va.vec_id = pdd.ai
+        JOIN vvd vb ON vb.vec_id = pdd.bi
+        WHERE pdd.dot / (sqrt(va.vv) * sqrt(vb.vv)) >= 0.95),
+      dups AS (SELECT vec_id FROM dup1 UNION SELECT vec_id FROM dup2)
+      SELECT asg.vec_id, cl,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id"""))
 }

@@ -151,6 +151,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q153: the semdedup member index joins without shuffling (delta side only)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // building the query registers/reuses the bucketed member index
+      Registry.queries("q153_semdedup_incremental")(spark, dir)
+      val idx = spark.table(
+        spark.catalog.listTables().collect()
+          .map(_.name).find(_.startsWith("graft_semdedup_idx")).get)
+      import org.apache.spark.sql.functions._
+      val delta = spark.range(1000).select(
+        pmod(col("id"), lit(10)).cast("long").as("cl"), col("id").as("did"))
+      val joined = delta.join(idx, Seq("cl"))
+      val p = joined.queryExecution.executedPlan
+      val smj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"no SortMergeJoin in $p")
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // exactly ONE shuffle: the delta; the bucketed index's
+      // hash-distribution on cl satisfies the join directly
+      assert(exchanges.size == 1, s"expected only the delta to shuffle:\n$p")
+      assert(smj.head.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"index side shuffles:\n${smj.head.right}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("q125: global running total plans WITHOUT a single-reducer window") {
     val p = plan("q125_running_total")
     // the range-partitioned two-pass sum lives in the upstream RDD
