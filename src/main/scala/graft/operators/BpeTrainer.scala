@@ -69,7 +69,14 @@ object BpeTrainer {
     */
   def train(words0: DataFrame, rounds: Int): (Seq[MergeStep], DataFrame) = {
     val steps = Seq.newBuilder[MergeStep]
-    var cur = words0.cache()
+    // eager localCheckpoint per round: materializes the round AND
+    // truncates lineage (the CC iteration pattern). Stacking cache()
+    // entries instead nests each round's AQE plan inside the next
+    // cached plan's tree STRING, which compounds per round — a 30-round
+    // training OOM'd an 8g driver just RENDERING the plan for a log
+    // line. State is the word-TYPE table, so each checkpoint is
+    // vocabulary-sized, never corpus-sized.
+    var cur = words0.localCheckpoint()
     for (step <- 1 to rounds) {
       val top = pairs(cur)
         .orderBy(col("cnt").desc, col("a"), col("b"))
@@ -78,14 +85,104 @@ object BpeTrainer {
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       steps += MergeStep(step, a, b, cnt)
-      val next = cur.withColumn("repr",
+      cur = cur.withColumn("repr",
         call_function("replace",
-          col("repr"), lit(M + a + M + b), lit(M + a + b))).cache()
-      next.count() // materialize before dropping the parent
-      cur.unpersist()
-      cur = next
+          col("repr"), lit(M + a + M + b), lit(M + a + b))).localCheckpoint()
     }
     (steps.result(), cur)
+  }
+
+  /** BATCHED BPE training: per distributed count, select the top-m
+    * merges that are PROVABLY order-safe — the result is literally
+    * identical to sequential greedy [[train]], round count drops from
+    * `totalMerges` to `totalMerges / avg-batch` (q142's trainer is
+    * correct but driver-synchronous per merge; a 30k-merge production
+    * vocabulary is round-latency-bound, which this addresses).
+    *
+    * Selection rule (walk the ranked pair list (cnt desc, a, b) from
+    * the top; STOP at the first violation — skipping is NOT allowed):
+    *  1. the candidate's symbols {a, b, a+b} are disjoint from every
+    *     previously selected merge's {a, b, a+b}, and
+    *  2. the merged string a+b does not already exist as a symbol in
+    *     the vocabulary, and
+    *  3. (after the walk) pop trailing selections until the LAST
+    *     selected count is STRICTLY greater than the first excluded
+    *     pair's count (a batch of 1 is always safe — it IS the greedy
+    *     step).
+    *
+    * Why this equals sequential greedy, by induction over the batch
+    * p₁ > p₂ > … > p_t (ranked prefix order): after applying p₁..p_i,
+    *  - p_{i+1}'s count is unchanged (its symbols are untouched by the
+    *    disjointness rule);
+    *  - no OLD pair's count ever increases: replacing two symbols with
+    *    one brand-new symbol (rule 2 guarantees a+b is new) never
+    *    creates an adjacency between two old symbols;
+    *  - every NEW pair key contains a brand-new merged symbol, and its
+    *    count is bounded by the count of a parent pair that SHARES a
+    *    symbol with some p_j — which the stop-at-first-violation rule
+    *    places strictly below rank t, so by rule 3 its count is
+    *    < cnt(p_t) ≤ cnt(p_{i+1});
+    *  - ties among selected merges resolve by the same (a, b)
+    *    lexicographic tiebreak in both schedules, and rule 3 excludes
+    *    count ties against anything outside the batch.
+    * Hence greedy's next pick after p₁..p_i is exactly p_{i+1}. ∎
+    *
+    * The driver-side symbol vocabulary for rule 2 is alphabet-bounded:
+    * |initial distinct characters| + one symbol per applied merge.
+    */
+  def trainBatched(words0: DataFrame, totalMerges: Int, batchSize: Int)
+      : (Seq[MergeStep], DataFrame, Int) = {
+    require(batchSize >= 1 && totalMerges >= 1)
+    val vocab = scala.collection.mutable.Set[String]()
+    words0.select(explode(expr(s"slice(split(repr, '$M'), 2, 2147483647)")).as("s"))
+      .distinct().collect().foreach(r => vocab += r.getString(0))
+    // eager localCheckpoint per round — see train() for why not cache()
+    var cur = words0.localCheckpoint()
+    val steps = Seq.newBuilder[MergeStep]
+    var done = 0
+    var rounds = 0
+    while (done < totalMerges) {
+      val want = math.min(totalMerges - done, batchSize)
+      val top = pairs(cur)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(top.nonEmpty, s"BPE vocabulary exhausted after $done merges")
+      val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var nextCnt: Option[Long] = None
+      if (vocab.contains(top(0)._1 + top(0)._2)) {
+        sel += top(0) // merged symbol collides: a plain greedy step of 1
+      } else {
+        val used = scala.collection.mutable.Set[String]()
+        var i = 0
+        while (i < top.length && sel.size < want && nextCnt.isEmpty) {
+          val (a, b, cnt) = top(i)
+          val m = a + b
+          if (used(a) || used(b) || used(m) || vocab(m)) nextCnt = Some(cnt)
+          else {
+            sel += ((a, b, cnt))
+            used += a; used += b; used += m
+          }
+          i += 1
+        }
+        if (nextCnt.isEmpty && i < top.length) nextCnt = Some(top(i)._3)
+        // rule 3: strict count drop after the batch (popped pairs keep
+        // the same count, so the comparison value never changes)
+        while (sel.size > 1 && nextCnt.contains(sel.last._3))
+          sel.remove(sel.size - 1)
+      }
+      sel.foreach { case (a, b, cnt) =>
+        done += 1
+        steps += MergeStep(done, a, b, cnt)
+        vocab += a + b
+      }
+      cur = cur.withColumn("repr",
+        sel.foldLeft(col("repr")) { case (c, (a, b, _)) =>
+          call_function("replace", c, lit(M + a + M + b), lit(M + a + b))
+        }).localCheckpoint()
+      rounds += 1
+    }
+    (steps.result(), cur, rounds)
   }
 
   /** Greedy left-to-right BPE segmentation of arbitrary tokens under an

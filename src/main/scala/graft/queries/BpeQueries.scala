@@ -22,18 +22,20 @@ object BpeQueries {
     * best{Rounds}. Word reprs are injective per token (strip markers =
     * token), so no re-grouping is needed between rounds.
     */
-  private def trainCte: String = {
+  private def trainCte: String = trainCteN(Rounds)
+
+  private def trainCteN(n: Int): String = {
     val base = s"""
       toks AS (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                   t -> len(t) > 0)) AS token
         FROM documents),
-      words0 AS (
+      words0 AS MATERIALIZED (
         SELECT token,
                regexp_replace(token, '(.)', $mSql || '\\1', 'g') AS repr,
                CAST(count(*) AS BIGINT) AS freq
         FROM toks GROUP BY 1)"""
-    val rounds = (1 to Rounds).map { k =>
+    val rounds = (1 to n).map { k =>
       s"""
       pairs$k AS (
         SELECT s[i] AS a, s[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
@@ -41,9 +43,9 @@ object BpeQueries {
               FROM words${k - 1}),
              unnest(range(1, len(s))) AS t(i)
         GROUP BY 1, 2),
-      best$k AS (
+      best$k AS MATERIALIZED (
         SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
-      words$k AS (
+      words$k AS MATERIALIZED (
         SELECT token,
                replace(repr, $mSql || a || $mSql || b, $mSql || a || b) AS repr,
                freq
@@ -119,5 +121,36 @@ object BpeQueries {
       FROM pos JOIN vocab USING (token)
       GROUP BY 1"""))
 
-  val qs: Seq[Q] = Seq(q142BpeTrain, q143BpeRetokenize)
+  private val BatchMerges = 50
+
+  /** q154: BATCHED BPE training (BpeTrainer.trainBatched — top-m
+    * provably order-safe merges per distributed count) gated against
+    * the literal SEQUENTIAL greedy replay: the oracle is 50 unrolled
+    * one-merge-per-round CTE blocks, so a hash match IS the proof that
+    * the batch schedule produced the identical merge table — same
+    * pairs, same order, same counts — that one-at-a-time greedy
+    * training produces. (The safety argument lives at
+    * BpeTrainer.trainBatched; this query checks it empirically against
+    * an independent engine at every SF, 5× past the depth q142 gates.)
+    */
+  val q154BpeBatchTrain = Q(
+    "q154_bpe_batch_train",
+    (s, dir) => {
+      val words = BpeTrainer.wordTable(Tables.load(s, dir, "documents"), "text")
+      val (merges, finalWords, _) =
+        BpeTrainer.trainBatched(words, BatchMerges, batchSize = 8)
+      finalWords.unpersist()
+      val rows = merges.map(m => (m.step.toLong, m.a, m.b, m.a + m.b, m.cnt))
+      import s.implicits._
+      rows.toDF("step", "pair_a", "pair_b", "merged", "cnt")
+    },
+    Some(s"""
+      WITH ${trainCteN(BatchMerges)}
+      SELECT * FROM (
+        ${(1 to BatchMerges).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM best$k")
+          .mkString("\n        UNION ALL ")}
+      ) ORDER BY step"""))
+
+  val qs: Seq[Q] = Seq(q142BpeTrain, q143BpeRetokenize, q154BpeBatchTrain)
 }
