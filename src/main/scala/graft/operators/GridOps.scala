@@ -87,6 +87,72 @@ object GridOps {
       floor(col(yCol) / blockSize).cast("long").as("block_y"))
       .agg(sum(col(valueCol)).as(s"sum_$valueCol"))
 
+  /** 2× cubic-convolution downsample of an integer pixel grid — the
+    * non-mean pyramid kernel (reference image:
+    * sentinel/postprocessing.py:69-71, `gdal_retile.py -r cubic`).
+    * Keys (1981) a = −1/2 cubic evaluated at the dyadic offsets: each
+    * target pixel is the 4×4 source window at distances {1.5, 0.5, 0.5,
+    * 1.5}, so the separable axis weights are exactly
+    * [−1/16, 9/16, 9/16, −1/16] and the 2-D weight of tap (i, j) is
+    * c(i)·c(j)/256 with c ∈ {−1, 9}. Borders replicate (edge clamp).
+    *
+    * Returned per target pixel: `num` = Σ c(i)c(j)·v over PRESENT taps
+    * plus `nodata`·(256 − Σ c(i)c(j)) for absent ones — an EXACT integer
+    * (|num| ≤ 256·|v|max + slack, far under 2^53), so `num / 256.0` is
+    * an exact IEEE double and any engine reproduces it bit-for-bit at
+    * any summation order. Callers wanting integer pixels round half-up
+    * as floorDiv(num + 128, 256) and clamp to the sample range (the
+    * TiffWriter `resampling = "cubic"` contract).
+    *
+    * Plan shape: pad-replication is a ≤2-row/col fringe union, then ONE
+    * contribution explode (each source feeds exactly 2 targets per axis
+    * = 4 rows) and ONE groupBy on the target key with map-side partial
+    * aggregation — shuffle bounded by 4× the SOURCE pixel count, no
+    * window, no self-join, dense or sparse alike.
+    */
+  def cubicDownsample2x(
+      df: DataFrame,
+      xCol: String, yCol: String, valueCol: String,
+      width: Int, height: Int, nodata: Int = 0): DataFrame = {
+    val wOut = (width + 1) / 2
+    val hOut = (height + 1) / 2
+    // border replication: a pixel on an edge also covers the 2 virtual
+    // pads beyond it (corners via the cross product)
+    def padded(c: Column, max: Int): Column =
+      when(c === 0 && lit(max) === 0,
+          array(lit(-2), lit(-1), c, lit(max + 1), lit(max + 2)))
+        .when(c === 0, array(lit(-2), lit(-1), c))
+        .when(c === max, array(c, lit(max + 1), lit(max + 2)))
+        .otherwise(array(c))
+    // vx = 2k   → targets (k−1, c=−1), (k, c=9)
+    // vx = 2k+1 → targets (k, c=9), (k+1, c=−1)
+    def taps(v: Column): Column = {
+      val par = pmod(v, lit(2))
+      val k = ((v - par) / 2).cast("int")
+      when(par === 0, array(
+        struct((k - 1).as("t"), lit(-1L).as("c")),
+        struct(k.as("t"), lit(9L).as("c"))))
+        .otherwise(array(
+          struct(k.as("t"), lit(9L).as("c")),
+          struct((k + 1).as("t"), lit(-1L).as("c"))))
+    }
+    df.select(col(xCol).cast("int").as("_px"), col(yCol).cast("int").as("_py"),
+        col(valueCol).cast("long").as("_v"))
+      .select(explode(padded(col("_px"), width - 1)).as("_vx"),
+        col("_py"), col("_v"))
+      .select(col("_vx"), explode(padded(col("_py"), height - 1)).as("_vy"),
+        col("_v"))
+      .select(explode(taps(col("_vx"))).as("_tx"), col("_vy"), col("_v"))
+      .select(col("_tx"), explode(taps(col("_vy"))).as("_ty"), col("_v"))
+      .filter(col("_tx.t") >= 0 && col("_tx.t") < wOut &&
+        col("_ty.t") >= 0 && col("_ty.t") < hOut)
+      .groupBy(col("_tx.t").as(xCol), col("_ty.t").as(yCol))
+      .agg(
+        (sum(col("_tx.c") * col("_ty.c") * col("_v")) +
+          lit(nodata.toLong) * (lit(256L) - sum(col("_tx.c") * col("_ty.c"))))
+          .as("num"))
+  }
+
   /** Year-mask stack + coarsen (global_forest_watch.py:66-72): one output
     * row per (block, year in [yearLo, yearHi]) with the count of pixels
     * whose lossyear equals that year — the explode happens only on the

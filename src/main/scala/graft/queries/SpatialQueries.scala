@@ -583,7 +583,8 @@ object SpatialQueries {
     q76CogLossyear, q77ZarrUparea, q78ShpZonal, q82CogSink, q97BigtiffCog,
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
-    q127CompactedScan, q128CogOverview, q145Reproject, q149MosaicRetile)
+    q127CompactedScan, q128CogOverview, q145Reproject, q149MosaicRetile,
+    q155CubicOverview)
 
   /** COG OVERVIEWS under the gate: the `cog_translate` reduced-resolution
     * IFD chain (io_managers.py:103-110 writes overviews by default). The
@@ -634,6 +635,47 @@ object SpatialQueries {
              7000000.0 - (orow + 0.5) * 60.0 AS y,
              mean_v
       FROM ov"""))
+
+  /** The NON-MEAN pyramid kernel (reference final product:
+    * sentinel/postprocessing.py:69-71 `gdal_retile.py -r cubic -levels
+    * 11`): one overview level computed with the 4×4 cubic-convolution
+    * kernel — Keys (1981) a=−1/2 at the dyadic offsets, separable axis
+    * weights exactly [−1/16, 9/16, 9/16, −1/16], edge replication,
+    * half-up integer rounding, UInt16 clamp (the fixture's % wrap makes
+    * real overshoot, so the clamp path is live). The chain under gate:
+    * GridOps.cubicDownsample2x (distributed contribution-explode, exact
+    * integer numerators) → TiffWriter resampling="cubic" level encode →
+    * graft-cog level-1 decode; the oracle is the INDEPENDENT pure-python
+    * kernel implementation (tools/cubic_fixture.py — shares only the
+    * published kernel, no engine code), so the hash match
+    * cross-validates the whole arithmetic + both TIFF sides.
+    */
+  lazy val q155CubicOverview = Q(
+    "q155_cubic_overview",
+    (s, dir) => {
+      val (ox, oy, sx, sy) = (500000.0, 7000000.0, 30.0, 30.0)
+      val (w, h) = (100, 72)
+      val grid = s.range(w.toLong * h).select(
+          (col("id") % w).cast("int").as("pc"),
+          (col("id") / w).cast("int").as("pr"))
+        .select(
+          (lit(ox) + (col("pc") + 0.5) * sx).as("x"),
+          (lit(oy) - (col("pr") + 0.5) * sy).as("y"),
+          ((col("pc") * 7 + col("pr") * 13) % 997 + 1).cast("int").as("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cubic_" + Integer.toHexString(dir.hashCode) + ".tif")
+        .getAbsolutePath
+      // nodata=65535 can never collide: base ∈ [1,997], cubic ≤ ~1300
+      graft.sources.tiff.TiffWriter.writeGrid(grid, path, "x", "y", "value",
+        ox, oy, sx, sy, width = w, height = h,
+        tileW = 32, tileH = 32, bits = 16, nodata = 65535,
+        overviews = Seq(2), resampling = "cubic")
+      s.read.format("graft-cog")
+        .option("path", path).option("nodata", "65535").option("level", "1")
+        .load()
+        .select(col("x"), col("y"), col("value").cast("int").as("value"))
+    },
+    Some("SELECT x, y, value FROM '/root/repo/data/cubic_expected.parquet'"))
 
   /** Small-file compaction under the gate: an orders slice is written
     * as 32 tiny part files (the streaming-sink litter pattern),

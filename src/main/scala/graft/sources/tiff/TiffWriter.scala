@@ -97,13 +97,20 @@ object TiffWriter {
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6,
-      forceBigTiff: Boolean = false, overviews: Seq[Int] = Seq.empty): Unit = {
+      forceBigTiff: Boolean = false, overviews: Seq[Int] = Seq.empty,
+      resampling: String = "mean"): Unit = {
     require(bits == 8 || bits == 16 || bits == 32, s"bits $bits")
     require(tileW % 16 == 0 && tileH % 16 == 0,
       "TIFF tiles must be multiples of 16") // TIFF 6.0 §15
     require(overviews.forall(_ >= 2) && overviews == overviews.sorted &&
       overviews.distinct == overviews,
       s"overview factors must be distinct, ascending, >= 2: $overviews")
+    require(resampling == "mean" || resampling == "cubic",
+      s"resampling must be mean|cubic, got $resampling")
+    require(resampling == "mean" ||
+      overviews.zipWithIndex.forall { case (f, i) => f == (1 << (i + 1)) },
+      s"cubic overviews CASCADE by 2 (gdal_retile -levels): factors must " +
+        s"be 2,4,8,…, got $overviews")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val levels: Seq[Level] = (1 +: overviews).map { f =>
@@ -176,7 +183,32 @@ object TiffWriter {
         }
     }
     stage(0, levels.head, pixels)
-    levels.zipWithIndex.drop(1).foreach { case (lv, lvl) =>
+    if (resampling == "cubic") {
+      // gdal_retile-style CASCADE: each level is the 2× cubic kernel over
+      // the PREVIOUS level's rounded integer pixels (GridOps
+      // .cubicDownsample2x — exact integer numerators; half-up rounding
+      // floor((num+128)/256) stays exact because |num+128| ≪ 2^53, and
+      // the result clamps to the sample range like any integer raster
+      // write). Each level caches only until its child is staged.
+      var prev = pixels
+      var (pw, ph) = (width, height)
+      levels.zipWithIndex.drop(1).foreach { case (lv, lvl) =>
+        // 32-bit samples ride in signed Int pixels; clamp to what fits
+        val maxV = if (bits == 32) Int.MaxValue.toLong else (1L << bits) - 1
+        val ov = graft.operators.GridOps
+          .cubicDownsample2x(prev, "pc", "pr", "v", pw, ph, nodata)
+          .select(col("pc"), col("pr"),
+            greatest(lit(0L), least(lit(maxV),
+              floor((col("num") + lit(128L)) / lit(256.0)).cast("long")))
+              .cast("int").as("v"))
+          .cache()
+        stage(lvl, lv, ov)
+        if (prev ne pixels) prev.unpersist(blocking = false)
+        prev = ov
+        pw = lv.w; ph = lv.h
+      }
+      if (prev ne pixels) prev.unpersist(blocking = false)
+    } else levels.zipWithIndex.drop(1).foreach { case (lv, lvl) =>
       val f = lv.factor
       // rounded mean of present source pixels, exact long arithmetic
       val ov = pixels.groupBy(

@@ -128,4 +128,42 @@ class GridOpsSpec extends SparkSpec {
       .select("id", "zone").as[(Long, Long)].collect().toSet
     assert(got == Set((101L, 1L), (102L, 1L), (104L, 2L)))
   }
+
+  test("cubicDownsample2x matches a direct 4x4 kernel reference, edges included") {
+    // odd x even dims exercise both parities of the edge/pad logic
+    val (w, h) = (11, 8)
+    def v(c: Int, r: Int): Long = ((c * 31 + r * 17) % 255).toLong
+    val px = (for (r <- 0 until h; c <- 0 until w) yield (c, r, v(c, r)))
+      .toDF("pc", "pr", "vv")
+    val got = GridOps.cubicDownsample2x(px, "pc", "pr", "vv", w, h)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cs = Seq(-1L, 9L, 9L, -1L)
+    def clamp(i: Int, n: Int) = math.max(0, math.min(n - 1, i))
+    val (wo, ho) = ((w + 1) / 2, (h + 1) / 2)
+    for (tr <- 0 until ho; tc <- 0 until wo) {
+      val want = (for (j <- 0 until 4; i <- 0 until 4)
+        yield cs(i) * cs(j) * v(clamp(2 * tc - 1 + i, w), clamp(2 * tr - 1 + j, h))).sum
+      assert(got((tc, tr)) == want, s"target ($tc,$tr)")
+    }
+    assert(got.size == wo * ho)
+  }
+
+  test("cubicDownsample2x charges absent pixels to nodata") {
+    // a single present pixel at (2,2) of an 8x8 grid, nodata = 100:
+    // every tap except (2,2)'s contributions reads 100
+    val px = Seq((2, 2, 7L)).toDF("pc", "pr", "vv")
+    val got = GridOps.cubicDownsample2x(px, "pc", "pr", "vv", 8, 8, nodata = 100)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cs = Seq(-1L, 9L, 9L, -1L)
+    def coef(t: Int, s: Int): Long =
+      (0 until 4).collect { case i if 2 * t - 1 + i == s => cs(i) }.sum
+    // only targets actually tapping (2,2) appear; untapped targets are
+    // wholly absent (the tile stage later fills them with nodata)
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    for (tr <- 0 to 1; tc <- 0 to 1) {
+      val c = coef(tc, 2) * coef(tr, 2)
+      val want = c * 7L + 100L * (256L - c)
+      assert(got((tc, tr)) == want, s"target ($tc,$tr)")
+    }
+  }
 }
