@@ -80,11 +80,15 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] page-cache warm skipped: $e")
     }
-    // one warm-up pass so JIT/codegen and file listing don't dominate;
-    // warm-up failures are tolerated (the timed passes report them).
-    // The same pass captures each query's canonicalized plan fingerprint:
-    // a timing drift next round is then decidable as noise (same hash) vs
-    // plan change (different hash) without a judge re-bench.
+    // TWO warm-up passes so JIT/codegen and file listing don't dominate:
+    // one pass leaves C2 tiering mid-flight (the r10 driver sidecar still
+    // showed pass-1 30-50% above pass-3 after a single warm-up, and the
+    // published cold totals ran 40% over the converged number three
+    // rounds running). Warm-up failures are tolerated (the timed passes
+    // report them). The first pass captures each query's canonicalized
+    // plan fingerprint: a timing drift next round is then decidable as
+    // noise (same hash) vs plan change (different hash) without a judge
+    // re-bench.
     val planHashes = targets.map { q =>
       val h =
         try {
@@ -95,6 +99,10 @@ object Bench {
         } catch { case scala.util.control.NonFatal(_) => "err" }
       q.name -> h
     }.toMap
+    targets.foreach { q =>
+      try materialize(q.run(spark, sfDir))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // N timed passes per query (consecutive, min reported): one pass cannot
     // defend against co-tenant contention or a cold VM, and a corrupted
     // official record masquerades as a regression every round. The min is

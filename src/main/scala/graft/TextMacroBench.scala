@@ -114,6 +114,63 @@ object TextMacroBench {
         col("sum_gcnt").cast("double") / col("n_bigrams"))
   }
 
+  /** q147 shape at scale: the COMPLETE 5-stage curation DAG — quality
+    * gate → exact dedup → MinHash LSH near-dup dedup → decontamination
+    * → token-budget cut — over the synthetic corpus augmented with ~1%
+    * planted exact copies and ~1% appended-token near-copies (so the
+    * dedup stages do real work). `staged=true` materializes every stage
+    * boundary (localCheckpoint); the run cross-checks the one-DAG
+    * composition against the stage-by-stage run — identical final
+    * manifest (n_docs, sum_tokens) or the bench fails.
+    */
+  private def curation(d: DataFrame, staged: Boolean): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (staged) df.localCheckpoint() else df
+    val aug = d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
+    val toksSp = split(col("text"), " ", -1)
+    val quality = ckpt(aug
+      .withColumn("n_tokens", size(toksSp).cast("double"))
+      .withColumn("diversity",
+        size(array_distinct(toksSp)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
+      .filter(col("quality") >= 0.3))
+    val exact = ckpt(quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn"))
+    val near = ckpt(
+      graft.operators.Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8))
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    def grams(df: DataFrame) = df.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+          " greatest(size(w) - 2, 0))," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+          " ' ', element_at(w, i + 2)))"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gk"))
+    val evalGrams = grams(aug.filter(col("doc_id") % 199 === 0))
+      .select("gk").distinct()
+    val trainSide = near.filter(col("doc_id") % 199 =!= 0)
+    val contaminated = grams(trainSide).join(evalGrams, "gk")
+      .select("doc_id").distinct()
+    val clean = ckpt(trainSide.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"),
+        col("n_tokens").cast("long").as("n_tokens")))
+    val withCum = graft.operators.PrefixSum.runningSum(
+      clean, Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), "cum_tokens")
+    val total = clean.agg(sum("n_tokens").as("total_tokens"))
+    withCum.crossJoin(broadcast(total))
+      .filter(col("cum_tokens") * 2 <= col("total_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
@@ -141,9 +198,10 @@ object TextMacroBench {
     val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
-      "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain)
+      "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
+      "curation" -> (d => curation(d, staged = false)))
 
-    def runAll(nDocs: Long): Map[String, Double] = {
+    def runAll(nDocs: Long, check: Boolean = false): Map[String, Double] = {
       val d = docs(spark, nDocs).cache()
       d.count()
       val times = shapes.map { case (name, f) =>
@@ -151,12 +209,21 @@ object TextMacroBench {
         materialize(f(d))
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      // composition correctness (1× run): the one-DAG curation must
+      // produce the SAME final manifest as the stage-by-stage
+      // (materialized) run — the survivor sets feed each other equally
+      if (check) {
+        val composed = curation(d, staged = false).collect()(0)
+        val stagedRow = curation(d, staged = true).collect()(0)
+        require(composed == stagedRow,
+          s"composed curation $composed != staged $stagedRow at $nDocs docs")
+      }
       d.unpersist()
       times
     }
 
     runAll(math.max(baseDocs / 10, 1000)) // warm-up: JIT + codegen
-    val t1 = runAll(baseDocs)
+    val t1 = runAll(baseDocs, check = true)
     val tN = runAll(baseDocs * factor)
     val ratios = t1.keys.map(k => k -> tN(k) / t1(k)).toMap
     val cliff = ratios.filter(_._2 > 1.5 * factor)
