@@ -500,9 +500,74 @@ object DedupQueries {
                AS offset_in_shard
       FROM c"""))
 
+  /** STREAMING MinHash-LSH dedup — q116's daily-ingest shape run as a
+    * continuous stream (the corpus-service form: filter arrivals against
+    * an ever-growing index without re-scanning the corpus). The
+    * persisted corpus band index loads as the stateful operator's
+    * INITIAL STATE (`flatMapGroupsWithState(..., initialState)` — a
+    * state class no other gate exercises); delta docs replay in doc_id
+    * order (FileReplay.stageOrderedReplay), meet only their own LSH band
+    * buckets, verify with exact md5-shingle-hash-set Jaccard inside the
+    * state function, and join the index whether or not they matched.
+    * Drop rule ≡ q116: matched against ANY corpus member or any
+    * smaller-id delta. Phase 2 aggregates the per-(band, doc) verdicts
+    * (LSH OR-semantics) and counts accepted docs per lang in batch —
+    * the q148 lambda pattern. The oracle is brute-force ground truth
+    * over the SAME md5-derived hash sets (a collision replicates on
+    * both engines); only deterministic LSH false negatives could
+    * diverge, verified empirically per SF like q37.
+    */
+  val q156StreamDedup = Q(
+    "q156_stream_dedup",
+    (s, dir) => {
+      import graft.streaming.{FileReplay, StreamDedup}
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val init = StreamDedup.corpusIndexState(corpus, "doc_id", "text")
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_fdedup")
+      val sel = delta.select(col("doc_id"), col("text"))
+      FileReplay.stageOrderedReplay(sel, "doc_id", srcDir)
+      val verdicts = FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_fdedup_$h") { stream =>
+          StreamDedup.dedupStream(
+            StreamDedup.bandRows(stream, "doc_id", "text"), init).toDF()
+        }
+      val dropped = verdicts.filter(col("matched"))
+        .select(col("docId").as("doc_id")).distinct()
+      delta.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_accepted"))
+    },
+    Some(s"""
+      WITH shc_raw AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")}),
+      shd_raw AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 = 0)")}),
+      shc AS (
+        SELECT doc_id, list_distinct(list_transform(sh,
+                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS h
+        FROM shc_raw),
+      shd AS (
+        SELECT doc_id, list_distinct(list_transform(sh,
+                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS h
+        FROM shd_raw),
+      dropped AS (
+        SELECT DISTINCT d.doc_id FROM shd d JOIN shc c ON TRUE
+        WHERE CAST(len(list_intersect(d.h, c.h)) AS DOUBLE)
+              / len(list_distinct(d.h || c.h)) >= 0.8
+        UNION
+        SELECT DISTINCT b.doc_id FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+              / len(list_distinct(a.h || b.h)) >= 0.8)
+      SELECT lang, count(*) AS n_accepted
+      FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      GROUP BY 1"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
-      q146MultimodalPack)
+      q146MultimodalPack, q156StreamDedup)
 }

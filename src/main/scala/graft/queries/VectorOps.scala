@@ -477,7 +477,7 @@ object VectorOps {
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
-    q153SemDedupIncremental)
+    q153SemDedupIncremental, q157PqAdc)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -880,4 +880,136 @@ object VectorOps {
       SELECT asg.vec_id, cl,
              CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
       FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id"""))
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011 — the PQ/ADC
+    * half of IVFADC, the standard billion-vector scale path): vectors
+    * split into M=8 subspaces of 8 dims; per subspace a K=16 codebook
+    * (deterministic seeds = vec_id 1..16's subvectors, refined by ONE
+    * exact-integer Lloyd step); each vector stored as 8 codeword ids
+    * (4 bits each — 32× compression of the 64-float payload); search is
+    * Asymmetric Distance Computation: the query precomputes an M×K
+    * table of exact squared-L2 distances to every codeword, and a DB
+    * vector's approximate distance is the sum of 8 table lookups —
+    * never a full-vector scan at query time.
+    *
+    * Exactness is the q144 integer pattern end to end: quantized long
+    * vectors, squared-L2 via the fused [[graft.functions.SqDistLong]]
+    * kernel (integer sums are order-independent — no fold protocol
+    * needed), codeword refinement uses the half-up positive-domain
+    * integer mean ((2·sum+n) div (2·n), the q128 overview rounding),
+    * and argmin ties break on codeword id. The only doubles are the
+    * final exact-cosine re-rank column (CosineSim, the q40 precedent).
+    * Plan shape: codebooks and the ADC table broadcast (M×K=128 rows);
+    * assignment is a broadcast join + map-side partial min_by groupBy
+    * on the compact (vec_id, m) key — the fan-out×K rows never shuffle.
+    */
+  lazy val q157PqAdc = Q(
+    "q157_pq_adc",
+    (s, dir) => {
+      val M = 8; val ds = 8; val K = 16
+      val e = t(s, dir)("embeddings")
+      val vq = e.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          (round((x.cast("double") + lit(2.0)) * lit(10000.0), 0)
+            - lit(20000.0)).cast("long")).as("v"))
+        .cache()
+      val sub = vq.select(col("vec_id"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(col("v"), m * ds + 1, ds).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+        .cache()
+      val cb0 = sub.filter(col("vec_id").between(1, K))
+        .select(col("m"), col("vec_id").cast("int").as("j"), col("sv").as("cw"))
+      def assign(src: DataFrame, cb: DataFrame): DataFrame =
+        src.join(broadcast(cb), Seq("m"))
+          .withColumn("dist", graft.functions.SqDistLong(col("sv"), col("cw")))
+          .groupBy("vec_id", "m")
+          .agg(min_by(col("j"), struct(col("dist"), col("j"))).as("j"))
+      // one exact-integer Lloyd step: per-dim half-up integer means
+      val memd = assign(sub, cb0).join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("i", "x")))
+      val aggd = memd.groupBy("m", "j", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("((sx + 20000 * n) * 2 + n) div (2 * n) - 20000"))
+      val cw1 = aggd.groupBy("m", "j")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          p => p.getField("c")).as("cw1"))
+      val cb1 = cb0.join(cw1, Seq("m", "j"), "left")
+        .select(col("m"), col("j"), coalesce(col("cw1"), col("cw")).as("cw"))
+      val codes = assign(sub.filter(col("vec_id") =!= 0), cb1)
+      val tq = sub.filter(col("vec_id") === 0)
+        .join(broadcast(cb1), Seq("m"))
+        .select(col("m"), col("j"),
+          graft.functions.SqDistLong(col("sv"), col("cw")).as("tdist"))
+      val adc = codes.join(broadcast(tq), Seq("m", "j"))
+        .groupBy("vec_id").agg(sum("tdist").as("adc_dist"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      adc.orderBy(col("adc_dist").asc, col("vec_id").asc).limit(10)
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("adc_dist"),
+          round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+    },
+    Some("""
+      WITH vq AS (
+        SELECT vec_id,
+               [CAST(round((CAST(embedding[d] AS DOUBLE) + 2) * 10000, 0) AS BIGINT) - 20000
+                for d in generate_series(1, len(embedding))] AS v
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+        FROM vq CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),
+      cb0 AS (
+        SELECT m, CAST(vec_id AS INT) AS j, sv AS cw
+        FROM sub WHERE vec_id BETWEEN 1 AND 16),
+      d0 AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_sum([(s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])
+                         for i in generate_series(1, 8)]) AS dist
+        FROM sub s JOIN cb0 c ON s.m = c.m),
+      a0 AS (
+        SELECT vec_id, m, j FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, j) AS rn FROM d0)
+        WHERE rn = 1),
+      memd AS (
+        SELECT a.m, a.j, i, s.sv[i] AS x
+        FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+        CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)),
+      aggd AS (
+        SELECT m, j, i, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM memd GROUP BY 1, 2, 3),
+      cw1 AS (
+        SELECT m, j,
+               list(((sx + 20000 * n) * 2 + n) // (2 * n) - 20000 ORDER BY i) AS cw1
+        FROM aggd GROUP BY 1, 2),
+      cb1 AS (
+        SELECT c.m, c.j, coalesce(w.cw1, c.cw) AS cw
+        FROM cb0 c LEFT JOIN cw1 w ON c.m = w.m AND c.j = w.j),
+      d1 AS (
+        SELECT s.vec_id, s.m, c.j,
+               list_sum([(s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])
+                         for i in generate_series(1, 8)]) AS dist
+        FROM sub s JOIN cb1 c ON s.m = c.m
+        WHERE s.vec_id <> 0),
+      codes AS (
+        SELECT vec_id, m, j FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, j) AS rn FROM d1)
+        WHERE rn = 1),
+      tq AS (
+        SELECT c.m, c.j,
+               list_sum([(s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])
+                         for i in generate_series(1, 8)]) AS tdist
+        FROM sub s JOIN cb1 c ON s.m = c.m WHERE s.vec_id = 0),
+      adc AS (
+        SELECT k.vec_id, CAST(sum(t.tdist) AS BIGINT) AS adc_dist
+        FROM codes k JOIN tq t ON k.m = t.m AND k.j = t.j
+        GROUP BY 1),
+      top AS (SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10)
+      SELECT t.vec_id, t.adc_dist,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)), 6) AS cos_sim
+      FROM top t JOIN embeddings e ON e.vec_id = t.vec_id"""))
 }

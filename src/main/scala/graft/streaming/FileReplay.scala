@@ -58,6 +58,36 @@ object FileReplay {
     }
   }
 
+  /** Stage an arbitrary bounded table as an ordered replay: `nBuckets`
+    * equal ranges of the LONG column `orderCol`, one file per range with
+    * strictly increasing modification times. No watermark is involved,
+    * so no sentinel rows — the stateful consumer sees arrivals in
+    * `orderCol` order across micro-batches (ties land in the same file).
+    * Used by the streaming-dedup gate (q156), where arrival order is
+    * doc_id order by construction.
+    */
+  def stageOrderedReplay(sel: DataFrame, orderCol: String,
+      srcDir: java.io.File, nBuckets: Int = 5): Unit = {
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    val stage = new java.io.File(srcDir.getParentFile,
+      srcDir.getName + "_stage").getAbsolutePath
+    val bounds = sel.agg(min(col(orderCol)), max(col(orderCol))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (hi - lo) / nBuckets + 1
+    for (k <- 0 until nBuckets) {
+      val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
+      val df = sel.filter(col(orderCol) >= bLo && col(orderCol) < bHi)
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1704067200000L + k * 1000L)
+    }
+  }
+
   /** Run a streaming transform of the staged replay to completion and
     * return the memory-sink table. `build` maps the file-source stream
     * (schema = `schema`) to the streaming result.
