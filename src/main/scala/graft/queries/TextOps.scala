@@ -1031,6 +1031,119 @@ object TextOps {
                AS contamination_rate
       FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id"""))
 
+  /** HTML → training-text extraction — the CommonCrawl/WET-style step
+    * every web-scale corpus pipeline runs before the q32/q147 quality
+    * stages (trafilatura/jusText's shape, as pure codegen'd column
+    * expressions): strip script/style blocks, mark anchors with a
+    * sentinel token, break block-level closings into lines, strip the
+    * remaining tags, then drop boilerplate lines by the two classic
+    * heuristics — minimum real-token count AND link density (a line
+    * whose tokens are ≥20% anchors is navigation/ads chrome, however
+    * long it is). Emits the cleaned text, kept-line and link counts,
+    * and the extracted/raw length ratio per document.
+    *
+    * The HTML is synthesized deterministically from the documents row
+    * (title/nav/h1/body/ads/footer + doc_id%3 extra nav links) with the
+    * IDENTICAL expression in the oracle, so extraction — not fixture
+    * plumbing — is what the gate checks. Regexes stay in the
+    * Java-regex ∩ RE2 common dialect; the oracle flattens the per-line
+    * lambda work through zipped unnests (DuckDB nested-lambda limits)
+    * and rebuilds line order with string_agg(... ORDER BY li). At
+    * 100 TB this is an embarrassingly parallel scan — no shuffle at
+    * all until the (tiny) output aggregation a consumer might add.
+    */
+  val q158HtmlExtract = Q(
+    "q158_html_extract",
+    (s, dir) => {
+      val d = t(s, dir)("documents")
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit(" #"),
+        col("doc_id").cast("string"),
+        lit("</title><script>var v="), col("doc_id").cast("string"),
+        lit(";</script><style>.x{color:#fff}</style></head><body><nav>" +
+          "<a href=\"/h\">home</a> <a href=\"/c\">contact</a>"),
+        expr("repeat('<a href=\"/x\">more link here</a>', CAST(doc_id % 3 AS INT))"),
+        lit("</nav><h1>"), col("lang"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"ads\">buy now click here</div>" +
+          "<footer>copyright "),
+        col("source"), lit("</footer></body></html>"))
+      val noScript = regexp_replace(regexp_replace(html,
+        "<script[^>]*>.*?</script>", ""), "<style[^>]*>.*?</style>", "")
+      val marked = regexp_replace(noScript, "<a [^>]*>", " _A_ ")
+      val withBreaks = regexp_replace(marked, "</(p|div|h1|nav|footer)>", "\n")
+      val stripped = regexp_replace(withBreaks, "<[^>]+>", " ")
+      val lineToks = transform(split(stripped, "\n"),
+        l => filter(split(trim(regexp_replace(l, "\\s+", " ")), " "),
+          tk => length(tk) > 0))
+      val keptToks = filter(lineToks, ts => {
+        val nl = size(filter(ts, tk => tk === "_A_"))
+        (size(ts) - nl >= 5) && (nl * 5 <= size(ts))
+      })
+      val cleaned = transform(keptToks,
+        ts => array_join(filter(ts, tk => tk =!= "_A_"), " "))
+      val keptText = array_join(cleaned, " ")
+      d.select(col("doc_id"),
+        occurrences(marked, "_A_").as("n_links"),
+        size(keptToks).cast("long").as("n_kept"),
+        round(length(keptText).cast("double") / length(html), 6).as("ratio"),
+        keptText.as("kept_text"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>' || source || ' #' || CAST(doc_id AS VARCHAR) ||
+               '</title><script>var v=' || CAST(doc_id AS VARCHAR) ||
+               ';</script><style>.x{color:#fff}</style></head><body><nav>' ||
+               '<a href="/h">home</a> <a href="/c">contact</a>' ||
+               repeat('<a href="/x">more link here</a>', CAST(doc_id % 3 AS INT)) ||
+               '</nav><h1>' || lang || '</h1><p>' || text ||
+               '</p><div class="ads">buy now click here</div><footer>copyright ' ||
+               source || '</footer></body></html>' AS html
+        FROM documents),
+      mk AS (
+        SELECT doc_id, html,
+               regexp_replace(regexp_replace(regexp_replace(html,
+                 '<script[^>]*>.*?</script>', '', 'g'),
+                 '<style[^>]*>.*?</style>', '', 'g'),
+                 '<a [^>]*>', ' _A_ ', 'g') AS marked
+        FROM h),
+      st AS (
+        SELECT doc_id, html, marked,
+               regexp_replace(regexp_replace(marked,
+                 '</(p|div|h1|nav|footer)>', chr(10), 'g'),
+                 '<[^>]+>', ' ', 'g') AS stripped
+        FROM mk),
+      ln AS (
+        SELECT doc_id, unnest(string_split(stripped, chr(10))) AS raw,
+               unnest(generate_series(1, len(string_split(stripped, chr(10))))) AS li
+        FROM st),
+      tok AS (
+        SELECT doc_id, li,
+               list_filter(string_split(trim(
+                 regexp_replace(raw, '\s+', ' ', 'g')), ' '),
+                 tk -> len(tk) > 0) AS ts
+        FROM ln),
+      lstat AS (
+        SELECT doc_id, li, ts,
+               len(list_filter(ts, tk -> tk = '_A_')) AS nl, len(ts) AS nt
+        FROM tok),
+      keptl AS (
+        SELECT doc_id, li,
+               array_to_string(list_filter(ts, tk -> tk <> '_A_'), ' ') AS cl
+        FROM lstat WHERE nt - nl >= 5 AND nl * 5 <= nt),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(cl, ' ' ORDER BY li) AS kept_text
+        FROM keptl GROUP BY 1)
+      SELECT st.doc_id,
+             CAST((length(marked) - length(replace(marked, '_A_', ''))) / 3 AS BIGINT)
+               AS n_links,
+             coalesce(a.n_kept, 0) AS n_kept,
+             round(CAST(length(coalesce(a.kept_text, '')) AS DOUBLE)
+                   / length(st.html), 6) AS ratio,
+             coalesce(a.kept_text, '') AS kept_text
+      FROM st LEFT JOIN agg a ON st.doc_id = a.doc_id"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1038,5 +1151,5 @@ object TextOps {
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity,
-    q151EvalContamination)
+    q151EvalContamination, q158HtmlExtract)
 }

@@ -477,7 +477,7 @@ object VectorOps {
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
-    q153SemDedupIncremental, q157PqAdc)
+    q153SemDedupIncremental, q157PqAdc, q159KmeansParInit)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -1012,4 +1012,168 @@ object VectorOps {
                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                     WHERE vec_id = 0)), 6) AS cos_sim
       FROM top t JOIN embeddings e ON e.vec_id = t.vec_id"""))
+
+  /** k-means|| scalable initialization (Bahmani, Moseley, Vattani, Kumar,
+    * Vassilvitskii — VLDB 2012): the distributed seeding that makes the
+    * q144/q152 k-means family self-contained at 100 TB (no label warm
+    * start, no sequential k-means++ over the corpus). Each of `rounds`
+    * passes computes every point's exact min squared distance to the
+    * current candidate set (broadcast — candidates are O(l·rounds)
+    * w.h.p., the algorithm's whole point) and "samples" points with
+    * probability l·d²/φ — DERANDOMIZED as a hash threshold: accept iff
+    * (md5Hash64(vec_id || '_r') mod 1024)·φ < l·d²·1024, the same
+    * md5-derived coin both engines can replay exactly (q85's split
+    * recipe). Candidates are then weighted by nearest-assignment counts
+    * and reduced to k centers by weighted farthest-point traversal on
+    * the driver (a bounded collect, like BPE's winning pair; ties break
+    * on candidate id). Quantized-long vectors + SqDistLong keep every
+    * distance, φ, and score an exact integer — order-independent at any
+    * shuffle order; magnitudes: d² ≤ 64·(4·10⁴)² ≈ 10¹¹, φ ≤ n·10¹¹,
+    * (mod)·φ ≤ 1023·2·10¹⁴ ≈ 2·10¹⁷ < 2⁶³. The oracle unrolls both
+    * sampling rounds and the k=4 farthest-point picks as CTE stages.
+    */
+  lazy val q159KmeansParInit = Q(
+    "q159_kmeanspar_init",
+    (s, dir) => {
+      val M = 1024L; val l = 16L; val rounds = 2; val k = 4
+      val e = t(s, dir)("embeddings")
+      val vq = e.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          (round((x.cast("double") + lit(2.0)) * lit(10000.0), 0)
+            - lit(20000.0)).cast("long")).as("v"))
+        .cache()
+      def sq(a: Column, b: Column) = graft.functions.SqDistLong(a, b)
+      var cands = vq.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      for (r <- 1 to rounds) {
+        val dmin = vq.crossJoin(broadcast(cands))
+          .select(col("vec_id"), sq(col("v"), col("cv")).as("d2"))
+          .groupBy("vec_id").agg(min("d2").as("d2"))
+        val phi = dmin.agg(sum("d2").as("phi"))
+        val accepted = dmin.crossJoin(broadcast(phi))
+          .filter(
+            pmod(graft.operators.Dedup.md5Hash64(
+              concat(col("vec_id").cast("string"), lit("_" + r))), lit(M))
+              * col("phi") < lit(l) * col("d2") * lit(M))
+          .select("vec_id")
+        cands = cands.unionByName(
+          vq.join(accepted, Seq("vec_id"))
+            .select(col("vec_id").as("cid"), col("v").as("cv")))
+      }
+      val best = vq.crossJoin(broadcast(cands))
+        .select(col("vec_id"), col("cid"), sq(col("v"), col("cv")).as("d2"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val weights = best.groupBy("cid").agg(count(lit(1)).as("w"))
+      val cw = weights.join(cands, Seq("cid"))
+        .select(col("cid"), col("w"), col("cv"))
+        .collect()
+        .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getSeq[Long](2).toArray))
+        .sortBy(_._1)
+      def sqArr(a: Array[Long], b: Array[Long]): Long = {
+        var s0 = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+        s0
+      }
+      var chosen = Vector(cw.maxBy(c => (c._2, -c._1)))
+      while (chosen.size < k) {
+        val next = cw.filter(c => !chosen.exists(_._1 == c._1))
+          .map(c => (c, c._2 * chosen.map(ch => sqArr(c._3, ch._3)).min))
+          .maxBy { case (c, score) => (score, -c._1) }
+        chosen = chosen :+ next._1
+      }
+      import s.implicits._
+      val chosenDf = chosen.map(c => (c._1, c._3)).toDF("cid", "cv")
+      val fin = vq.crossJoin(broadcast(chosenDf))
+        .select(col("vec_id"), col("cid"), sq(col("v"), col("cv")).as("d2"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.d2").as("d2"))
+      fin.groupBy("cid").agg(count(lit(1)).as("n_assigned"),
+          sum("d2").as("cost"))
+        .join(weights, Seq("cid"))
+        .select(col("cid"), col("w"), col("n_assigned"), col("cost"))
+    },
+    Some("""
+      WITH vq AS (
+        SELECT vec_id,
+               [CAST(round((CAST(embedding[d] AS DOUBLE) + 2) * 10000, 0) AS BIGINT) - 20000
+                for d in generate_series(1, len(embedding))] AS v
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM vq WHERE vec_id = 0),
+      dm1 AS (
+        SELECT q.vec_id, q.v,
+               min(CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                                  for i in generate_series(1, 64)]) AS BIGINT)) AS d2
+        FROM vq q CROSS JOIN c0 c GROUP BY 1, 2),
+      phi1 AS (SELECT CAST(sum(d2) AS BIGINT) AS phi FROM dm1),
+      acc1 AS (
+        SELECT vec_id FROM dm1, phi1
+        WHERE (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_1'), 18, 15)
+                 AS BIGINT) % 1024) * phi < 16 * d2 * 1024),
+      c1 AS (SELECT * FROM c0 UNION ALL
+             SELECT q.vec_id AS cid, q.v AS cv FROM vq q JOIN acc1 a ON q.vec_id = a.vec_id),
+      dm2 AS (
+        SELECT q.vec_id, q.v,
+               min(CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                                  for i in generate_series(1, 64)]) AS BIGINT)) AS d2
+        FROM vq q CROSS JOIN c1 c GROUP BY 1, 2),
+      phi2 AS (SELECT CAST(sum(d2) AS BIGINT) AS phi FROM dm2),
+      acc2 AS (
+        SELECT vec_id FROM dm2, phi2
+        WHERE (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_2'), 18, 15)
+                 AS BIGINT) % 1024) * phi < 16 * d2 * 1024),
+      c2 AS (SELECT * FROM c1 UNION ALL
+             SELECT q.vec_id AS cid, q.v AS cv FROM vq q JOIN acc2 a ON q.vec_id = a.vec_id),
+      bd AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                              for i in generate_series(1, 64)]) AS BIGINT) AS d2
+        FROM vq q CROSS JOIN c2 c),
+      best AS (
+        SELECT vec_id, cid FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM bd) WHERE rn = 1),
+      w AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM best GROUP BY 1),
+      cw AS (SELECT w.cid, w.w, c.cv FROM w JOIN c2 c ON w.cid = c.cid),
+      s1 AS (SELECT cid, cv FROM cw ORDER BY w DESC, cid LIMIT 1),
+      d2s AS (
+        SELECT cw.cid, cw.cv, cw.w,
+               min(CAST(list_sum([(cw.cv[i] - s.cv[i]) * (cw.cv[i] - s.cv[i])
+                                  for i in generate_series(1, 64)]) AS BIGINT)) AS md
+        FROM cw CROSS JOIN s1 s
+        WHERE cw.cid NOT IN (SELECT cid FROM s1)
+        GROUP BY 1, 2, 3),
+      s2 AS (SELECT cid, cv FROM d2s ORDER BY w * md DESC, cid LIMIT 1),
+      ch2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+      d3s AS (
+        SELECT cw.cid, cw.cv, cw.w,
+               min(CAST(list_sum([(cw.cv[i] - s.cv[i]) * (cw.cv[i] - s.cv[i])
+                                  for i in generate_series(1, 64)]) AS BIGINT)) AS md
+        FROM cw CROSS JOIN ch2 s
+        WHERE cw.cid NOT IN (SELECT cid FROM ch2)
+        GROUP BY 1, 2, 3),
+      s3 AS (SELECT cid, cv FROM d3s ORDER BY w * md DESC, cid LIMIT 1),
+      ch3 AS (SELECT * FROM ch2 UNION ALL SELECT * FROM s3),
+      d4s AS (
+        SELECT cw.cid, cw.cv, cw.w,
+               min(CAST(list_sum([(cw.cv[i] - s.cv[i]) * (cw.cv[i] - s.cv[i])
+                                  for i in generate_series(1, 64)]) AS BIGINT)) AS md
+        FROM cw CROSS JOIN ch3 s
+        WHERE cw.cid NOT IN (SELECT cid FROM ch3)
+        GROUP BY 1, 2, 3),
+      s4 AS (SELECT cid, cv FROM d4s ORDER BY w * md DESC, cid LIMIT 1),
+      ch4 AS (SELECT * FROM ch3 UNION ALL SELECT * FROM s4),
+      fb AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                              for i in generate_series(1, 64)]) AS BIGINT) AS d2
+        FROM vq q CROSS JOIN ch4 c),
+      fbest AS (
+        SELECT vec_id, cid, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM fb) WHERE rn = 1)
+      SELECT f.cid, w.w, CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(sum(f.d2) AS BIGINT) AS cost
+      FROM fbest f JOIN w ON f.cid = w.cid
+      GROUP BY f.cid, w.w"""))
 }
