@@ -171,6 +171,26 @@ object TextMacroBench {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
   }
 
+  /** q158 shape: HTML synthesis + regex boilerplate extraction — an
+    * embarrassingly parallel scan with zero shuffle; its ratio should
+    * track the data ratio almost exactly (pure per-row CPU).
+    */
+  private def htmlExtract(d: DataFrame): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>s"), pmod(col("doc_id"), lit(20)).cast("string"),
+      lit(" #"), col("doc_id").cast("string"),
+      lit("</title><script>var v=1;</script><style>.x{}</style></head>" +
+        "<body><nav><a href=\"/h\">home</a> <a href=\"/c\">contact</a>"),
+      expr("repeat('<a href=\"/x\">more link here</a>', CAST(doc_id % 3 AS INT))"),
+      lit("</nav><h1>t</h1><p>"), col("text"),
+      lit("</p><div class=\"ads\">buy now click here</div>" +
+        "<footer>copyright s</footer></body></html>"))
+    val ex = graft.operators.HtmlExtract.extract(html)
+    d.select(col("doc_id"), ex.as("ex"))
+      .select(col("doc_id"), col("ex.n_links"), col("ex.n_kept"),
+        length(col("ex.kept_text")).as("kept_len"))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
@@ -199,7 +219,8 @@ object TextMacroBench {
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
-      "curation" -> (d => curation(d, staged = false)))
+      "curation" -> (d => curation(d, staged = false)),
+      "html_extract" -> htmlExtract)
 
     def runAll(nDocs: Long, check: Boolean = false): Map[String, Double] = {
       val d = docs(spark, nDocs).cache()

@@ -1067,26 +1067,14 @@ object TextOps {
         lit("</p><div class=\"ads\">buy now click here</div>" +
           "<footer>copyright "),
         col("source"), lit("</footer></body></html>"))
-      val noScript = regexp_replace(regexp_replace(html,
-        "<script[^>]*>.*?</script>", ""), "<style[^>]*>.*?</style>", "")
-      val marked = regexp_replace(noScript, "<a [^>]*>", " _A_ ")
-      val withBreaks = regexp_replace(marked, "</(p|div|h1|nav|footer)>", "\n")
-      val stripped = regexp_replace(withBreaks, "<[^>]+>", " ")
-      val lineToks = transform(split(stripped, "\n"),
-        l => filter(split(trim(regexp_replace(l, "\\s+", " ")), " "),
-          tk => length(tk) > 0))
-      val keptToks = filter(lineToks, ts => {
-        val nl = size(filter(ts, tk => tk === "_A_"))
-        (size(ts) - nl >= 5) && (nl * 5 <= size(ts))
-      })
-      val cleaned = transform(keptToks,
-        ts => array_join(filter(ts, tk => tk =!= "_A_"), " "))
-      val keptText = array_join(cleaned, " ")
-      d.select(col("doc_id"),
-        occurrences(marked, "_A_").as("n_links"),
-        size(keptToks).cast("long").as("n_kept"),
-        round(length(keptText).cast("double") / length(html), 6).as("ratio"),
-        keptText.as("kept_text"))
+      val ex = graft.operators.HtmlExtract.extract(html)
+      d.select(col("doc_id"), ex.as("ex"), html.as("html"))
+        .select(col("doc_id"),
+          col("ex.n_links").as("n_links"),
+          col("ex.n_kept").as("n_kept"),
+          round(length(col("ex.kept_text")).cast("double")
+            / length(col("html")), 6).as("ratio"),
+          col("ex.kept_text").as("kept_text"))
     },
     Some("""
       WITH h AS (
