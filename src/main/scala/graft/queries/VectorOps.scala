@@ -477,7 +477,7 @@ object VectorOps {
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
-    q153SemDedupIncremental, q157PqAdc, q159KmeansParInit)
+    q153SemDedupIncremental, q157PqAdc, q159KmeansParInit, q160Ivfpq)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -1176,4 +1176,147 @@ object VectorOps {
              CAST(sum(f.d2) AS BIGINT) AS cost
       FROM fbest f JOIN w ON f.cid = w.cid
       GROUP BY f.cid, w.w"""))
+
+  /** IVFADC — the full Jégou et al. composition and the shape every
+    * billion-vector ANN service deploys: coarse inverted lists (integer-
+    * mean label centroids, the q44 routing) partition the corpus; PQ
+    * codes are trained on RESIDUALS (vector − its list centroid, the
+    * detail PQ must capture once the coarse part is factored out); a
+    * query probes its nprobe=2 nearest lists, builds one per-list ADC
+    * table from the per-list query residual, and scans only those
+    * lists' codes — table lookups over nprobe/k of the corpus, never a
+    * full-vector pass. Exactness: the q157 integer pattern (quantized
+    * longs, SqDistLong, half-up integer coarse means, argmin ties to
+    * smaller codeword/label ids); output attaches the exact integer L2
+    * of the shortlist so re-ranking is visible in the gate. Codebook =
+    * seed residual subvectors of vec_id 1..16 (training is q157's
+    * gated step; routing+residual+per-list-ADC is what THIS query
+    * gates). Plan: coarse table, probe pair, codebook, and both ADC
+    * tables broadcast; encode is the broadcast-join + min_by partial
+    * agg on compact (vec_id, m) keys.
+    */
+  lazy val q160Ivfpq = Q(
+    "q160_ivfpq",
+    (s, dir) => {
+      val M = 8; val ds = 8; val K = 16; val nprobe = 2
+      val e = t(s, dir)("embeddings")
+      val vq = e.select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x =>
+          (round((x.cast("double") + lit(2.0)) * lit(10000.0), 0)
+            - lit(20000.0)).cast("long")).as("v"))
+        .cache()
+      // coarse centroids: per-label per-dim half-up integer means
+      val coarse = vq.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("((sx + 20000 * n) * 2 + n) div (2 * n) - 20000"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      val q0 = vq.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      // probe: nprobe nearest coarse lists
+      val probed = coarse.crossJoin(broadcast(q0))
+        .select(col("label"), col("cv"),
+          graft.functions.SqDistLong(col("qv"), col("cv")).as("cd"))
+        .orderBy(col("cd").asc, col("label").asc).limit(nprobe)
+        .select(col("label"), col("cv"))
+      // residuals (all vectors — the index is global)
+      val res = vq.join(broadcast(coarse), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      val sub = res.select(col("vec_id"), col("label"),
+          explode(array((0 until M).map(m =>
+            struct(lit(m).as("m"), slice(col("r"), m * ds + 1, ds).as("sv"))): _*))
+            .as("s"))
+        .select(col("vec_id"), col("label"), col("s.m").as("m"),
+          col("s.sv").as("sv"))
+      val cb = sub.filter(col("vec_id").between(1, K))
+        .select(col("m"), col("vec_id").cast("int").as("j"), col("sv").as("cw"))
+      val codes = sub.filter(col("vec_id") =!= 0)
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("dist", graft.functions.SqDistLong(col("sv"), col("cw")))
+        .groupBy("vec_id", "label", "m")
+        .agg(min_by(col("j"), struct(col("dist"), col("j"))).as("j"))
+      // per-probed-list ADC tables from the per-list query residual
+      val qres = probed.crossJoin(broadcast(q0))
+        .select(col("label"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+      val tables = qres.crossJoin(broadcast(cb))
+        .select(col("label"), col("m"), col("j"),
+          graft.functions.SqDistLong(
+            slice(col("qr"), col("m") * ds + 1, lit(ds)), col("cw")).as("tdist"))
+      val adc = codes.join(broadcast(tables), Seq("label", "m", "j"))
+        .groupBy("vec_id", "label").agg(sum("tdist").as("adc_dist"))
+      val short = adc.orderBy(col("adc_dist").asc, col("vec_id").asc).limit(10)
+      short.join(vq.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("label"), col("adc_dist"),
+          graft.functions.SqDistLong(col("v"), col("qv")).as("d2_exact"))
+    },
+    Some("""
+      WITH vq AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               [CAST(round((CAST(embedding[d] AS DOUBLE) + 2) * 10000, 0) AS BIGINT) - 20000
+                for d in generate_series(1, len(embedding))] AS v
+        FROM embeddings),
+      cd AS (
+        SELECT label, i, CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT label, unnest(v) AS x,
+                     unnest(generate_series(1, len(v))) AS i FROM vq)
+        GROUP BY 1, 2),
+      coarse AS (
+        SELECT label,
+               list(((sx + 20000 * n) * 2 + n) // (2 * n) - 20000 ORDER BY i) AS cv
+        FROM cd GROUP BY 1),
+      q0 AS (SELECT v AS qv FROM vq WHERE vec_id = 0),
+      probed AS (
+        SELECT c.label, c.cv
+        FROM coarse c, q0
+        ORDER BY CAST(list_sum([(q0.qv[i] - c.cv[i]) * (q0.qv[i] - c.cv[i])
+                                for i in generate_series(1, 64)]) AS BIGINT),
+                 c.label
+        LIMIT 2),
+      res AS (
+        SELECT q.vec_id, q.label,
+               [q.v[i] - c.cv[i] for i in generate_series(1, 64)] AS r
+        FROM vq q JOIN coarse c ON q.label = c.label),
+      sub AS (
+        SELECT vec_id, label, m, r[m*8+1 : m*8+8] AS sv
+        FROM res CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),
+      cb AS (
+        SELECT m, CAST(vec_id AS INT) AS j, sv AS cw
+        FROM sub WHERE vec_id BETWEEN 1 AND 16),
+      dall AS (
+        SELECT s.vec_id, s.label, s.m, c.j,
+               CAST(list_sum([(s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i])
+                              for i in generate_series(1, 8)]) AS BIGINT) AS dist
+        FROM sub s JOIN cb c ON s.m = c.m
+        WHERE s.vec_id <> 0),
+      codes AS (
+        SELECT vec_id, label, m, j FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, j) AS rn FROM dall)
+        WHERE rn = 1),
+      qres AS (
+        SELECT p.label,
+               [q0.qv[i] - p.cv[i] for i in generate_series(1, 64)] AS qr
+        FROM probed p, q0),
+      tables_ AS (
+        SELECT r.label, c.m, c.j,
+               CAST(list_sum([(r.qr[c.m*8 + i] - c.cw[i]) * (r.qr[c.m*8 + i] - c.cw[i])
+                              for i in generate_series(1, 8)]) AS BIGINT) AS tdist
+        FROM qres r CROSS JOIN cb c),
+      adc AS (
+        SELECT k.vec_id, k.label, CAST(sum(t.tdist) AS BIGINT) AS adc_dist
+        FROM codes k JOIN tables_ t
+          ON k.label = t.label AND k.m = t.m AND k.j = t.j
+        GROUP BY 1, 2),
+      short AS (
+        SELECT vec_id, label, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10)
+      SELECT s.vec_id, s.label, s.adc_dist,
+             CAST(list_sum([(v.v[i] - q0.qv[i]) * (v.v[i] - q0.qv[i])
+                            for i in generate_series(1, 64)]) AS BIGINT) AS d2_exact
+      FROM short s JOIN vq v ON v.vec_id = s.vec_id, q0"""))
 }
