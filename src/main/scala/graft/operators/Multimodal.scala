@@ -241,6 +241,74 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class ImageDhash(media_id: Long, width: Int, height: Int,
+      dhash: Long)
+
+  /** Perceptual difference-hash (dHash, the classic 64-bit image
+    * near-dup fingerprint) through the same batched decode seam:
+    * grayscale = sum over ALL raster bands (the fixture formula's
+    * sample sum), pooled to a 9-col × 8-row grid (cell col = x·9/w,
+    * row = y·8/h, value = FLOOR(sum/count), empty cells — possible
+    * when w < 9 on tiny fixtures — are 0), bit r·8+c set iff
+    * cell[r][c] < cell[r][c+1] (strict). All-integer, so an
+    * independent implementation of the formula reproduces the hash
+    * bit-for-bit (tools/dhash_fixture.py). Gradient offset cancels in
+    * the comparisons, so brightness-shifted copies hash identically —
+    * the property that makes dHash a near-dup key. Pair search reuses
+    * the q38 hamming machinery (q161).
+    */
+  def imageDhash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cols = 9; val rows = 8
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { m =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            require(img != null, s"media_id=${m.media_id}: undecodable image")
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val c = raster.getNumBands
+            val cellSum = new Array[Long](cols * rows)
+            val cellN = new Array[Long](cols * rows)
+            var y = 0
+            while (y < h) {
+              val cy = y * rows / h
+              var x = 0
+              while (x < w) {
+                val cell = cy * cols + x * cols / w
+                var b = 0
+                while (b < c) {
+                  cellSum(cell) += raster.getSample(x, y, b)
+                  b += 1
+                }
+                cellN(cell) += c
+                x += 1
+              }
+              y += 1
+            }
+            def cellV(i: Int): Long =
+              if (cellN(i) == 0) 0L else cellSum(i) / cellN(i)
+            var hash = 0L
+            var r = 0
+            while (r < rows) {
+              var c0 = 0
+              while (c0 < cols - 1) {
+                if (cellV(r * cols + c0) < cellV(r * cols + c0 + 1))
+                  hash |= 1L << (r * (cols - 1) + c0)
+                c0 += 1
+              }
+              r += 1
+            }
+            ImageDhash(m.media_id, w, h, hash)
+          }
+        }
+      }.toDF()
+  }
+
   final case class WavDecoded(
       media_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
       abs_sum: Long, peak: Int, b0: Double, b1: Double, b2: Double, b3: Double)

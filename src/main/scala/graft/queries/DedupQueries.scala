@@ -565,9 +565,42 @@ object DedupQueries {
       WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
       GROUP BY 1"""))
 
+  /** Image near-dup fingerprinting via perceptual dHash (q38's hamming
+    * machinery applied to the MULTIMODAL column): the real byte-level
+    * PNG decode feeds Multimodal.imageDhash (9×8 integer pooling →
+    * 64-bit difference hash, offset-invariant), and every image pair
+    * reports its hamming distance. The oracle reads the INDEPENDENT
+    * formula-computed expected parquet (tools/dhash_fixture.py — same
+    * cross-validation posture as q80: an engine-side decode or hash
+    * deviation breaks the value compare). At corpus scale the pair
+    * stage is q38's 4×16-bit pigeonhole banding, not this all-pairs
+    * join — the fixture has 4 images, the banding is spec-pinned.
+    */
+  val q161ImageDhash = Q(
+    "q161_image_dhash",
+    (s, _) => {
+      val files = s.read.format("binaryFile").load("/root/repo/data/png/*.png")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"),
+          col("content").as("payload"))
+      val h = Multimodal.imageDhash(files).select("media_id", "dhash")
+      val a = h.select(col("media_id").as("id_a"), col("dhash").as("dhash_a"))
+      val b = h.select(col("media_id").as("id_b"), col("dhash").as("dhash_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dhash_a"), col("dhash_b"),
+          bit_count(expr("dhash_a ^ dhash_b")).cast("long").as("hamming"))
+    },
+    Some("""
+      WITH h AS (SELECT media_id, dhash
+                 FROM '/root/repo/data/dhash_expected.parquet')
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             a.dhash AS dhash_a, b.dhash AS dhash_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM h a JOIN h b ON a.media_id < b.media_id"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
-      q146MultimodalPack, q156StreamDedup)
+      q146MultimodalPack, q156StreamDedup, q161ImageDhash)
 }
