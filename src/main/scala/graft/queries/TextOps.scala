@@ -534,6 +534,74 @@ object TextOps {
       SELECT node AS doc_id, min(lbl) AS component
       FROM reach GROUP BY 1"""))
 
+  /** Leakage-safe train/val split: near-duplicate documents must land in
+    * the SAME split, or held-out evaluation leaks training text (the
+    * q85 hash split is per-doc and does leak across near-dup pairs).
+    * Shape: the q110 shared-chunk edge graph → distributed connected
+    * components → split decided by a hash of the COMPONENT label, so
+    * every member of a near-dup cluster routes together and singleton
+    * docs split independently. Scale: edges are compact (long,long)
+    * pairs via per-chunk hub stars (never doc×doc), CC is the
+    * hash-to-min + pointer-jumping operator already bounded at 10M
+    * nodes, and the split itself is one expression — no extra shuffle
+    * beyond the CC rounds. Oracle recomputes the closure with a
+    * recursive CTE and replays the same split hash.
+    */
+  val q164LeakageSafeSplit = Q(
+    "q164_leakage_safe_split",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val chunks = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(sequence(1, greatest(cast(ceil(size(w) / 8.0) as int), 1))," +
+            " 1, greatest(cast(ceil(size(w) / 8.0) as int), 0))," +
+            " i -> array_join(slice(w, (i - 1) * 8 + 1, 8), ' '))"))
+          .as("line"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.md5Hash64(col("line")).as("lk"))
+        .distinct()
+      val hubs = chunks.groupBy("lk").agg(min("doc_id").as("hub"))
+      val edges = chunks.join(hubs, "lk")
+        .filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("src"), col("doc_id").as("dst"))
+        .distinct()
+      val comps = graft.operators.ConnectedComponents.run(edges)
+      t(s, dir)("documents").select(col("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+        .select(col("doc_id"), col("component"),
+          when(pmod(graft.operators.Dedup.md5Hash64(
+            concat(lit("s_"), col("component").cast("string"))), lit(10L)) < 8,
+            lit("train")).otherwise(lit("val")).as("split"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(array_to_string(
+                 w[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ')), 18, 15)) AS BIGINT) AS lk
+        FROM toks, unnest(generate_series(1,
+               CAST(ceil(len(w) / 8.0) AS INT))) AS t(i)),
+      hubs AS (SELECT lk, min(doc_id) AS hub FROM chunks GROUP BY 1),
+      edges AS (
+        SELECT DISTINCT hub AS a, doc_id AS b
+        FROM chunks JOIN hubs USING (lk) WHERE doc_id <> hub),
+      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+      SELECT node AS doc_id, min(lbl) AS component,
+             CASE WHEN CAST('0x' || substr(md5('s_' || min(lbl)), 18, 15)
+                        AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM reach GROUP BY 1"""))
+
   /** Corpus-wide LINE dedup with per-document reconstruction — the
     * C4-recipe hygiene pass (any line occurring more than once across
     * the whole corpus is kept only at its FIRST occurrence, then
@@ -1132,12 +1200,245 @@ object TextOps {
              coalesce(a.kept_text, '') AS kept_text
       FROM st LEFT JOIN agg a ON st.doc_id = a.doc_id"""))
 
+  /** Bloom-prefiltered decontamination: q84's eval-3-gram check with the
+    * broadcast bit-array prefilter a 100 TB corpus needs. The eval set's
+    * k=3 hash positions are OR-ed into ONE 65536-bit array by the
+    * mergeable [[graft.functions.BloomBits]] Aggregator (fixed-size
+    * partials, map-side combined), the single-row filter broadcasts into
+    * the training scan, and only grams whose three bits are all set reach
+    * the exact verify join (itself broadcast — the eval set is small).
+    * No false negatives, so n_exact_grams equals q84's unfiltered answer;
+    * n_candidate_grams ≥ n_exact_grams exposes the false-positive rate.
+    * The oracle replays the bit arithmetic as a distinct-positions set
+    * (membership ⇔ all three positions present — identical semantics).
+    *
+    * Reference decontaminates eval overlap the exact-join way
+    * (data_pipelines' filtering stage); the Bloom stage is the scale
+    * path that keeps the join input linear in the CONTAMINATED set.
+    */
+  val q162BloomDecontaminate = Q(
+    "q162_bloom_decontaminate",
+    (s, dir) => {
+      val m = 65536L
+      val toks = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+      // same TOTAL gram expression as q84 (round-5 lesson: explode's
+      // inferred non-empty predicate merges into the size>=3 Filter and
+      // subexpression elimination evaluates the array expr first).
+      val grams = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+            " greatest(size(w) - 2, 0))," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+            " ' ', element_at(w, i + 2)))")).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .select(col("doc_id"), graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
+        .cache() // reused by the eval set, the filter build, and the scan
+      def pos(j: Int): Column =
+        pmod(graft.operators.Dedup.md5Hash64(
+          concat(col("gk").cast("string"), lit("_" + j))), lit(m))
+      val eval_ = grams.filter(col("doc_id") % 199 === 0).select("gk").distinct()
+      val bloom = eval_
+        .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+        .agg(graft.functions.BloomBits(m.toInt)(col("p")).as("words"))
+      def bitSet(p: String): Column = expr(
+        s"(shiftright(element_at(words, cast($p div 64 as int) + 1)," +
+          s" cast($p % 64 as int)) & 1) = 1")
+      grams.filter(col("doc_id") % 199 =!= 0)
+        .withColumn("p0", pos(0)).withColumn("p1", pos(1)).withColumn("p2", pos(2))
+        .crossJoin(broadcast(bloom))
+        .filter(bitSet("p0") && bitSet("p1") && bitSet("p2"))
+        .join(broadcast(eval_.withColumn("hit", lit(1L))), Seq("gk"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidate_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_exact_grams"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)])) AS g
+        FROM toks WHERE len(w) >= 3),
+      keyed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(g), 18, 15) AS BIGINT) AS gk
+        FROM grams),
+      evalg AS (SELECT DISTINCT gk FROM keyed WHERE doc_id % 199 = 0),
+      setbits AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(gk AS VARCHAR) || '_' || j), 18, 15)
+                    AS BIGINT) % 65536 AS p
+        FROM evalg, (SELECT unnest([0, 1, 2]) AS j)),
+      trainpos AS (
+        SELECT doc_id, gk, j,
+               CAST('0x' || substr(md5(CAST(gk AS VARCHAR) || '_' || j), 18, 15)
+                    AS BIGINT) % 65536 AS p
+        FROM keyed, (SELECT unnest([0, 1, 2]) AS j)
+        WHERE doc_id % 199 <> 0),
+      cand AS (
+        SELECT doc_id, gk
+        FROM trainpos tp JOIN setbits b ON tp.p = b.p
+        GROUP BY doc_id, gk HAVING count(*) = 3)
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_candidate_grams,
+             CAST(sum(CASE WHEN e.gk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_grams
+      FROM cand c LEFT JOIN evalg e ON c.gk = e.gk
+      GROUP BY c.doc_id"""))
+
+  /** Linear quality-classifier INFERENCE with the hashing trick — the
+    * fastText-shaped scoring pass (Joulin et al. 2016: bag of words +
+    * word bigrams, features hashed into a fixed bucket space, linear
+    * model) that production pipelines run to keep/drop documents after
+    * the heuristic filters. The model is a TABLE (bucket → integer
+    * weight, 4096 rows) broadcast into the feature join — the real
+    * deployment shape for any hashed linear/embedding-lookup model: at
+    * 100 TB the scan explodes features map-side, the broadcast lookup
+    * never shuffles the corpus, and one partial-agged groupBy folds the
+    * per-occurrence weights. All-integer arithmetic (weights in
+    * [-1000, 1000], score = exact long sum; avg > 0 ⇔ sum > 0) so both
+    * engines agree bit-for-bit at any summation order. Weights here are
+    * hash-derived pseudo-weights — a trained model would arrive as the
+    * same (bucket, weight) table.
+    */
+  val q163QualityClassifier = Q(
+    "q163_quality_classifier",
+    (s, dir) => {
+      val d = 4096L
+      val weights = s.range(0, d).select(
+        col("id").as("bucket"),
+        (pmod(graft.operators.Dedup.md5Hash64(
+          concat(lit("w_"), col("id").cast("string"))), lit(2001L)) - 1000L)
+          .as("wt"))
+      val toks = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+      // unigrams ++ bigrams, TOTAL expression (round-5 lesson)
+      val feats = t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), explode(expr(
+          "concat(w, transform(slice(sequence(1, greatest(size(w) - 1, 1)), 1," +
+            " greatest(size(w) - 1, 0))," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"))
+          .as("f"))
+        .select(col("doc_id"),
+          pmod(graft.operators.Dedup.md5Hash64(col("f")), lit(d)).as("bucket"))
+      feats.join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("wt")).as("score_num"))
+        .select(col("doc_id"), col("n_feats"), col("score_num"),
+          when(col("score_num") > 0, 1).otherwise(0).as("keep"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS f
+        FROM toks),
+      bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(f), 18, 15) AS BIGINT) % 4096 AS bucket
+        FROM feats),
+      weights AS (
+        SELECT j AS bucket,
+               CAST('0x' || substr(md5('w_' || j), 18, 15) AS BIGINT) % 2001
+                 - 1000 AS wt
+        FROM (SELECT unnest(generate_series(0, 4095)) AS j))
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(wt) AS BIGINT) AS score_num,
+             CASE WHEN CAST(sum(wt) AS BIGINT) > 0 THEN 1 ELSE 0 END AS keep
+      FROM bucketed JOIN weights USING (bucket)
+      GROUP BY doc_id"""))
+
+  /** URL canonicalization + dedup — the crawl-frontier hygiene pass that
+    * runs BEFORE any text stage (casefold scheme/host, strip the default
+    * :80 port, drop fragments and `utm_*` tracking params, sort the
+    * surviving query params, trim the trailing slash), then exact-dedup
+    * on the canonical form. The messy URLs are synthesized
+    * deterministically from doc_id (the corpus has no URL column), with
+    * every normalization rule exercised: mixed-case host, default port,
+    * rotating param order/values, fragments, and a doc_id-parity
+    * trailing slash that ONLY canonicalization collapses. Scale shape:
+    * pure per-row string expressions (whole-stage codegen) + one
+    * hash-shuffle groupBy on the canonical key — the same cost as exact
+    * dedup. Oracle replays each rule with the identical regexes.
+    */
+  val q165UrlCanonicalize = Q(
+    "q165_url_canonicalize",
+    (s, dir) => {
+      def m(k: Int): Column = (col("doc_id") % k).cast("string")
+      val u = concat(
+        lit("HTTP://WWW.Ex"), m(7), lit(".COM:80/path/"), m(25),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=s"), m(3), lit("&b="), m(5), lit("&a="), m(4),
+        lit("#sec"), m(9))
+      val nofrag = regexp_replace(u, "#.*$", "")
+      val base = substring_index(nofrag, "?", 1)
+      val qy = substring_index(nofrag, "?", -1)
+      val hostPart = regexp_extract(base, "^([^/]*//[^/]*)", 1)
+      val canonHost = regexp_replace(lower(hostPart), ":80$", "")
+      val canonPath = regexp_replace(
+        substr(base, length(hostPart) + 1, length(base)), "/$", "")
+      val kept = array_join(array_sort(
+        filter(split(qy, "&", -1), p => !p.startsWith("utm_"))), "&")
+      val canon = concat(canonHost, canonPath,
+        when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+      t(s, dir)("documents")
+        .select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("first_doc"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               'HTTP://WWW.Ex' || (doc_id % 7) || '.COM:80/path/' ||
+               (doc_id % 25) ||
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+               '?utm_source=s' || (doc_id % 3) || '&b=' || (doc_id % 5) ||
+               '&a=' || (doc_id % 4) || '#sec' || (doc_id % 9) AS u
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+               string_split(regexp_replace(u, '#.*$', ''), '?')[1] AS base,
+               string_split(regexp_replace(u, '#.*$', ''), '?')[2] AS qy
+        FROM raw),
+      hp AS (
+        SELECT doc_id, base, qy,
+               regexp_extract(base, '^([^/]*//[^/]*)', 1) AS hostpart
+        FROM parts),
+      canon AS (
+        SELECT doc_id,
+               regexp_replace(lower(hostpart), ':80$', '') ||
+               regexp_replace(substr(base, length(hostpart) + 1), '/$', '') ||
+               CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END
+                 AS canonical_url
+        FROM (SELECT doc_id, base, hostpart,
+                     array_to_string(list_sort(list_filter(
+                       string_split(qy, '&'),
+                       p -> NOT starts_with(p, 'utm_'))), '&') AS kept
+              FROM hp))
+      SELECT canonical_url,
+             CAST(count(*) AS BIGINT) AS n_dups,
+             min(doc_id) AS first_doc
+      FROM canon GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
     q59Redact, q84Decontaminate, q85HashSplit, q86Repetition, q98SpanDedup,
     q107StratifiedSample, q108LineDedup, q110ComponentDedup,
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
-    q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity,
-    q151EvalContamination, q158HtmlExtract)
+    q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
+    q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
+    q163QualityClassifier, q164LeakageSafeSplit)
 }
