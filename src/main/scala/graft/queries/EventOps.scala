@@ -689,10 +689,77 @@ object EventOps {
       FROM keyed GROUP BY 1
       HAVING count(*) * 100 > (SELECT count(*) FROM keyed)"""))
 
+  /** Robust per-key outlier detection: median + MAD (median absolute
+    * deviation), the standard spike detector for metric streams — robust
+    * where mean/stddev z-scores are dragged by the outliers themselves.
+    * Both medians are LOWER-median ORDER STATISTICS (rank (n+1) div 2 in
+    * a per-key sort), never interpolated: the selected value is a datum,
+    * so med/MAD are bit-identical cross-engine and the 3×MAD flag
+    * comparison (one IEEE multiply both sides) cannot straddle an ulp.
+    * Scale shape: two per-key sorts (the irreducible cost of an exact
+    * median; q118's approx quantiles are the skew-robust 100 TB path)
+    * plus BROADCAST med/mad joins — the per-key tables are one row per
+    * key, so the events scan never reshuffles for the flagging pass.
+    */
+  val q167MadOutliers = Q(
+    "q167_mad_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir)("events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val cnt = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val byV = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val med = e.withColumn("rn", row_number().over(byV))
+        .join(broadcast(cnt), "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dv", abs(col("value") - col("med")))
+      val byD = Window.partitionBy("event_type")
+        .orderBy(col("dv"), col("event_id"))
+      val mad = dev.withColumn("rn", row_number().over(byD))
+        .join(broadcast(cnt), "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dv").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          count(when(col("dv") > lit(3.0) * col("mad"), 1)).as("n_outliers"),
+          max("dv").as("max_dev"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type, event_id, value FROM events),
+      cnt AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+      r1 AS (
+        SELECT e.*, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS rn
+        FROM e),
+      med AS (
+        SELECT r1.event_type, r1.value AS med
+        FROM r1 JOIN cnt USING (event_type) WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT e.event_type, e.event_id, m.med,
+               abs(e.value - m.med) AS dv
+        FROM e JOIN med m USING (event_type)),
+      r2 AS (
+        SELECT dev.*, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY dv, event_id) AS rn
+        FROM dev),
+      mad AS (
+        SELECT r2.event_type, r2.dv AS mad
+        FROM r2 JOIN cnt USING (event_type) WHERE rn = (n + 1) // 2)
+      SELECT d.event_type, max(d.med) AS med, max(m2.mad) AS mad,
+             CAST(count(CASE WHEN d.dv > 3 * m2.mad THEN 1 END) AS BIGINT)
+               AS n_outliers,
+             max(d.dv) AS max_dev
+      FROM dev d JOIN mad m2 USING (event_type)
+      GROUP BY d.event_type"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
     q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin,
-    q148StreamHeavyHitters)
+    q148StreamHeavyHitters, q167MadOutliers)
 }

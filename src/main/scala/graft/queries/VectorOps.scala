@@ -477,7 +477,8 @@ object VectorOps {
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
-    q153SemDedupIncremental, q157PqAdc, q159KmeansParInit, q160Ivfpq)
+    q153SemDedupIncremental, q157PqAdc, q159KmeansParInit, q160Ivfpq,
+    q166PcaPower)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -1319,4 +1320,103 @@ object VectorOps {
              CAST(list_sum([(v.v[i] - q0.qv[i]) * (v.v[i] - q0.qv[i])
                             for i in generate_series(1, 64)]) AS BIGINT) AS d2_exact
       FROM short s JOIN vq v ON v.vec_id = s.vec_id, q0"""))
+
+  /** DuckDB replay of q166's 8 power-iteration rounds, generated so the
+    * unrolled CTE chain stays in lockstep with the Scala loop. `m` and
+    * `comps` are multi-referenced → AS MATERIALIZED (the 50-round BPE
+    * oracle lesson: CTE inlining compounds per round).
+    */
+  private def pcaOracleSql: String = {
+    val head = """
+      WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings),
+      idx AS (SELECT unnest(generate_series(1, 64)) AS j),
+      comps AS MATERIALIZED (SELECT vec_id, j, qv[j] AS qj FROM q, idx),
+      sums AS (SELECT j, sum(qj) AS s FROM comps GROUP BY j),
+      nrow AS (SELECT count(*) AS n FROM q),
+      gram AS (
+        SELECT a.j AS j, b.j AS k, sum(a.qj * b.qj) AS g
+        FROM comps a JOIN comps b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
+      m0 AS (
+        SELECT g.j, g.k, nrow.n * g.g - sa.s * sb.s AS m
+        FROM gram g JOIN sums sa ON sa.j = g.j
+        JOIN sums sb ON sb.j = g.k CROSS JOIN nrow),
+      dm AS (SELECT greatest(CAST(1 AS HUGEINT),
+                             max(abs(m)) // 4294967296) AS dv FROM m0),
+      m AS MATERIALIZED (
+        SELECT j, k,
+               CASE WHEN m0.m < 0 THEN -((-m0.m) // dm.dv)
+                    ELSE m0.m // dm.dv END AS m
+        FROM m0, dm),
+      x0 AS (SELECT j AS k, CAST(1 AS HUGEINT) AS xv FROM idx)"""
+    val rounds = (1 to 8).map { r =>
+      val prev = if (r == 1) "x0" else "x" + (r - 1)
+      s""",
+      y$r AS (SELECT m.j, sum(m.m * $prev.xv) AS y
+              FROM m JOIN $prev ON m.k = $prev.k GROUP BY m.j),
+      d$r AS (SELECT greatest(CAST(1 AS HUGEINT), max(abs(y)) // 1024) AS dv
+              FROM y$r),
+      x$r AS (SELECT j AS k,
+                     CASE WHEN y < 0 THEN -((-y) // dv) ELSE y // dv END AS xv
+              FROM y$r, d$r)"""
+    }.mkString
+    val tail = """
+      SELECT c.vec_id, CAST(sum(c.qj * x8.xv) AS BIGINT) AS proj
+      FROM comps c JOIN x8 ON c.j = x8.k
+      GROUP BY c.vec_id"""
+    head + rounds + tail
+  }
+
+  /** Distributed PCA top component by exact-integer power iteration —
+    * the whitening/decorrelation primitive behind OPQ rotations and
+    * embedding-drift monitoring. Components quantize to floor(x·2⁶)
+    * (×2⁶ is exact in IEEE, floor is cross-engine), then ONE pass of the
+    * mergeable [[graft.functions.GramAgg]] reduces the corpus to a
+    * fixed-size [n | Σq | qqᵀ upper triangle] buffer — the 100 TB shape:
+    * bounded state, map-side partials, a single-row collect (the same
+    * bounded-collect class as the BPE winning pair). The d×d covariance
+    * (scaled by n²: n·G − S·Sᵀ, exact longs) is pre-scaled by a
+    * deterministic trunc-div so 8 driver-side power-iteration rounds
+    * (renormalized each round by another exact trunc-div rule) stay in
+    * long range at ANY corpus size; every vector is then projected onto
+    * the broadcast integer direction. All sums are order-independent
+    * exact integers, so the oracle's unrolled-CTE replay is bit-equal.
+    */
+  lazy val q166PcaPower = Q(
+    "q166_pca_power",
+    (s, dir) => {
+      val d = 64
+      val qdf = t(s, dir)("embeddings").select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+        .as("qv"))
+      val buf = qdf.select(graft.functions.GramAgg(d)(col("qv")).as("b"))
+        .head().getSeq[Long](0).toArray
+      val n = buf(0)
+      val sums = Array.tabulate(d)(j => buf(1 + j))
+      def gram(j: Int, k: Int): Long =
+        if (j <= k) buf(graft.functions.GramAgg.triIndex(d, j, k))
+        else buf(graft.functions.GramAgg.triIndex(d, k, j))
+      val m0 = Array.tabulate(d, d)((j, k) => n * gram(j, k) - sums(j) * sums(k))
+      // Long `/` truncates toward zero == the oracle's sign-decomposed `//`
+      val dm = math.max(1L, m0.flatten.map(math.abs).max / 4294967296L)
+      val mm = m0.map(_.map(_ / dm))
+      var x = Array.fill(d)(1L)
+      for (_ <- 1 to 8) {
+        val y = Array.tabulate(d) { j =>
+          var acc = 0L; var k = 0
+          while (k < d) { acc += mm(j)(k) * x(k); k += 1 }
+          acc
+        }
+        val dx = math.max(1L, y.map(math.abs).max / 1024L)
+        x = y.map(_ / dx)
+      }
+      val xLit = array(x.toSeq.map(lit(_)): _*)
+      qdf.select(col("vec_id"),
+        aggregate(zip_with(col("qv"), xLit, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("proj"))
+    },
+    Some(pcaOracleSql))
 }
