@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,6 +191,59 @@ object TextMacroBench {
         length(col("ex.kept_text")).as("kept_len"))
   }
 
+  /** q162 shape at scale: eval-3-gram decontamination against a
+    * 5%-of-corpus eval set whose distinct grams are too many to
+    * auto-broadcast as a join table. The exact arm pays the full-corpus
+    * shuffle join; the bloom arm broadcasts the BIT ARRAY (30-50×
+    * smaller than the join hash table), prunes n-grams map-side inside
+    * the scan stage, and only candidates reach the verify join. Both
+    * arms return identical rows (no false negatives) — checked by xor
+    * hash at the 1× run.
+    */
+  private def deconGrams(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+          " greatest(size(w) - 2, 0))," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+          " ' ', element_at(w, i + 2)))"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gk"))
+
+  private def deconExact(d: DataFrame): DataFrame = {
+    val grams = deconGrams(d)
+    val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()
+    grams.filter(col("doc_id") % 19 =!= 0)
+      .join(eval_, "gk")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams"))
+  }
+
+  private def deconBloom(d: DataFrame): DataFrame = {
+    val n = d.count() // cached upstream — instant
+    // ~6 positions per doc land in the filter → load ≈ 0.25, FPR ≈ 1.5%.
+    // Bigger m is NOT better here: the global agg merges one m/64-long
+    // partial per input partition, so the build cost is
+    // partitions × m/8 bytes through one reducer — hence also the
+    // repartition(8) below (compact longs, cheap) to bound the fan-in.
+    val m = math.max(1L << 22, java.lang.Long.highestOneBit(n * 25L))
+    val grams = deconGrams(d)
+    def pos(j: Int): Column = pmod(xxhash64(col("gk"), lit(j)), lit(m))
+    val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()
+    val bloom = eval_
+      .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+      .repartition(8)
+      .agg(graft.functions.BloomBits(m.toInt)(col("p")).as("words"))
+    def bitSet(p: String): Column = expr(
+      s"(shiftright(element_at(words, cast($p div 64 as int) + 1)," +
+        s" cast($p % 64 as int)) & 1) = 1")
+    grams.filter(col("doc_id") % 19 =!= 0)
+      .withColumn("p0", pos(0)).withColumn("p1", pos(1)).withColumn("p2", pos(2))
+      .crossJoin(broadcast(bloom))
+      .filter(bitSet("p0") && bitSet("p1") && bitSet("p2"))
+      .join(eval_, "gk")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_grams"))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
@@ -220,7 +273,8 @@ object TextMacroBench {
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
-      "html_extract" -> htmlExtract)
+      "html_extract" -> htmlExtract,
+      "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
 
     def runAll(nDocs: Long, check: Boolean = false): Map[String, Double] = {
       val d = docs(spark, nDocs).cache()
@@ -238,6 +292,10 @@ object TextMacroBench {
         val stagedRow = curation(d, staged = true).collect()(0)
         require(composed == stagedRow,
           s"composed curation $composed != staged $stagedRow at $nDocs docs")
+        // bloom prefilter has no false negatives → identical output rows
+        val he = materialize(deconExact(d))
+        val hb = materialize(deconBloom(d))
+        require(he == hb, s"bloom decon mismatch: exact=$he bloom=$hb")
       }
       d.unpersist()
       times

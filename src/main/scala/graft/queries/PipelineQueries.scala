@@ -425,6 +425,153 @@ object PipelineQueries {
              CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""))
 
+  /** Training-mixture apportionment: a global token budget (half the
+    * corpus) split across sources in EXACT proportion to their token
+    * mass by the largest-remainder (Hamilton) method — floor the scaled
+    * quota, then award the leftover +1s by descending remainder with a
+    * deterministic source tiebreak — and then filled within each source
+    * by quality rank until the per-source allocation is exhausted. This
+    * is the "data mixing" step of corpus assembly (per-source sampling
+    * ratios), done in exact integer arithmetic so the allocation is
+    * bit-replayable: quotas are B·T_s div T with exact long remainders,
+    * never floating shares. Scale shape: one per-source aggregate (20
+    * rows) drives everything; the apportionment happens on that tiny
+    * broadcast table, and the per-source fill is a partitioned window
+    * (sort within source), so the corpus is scanned twice and shuffled
+    * once — no global sort, no driver loop.
+    */
+  val q168MixtureBudget = Q(
+    "q168_mixture_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(lower(col("text")), "\\s+"),
+            tk => length(tk) > 0)).cast("long").as("n_tokens"),
+          pmod(Dedup.md5Hash64(concat(lit("q_"), col("doc_id").cast("string"))),
+            lit(1000L)).as("quality"))
+      val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
+      val tot = bySrc.agg(sum("t_s").as("t"))
+      val withTot = bySrc.crossJoin(broadcast(tot))
+        .withColumn("b", expr("t div 2"))
+        .withColumn("base", expr("(b * t_s) div t"))
+        .withColumn("rem", expr("b * t_s - ((b * t_s) div t) * t"))
+      val lft = withTot.agg((max("b") - sum("base")).as("l"))
+      val alloc = withTot.crossJoin(broadcast(lft))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+      val takenAgg = d.join(broadcast(alloc), "source")
+        .withColumn("cum", sum("n_tokens").over(
+          Window.partitionBy("source")
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= col("alloc_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_taken"), sum("n_tokens").as("tokens_taken"))
+      alloc.join(takenAgg, Seq("source"), "left")
+        .select(col("source"), col("alloc_tokens"),
+          coalesce(col("n_docs_taken"), lit(0L)).as("n_docs_taken"),
+          coalesce(col("tokens_taken"), lit(0L)).as("tokens_taken"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    tk -> len(tk) > 0)) AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5('q_' || doc_id), 18, 15) AS BIGINT)
+                 % 1000 AS quality
+        FROM documents),
+      bysrc AS (SELECT source, sum(n_tokens) AS t_s FROM d GROUP BY 1),
+      tot AS (SELECT sum(t_s) AS t FROM bysrc),
+      wt AS (
+        SELECT source, t_s, t, t // 2 AS b,
+               ((t // 2) * t_s) // t AS base,
+               (t // 2) * t_s - (((t // 2) * t_s) // t) * t AS rem
+        FROM bysrc, tot),
+      lft AS (SELECT max(b) - sum(base) AS l FROM wt),
+      ranked AS (
+        SELECT source, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM wt),
+      alloc AS (
+        SELECT r.source,
+               CAST(r.base + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
+                 AS alloc_tokens
+        FROM ranked r, lft l),
+      cum AS (
+        SELECT d.doc_id, d.source, d.n_tokens, a.alloc_tokens,
+               sum(d.n_tokens) OVER (
+                 PARTITION BY d.source ORDER BY d.quality DESC, d.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d JOIN alloc a ON d.source = a.source),
+      takenagg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs_taken,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_taken
+        FROM cum WHERE cum <= alloc_tokens GROUP BY 1)
+      SELECT a.source, a.alloc_tokens,
+             coalesce(t.n_docs_taken, 0) AS n_docs_taken,
+             coalesce(t.tokens_taken, 0) AS tokens_taken
+      FROM alloc a LEFT JOIN takenagg t USING (source)"""))
+
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus releases: per-source counts of added / removed / changed /
+    * unchanged documents from a digest-keyed FULL OUTER join. The
+    * "previous" snapshot is synthesized deterministically from the
+    * current one (doc_id%23 docs missing → added, doc_id%29 extra docs
+    * → removed, doc_id%17 texts mutated → changed), so both engines
+    * build identical inputs. Scale shape: one shuffle on doc_id for the
+    * outer join, digests computed in the scan projection — the standard
+    * two-snapshot reconciliation at any corpus size (row-level CDC; the
+    * content-defined-chunk variant is q48).
+    */
+  val q169SnapshotDiff = Q(
+    "q169_snapshot_diff",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val prev = base.filter(col("doc_id") % 23 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            col("source"), col("text")))
+      val j = base
+        .select(col("doc_id"), col("source").as("src_c"),
+          md5(col("text")).as("dig_c"))
+        .join(prev.select(col("doc_id"), col("source").as("src_p"),
+          md5(col("text")).as("dig_p")), Seq("doc_id"), "full_outer")
+      val status = when(col("dig_p").isNull, "added")
+        .when(col("dig_c").isNull, "removed")
+        .when(col("dig_c") =!= col("dig_p"), "changed")
+        .otherwise("unchanged")
+      j.select(coalesce(col("src_c"), col("src_p")).as("source"),
+          status.as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, source, text FROM documents),
+      prev AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 0 THEN text || ' OLD' ELSE text END
+                 AS text
+        FROM base WHERE doc_id % 23 <> 0
+        UNION ALL
+        SELECT doc_id + 5000000, source, text FROM base WHERE doc_id % 29 = 0),
+      j AS (
+        SELECT coalesce(c.source, p.source) AS source,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN md5(c.text) <> md5(p.text) THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM base c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+      SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY 1, 2"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
-    q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration)
+    q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
+    q168MixtureBudget, q169SnapshotDiff)
 }
