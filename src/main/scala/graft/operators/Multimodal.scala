@@ -394,6 +394,94 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class WavFp(media_id: Long, win: Int, fp: Long, approx: Long)
+
+  /** Perceptual AUDIO fingerprint — the audio leg of the near-dup family
+    * (q161's dHash is the image leg): per non-overlapping 256-sample
+    * window of channel 0, an integer Haar wavelet cascade
+    * (a_i = (x_2i + x_2i+1) / 2 with Java truncating division,
+    * d_i = x_2i − x_2i+1, both exact) packs the SIGNS of the final
+    * approximation plus the 31 coarsest detail coefficients
+    * (1+2+4+8+16, coarsest level first) into a 32-bit fingerprint —
+    * sign-of-coarse-structure survives amplitude scaling and fine
+    * noise, the standard wavelet-signature recipe. Integer arithmetic
+    * only, so the independent formula-side implementation
+    * (tools/audio_fp_expected.py) reproduces every bit; near-dup audio
+    * then reduces to exact/Hamming matching on compact longs — the
+    * same hash-shuffle shapes as text dedup. Windows shorter than
+    * `window` are dropped (deterministic on both sides).
+    */
+  def wavFingerprint(media: DataFrame, window: Int = 256,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { m =>
+            val bb = java.nio.ByteBuffer.wrap(m.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x45564157,
+              s"media_id=${m.media_id}: not a RIFF/WAVE file")
+            var off = 12
+            var blockAlign = 0
+            var dataOff = -1
+            var dataLen = 0
+            while (off + 8 <= m.payload.length && dataOff < 0) {
+              val id = bb.getInt(off)
+              val size = bb.getInt(off + 4)
+              require(size >= 0 && off.toLong + 8 + size <= m.payload.length,
+                s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
+              if (id == 0x20746D66) { // "fmt "
+                require((bb.getShort(off + 8) & 0xFFFF) == 1,
+                  s"media_id=${m.media_id}: not integer PCM")
+                blockAlign = bb.getShort(off + 20) & 0xFFFF
+                require((bb.getShort(off + 22) & 0xFFFF) == 16,
+                  s"media_id=${m.media_id}: only 16-bit PCM supported")
+              } else if (id == 0x61746164) { // "data"
+                dataOff = off + 8
+                dataLen = size
+              }
+              off += 8 + size + (size & 1)
+            }
+            require(dataOff > 0 && blockAlign > 0,
+              s"media_id=${m.media_id}: missing fmt/data chunk")
+            val nFrames = dataLen / blockAlign
+            (0 until nFrames / window).map { wdx =>
+              var xs = Array.tabulate(window)(i =>
+                bb.getShort(dataOff + (wdx * window + i) * blockAlign).toInt)
+              val levels = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+              while (xs.length > 1) {
+                val n2 = xs.length / 2
+                val a = new Array[Int](n2)
+                val dd = new Array[Int](n2)
+                var i = 0
+                while (i < n2) {
+                  a(i) = (xs(2 * i) + xs(2 * i + 1)) / 2 // trunc toward zero
+                  dd(i) = xs(2 * i) - xs(2 * i + 1)
+                  i += 1
+                }
+                levels += dd
+                xs = a
+              }
+              var fp = 0L
+              var bit = 0
+              def put(v: Int): Unit = {
+                if (bit < 32) { if (v >= 0) fp |= 1L << bit; bit += 1 }
+              }
+              put(xs(0))
+              var li = levels.length - 1
+              while (li >= 0 && bit < 32) {
+                levels(li).foreach(put)
+                li -= 1
+              }
+              WavFp(m.media_id, wdx, fp, xs(0).toLong)
+            }
+          }
+        }
+      }.toDF()
+  }
+
   final case class AviFrame(
       media_id: Long, frame_idx: Int, width: Int, height: Int, n_frames: Int,
       pix_sum: Long, p00: Double, p01: Double, p10: Double, p11: Double)

@@ -598,9 +598,92 @@ object DedupQueries {
              CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
       FROM h a JOIN h b ON a.media_id < b.media_id"""))
 
+  /** Perceptual AUDIO near-dup fingerprint: 256-sample windows → integer
+    * Haar cascade → 32 sign bits of the coarsest coefficients
+    * (Multimodal.wavFingerprint) — the audio leg of the q161 dHash
+    * family, over the REAL WAV bytes through the byte-level RIFF parse.
+    * The oracle parquet is computed from the sample FORMULA by the
+    * independent python implementation (tools/audio_fp_expected.py), so
+    * the hash match cross-validates the RIFF walk, the truncating-
+    * division Haar arithmetic, and the bit-packing order end-to-end.
+    * At corpus scale the fingerprint is a compact long per window —
+    * near-dup audio collapses to the exact/Hamming hash-shuffle shapes
+    * of text dedup (q34/q38), never sample×sample comparison.
+    */
+  val q170AudioFingerprint = Q(
+    "q170_audio_fingerprint",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/wav/*.wav")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.wavFingerprint(media)
+    },
+    Some("""
+      SELECT media_id, win, fp, approx
+      FROM '/root/repo/data/audio_fp_expected.parquet'"""))
+
+  /** Scene-cut detection over the REAL decoded AVI frames: consecutive
+    * sampled frames (q94's every-3rd decode) whose exact pixel sums jump
+    * by more than 20% (abs(Δ)·5 > prev, exact integers) mark a cut —
+    * the frame-sampling analysis step of a video curation pipeline. The
+    * oracle replays the lag/threshold arithmetic in SQL over the same
+    * independently-computed expected parquet, so the decode AND the
+    * windowed detection are both pinned. Scale shape: the per-video lag
+    * is a partitioned window over compact (id, idx, sum) rows — frame
+    * payloads never reach the shuffle.
+    */
+  val q171SceneCuts = Q(
+    "q171_scene_cuts",
+    (s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = s.read.format("binaryFile")
+        .load("/root/repo/data/avi/*.avi")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      val frames = Multimodal.decodeAviFrames(media, everyNth = 3)
+        .select(col("media_id"), col("frame_idx"), col("pix_sum"))
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      frames
+        .withColumn("prev", lag(col("pix_sum"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            abs(col("pix_sum") - col("prev")) * 5 > col("prev"), 1)
+            .otherwise(0))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("cut")).cast("long").as("n_cuts"),
+          coalesce(min(when(col("cut") === 1, col("frame_idx"))), lit(-1))
+            .as("first_cut_idx"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT media_id, frame_idx, pix_sum
+        FROM '/root/repo/data/avi_expected.parquet'),
+      l AS (
+        SELECT media_id, frame_idx, pix_sum,
+               lag(pix_sum) OVER (PARTITION BY media_id
+                                  ORDER BY frame_idx) AS prev
+        FROM f),
+      c AS (
+        SELECT media_id, frame_idx,
+               CASE WHEN prev IS NOT NULL AND abs(pix_sum - prev) * 5 > prev
+                    THEN 1 ELSE 0 END AS cut
+        FROM l)
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(cut) AS BIGINT) AS n_cuts,
+             coalesce(min(CASE WHEN cut = 1 THEN frame_idx END), -1)
+               AS first_cut_idx
+      FROM c GROUP BY 1"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
-      q146MultimodalPack, q156StreamDedup, q161ImageDhash)
+      q146MultimodalPack, q156StreamDedup, q161ImageDhash,
+      q170AudioFingerprint, q171SceneCuts)
 }

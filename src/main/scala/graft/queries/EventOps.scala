@@ -756,10 +756,61 @@ object EventOps {
       FROM dev d JOIN mad m2 USING (event_type)
       GROUP BY d.event_type"""))
 
+  /** The Spark-4 arbitrary-state operator `transformWithState` through
+    * the replay gate — composite per-user state (MapState event_type →
+    * count + ValueState total, EventStreams.TypeCountProcessor) under
+    * the RocksDB provider (the only one implementing the composite
+    * state layout; conf is set for the stream and restored after).
+    * Counts only grow and each emission strictly increases n_events, so
+    * the batch max/max_by over the per-micro-batch snapshots equals the
+    * plain GROUP BY oracle — the same closure argument as q148's
+    * Complete-mode sketch. Completes the streaming state-class
+    * coverage: *GroupsWithState (q83/q90), dropDuplicates (q89),
+    * session/sliding windows (q106/q135), stream-stream joins
+    * (q88/q139), and now the StatefulProcessor API.
+    */
+  val q172StreamTransformState = Q(
+    "q172_stream_transform_state",
+    (s, dir) => {
+      import graft.streaming.{EventStreams, FileReplay}
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_tws")
+      FileReplay.stageEventReplay(sel, srcDir)
+      val prev = s.conf.getOption(EventStreams.ProviderClassConf)
+      s.conf.set(EventStreams.ProviderClassConf, EventStreams.RocksDbProvider)
+      try {
+        FileReplay.runToTable(s, srcDir, sel.schema, s"graft_stream_tws_$h") {
+          stream =>
+            import s.implicits._
+            EventStreams.typeCountsWithState(
+              stream.as[EventStreams.Event]).toDF()
+        }
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            max_by(col("n_distinct_types"), col("n_events"))
+              .as("n_distinct_types"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(EventStreams.ProviderClassConf, v)
+          case None => s.conf.unset(EventStreams.ProviderClassConf)
+        }
+      }
+    },
+    Some("""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+      FROM events GROUP BY 1"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
     q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin,
-    q148StreamHeavyHitters, q167MadOutliers)
+    q148StreamHeavyHitters, q167MadOutliers, q172StreamTransformState)
 }

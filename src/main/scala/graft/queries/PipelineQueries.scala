@@ -571,7 +571,75 @@ object PipelineQueries {
       SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
       FROM j GROUP BY 1, 2"""))
 
+  /** Distributed triangle counting with DEGREE ORIENTATION — the
+    * companion graph metric to q110's connected components (near-dup
+    * graphs are audited by clustering coefficient / triangle density).
+    * Every edge is oriented from its (degree, id)-smaller endpoint, so
+    * each triangle is counted exactly once at its lowest-degree apex
+    * and the wedge self-join fans out by OUT-degree, which the
+    * orientation caps at O(√m) — the standard bound that keeps a
+    * power-law hub from generating deg² wedge candidates at 100 TB
+    * (id-ordered orientation, which the brute-force oracle uses, has no
+    * such cap; both enumerations count the same set). Edges are
+    * synthesized deterministically from doc_id over 401 nodes. Shapes:
+    * two hash joins on compact (long, long) pairs, one broadcast degree
+    * join — never an adjacency-list collect.
+    */
+  val q173TriangleCount = Q(
+    "q173_triangle_count",
+    (s, dir) => {
+      val raw = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 401).as("x"),
+          ((col("doc_id") * 7 + 1) % 401).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val deg = raw.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val withDeg = raw
+        .join(broadcast(deg.withColumnRenamed("n", "a")
+          .withColumnRenamed("deg", "dega")), "a")
+        .join(broadcast(deg.withColumnRenamed("n", "b")
+          .withColumnRenamed("deg", "degb")), "b")
+      // orient small (deg, id) -> large; the struct compare is a total
+      // order because ids are distinct
+      val oriented = withDeg.select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("degb").as("degd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("dega").as("degd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.degd").as("degd"))
+      val wedges = oriented.as("o1")
+        .join(oriented.as("o2"), col("o1.src") === col("o2.src"))
+        .filter(struct(col("o1.degd"), col("o1.dst")) <
+          struct(col("o2.degd"), col("o2.dst")))
+        .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
+      val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+      val tri = wedges.join(closing, Seq("v", "w")).agg(
+        count(lit(1)).as("n_triangles"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val ne = raw.agg(count(lit(1)).as("n_edges"))
+      nn.crossJoin(ne).crossJoin(tri)
+    },
+    Some("""
+      WITH raw AS (
+        SELECT DISTINCT least(doc_id % 401, (doc_id * 7 + 1) % 401) AS a,
+               greatest(doc_id % 401, (doc_id * 7 + 1) % 401) AS b
+        FROM documents
+        WHERE doc_id % 401 <> (doc_id * 7 + 1) % 401)
+      SELECT (SELECT count(DISTINCT n) FROM (
+                SELECT a AS n FROM raw UNION ALL SELECT b FROM raw))
+               AS n_nodes,
+             (SELECT count(*) FROM raw) AS n_edges,
+             (SELECT count(*)
+              FROM raw e1
+              JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
-    q168MixtureBudget, q169SnapshotDiff)
+    q168MixtureBudget, q169SnapshotDiff, q173TriangleCount)
 }

@@ -1432,6 +1432,83 @@ object TextOps {
              min(doc_id) AS first_doc
       FROM canon GROUP BY 1"""))
 
+  /** BM25 top-k retrieval — the ranking function behind corpus search /
+    * retrieval-augmented pipelines, complementing q131's TF-IDF and the
+    * ANN family with term-based relevance. The "query" is the corpus's
+    * three most document-frequent tokens (deterministic: df desc, term
+    * asc). Okapi BM25 with k1 = 6/5, b = 3/4 in EXACT RATIONAL form:
+    * rational idf (N−df+1)/(df+1) per the q131 lesson (ln is not
+    * cross-engine reproducible), and the whole per-term score cleared of
+    * fractions —
+    *   score_t = (N−df+1)·220·tf·T / (5·(df+1)·(20·T·tf + 6·T + 18·dl·N))
+    * — two exact long products (< 2^53 through the sf1-equivalent
+    * corpus, so the double casts are exact), ONE division, a ×10⁶ scale
+    * (hot-term idf is O(1/N) — unscaled it would vanish in the 4-dp
+    * decimal), then the order-independent decimal exactSum across query
+    * terms and a TakeOrdered top-20. Shapes: tf/df aggregates, a
+    * 3-row broadcast query join, broadcast corpus stats — the scan
+    * never reshuffles for scoring.
+    */
+  val q174Bm25Topk = Q(
+    "q174_bm25_topk",
+    (s, dir) => {
+      val toksC = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+      val docs = t(s, dir)("documents")
+        .select(col("doc_id"), toksC.as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+      val terms = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      val tf = terms.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      val query = df.orderBy(col("df").desc, col("term").asc).limit(3)
+      val scored = tf.join(broadcast(query), "term").crossJoin(broadcast(stats))
+        .withColumn("a",
+          (col("n") - col("df") + 1) * lit(220L) * col("tf") * col("t"))
+        .withColumn("bden", lit(5L) * (col("df") + 1) *
+          (lit(20L) * col("t") * col("tf") + lit(6L) * col("t") +
+            lit(18L) * col("dl") * col("n")))
+        .withColumn("sterm",
+          col("a").cast("double") / col("bden").cast("double") * lit(1000000.0))
+      scored.groupBy("doc_id")
+        .agg(graft.core.Sql.exactSum(col("sterm")).as("bm25_scaled"),
+          count(lit(1)).as("n_query_terms"))
+        .orderBy(col("bm25_scaled").desc, col("doc_id").asc).limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      dd AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs WHERE len(w) > 0),
+      terms AS (
+        SELECT d.doc_id, dd.dl, unnest(d.w) AS term
+        FROM docs d JOIN dd ON d.doc_id = dd.doc_id),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM terms GROUP BY 1, 2, 3),
+      df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+        FROM dd),
+      query AS (
+        SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 3),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST((s.n - q.df + 1) * 220 * tf.tf * s.t AS DOUBLE)
+               / CAST(5 * (q.df + 1) *
+                      (20 * s.t * tf.tf + 6 * s.t + 18 * tf.dl * s.n)
+                      AS DOUBLE) * 1000000.0 AS sterm
+        FROM tf JOIN query q USING (term) CROSS JOIN stats s)
+      SELECT doc_id,
+             CAST(sum(CAST(sterm AS DECIMAL(27,4))) AS DOUBLE) AS bm25_scaled,
+             CAST(count(*) AS BIGINT) AS n_query_terms
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 20"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1440,5 +1517,5 @@ object TextOps {
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
-    q163QualityClassifier, q164LeakageSafeSplit)
+    q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk)
 }

@@ -292,4 +292,57 @@ object EventStreams {
           out.iterator
       }
   }
+
+  case class TypeCounts(user_id: Long, n_events: Long, n_distinct_types: Long)
+
+  /** Per-user running totals via the arbitrary-state operator
+    * `transformWithState` (the Spark-4 replacement for the
+    * *GroupsWithState family): composite state = a MapState
+    * (event_type → count, point-updatable without rewriting the whole
+    * value — the reason the API exists) plus a ValueState total. Emits
+    * the updated snapshot each micro-batch; counts only grow, so the
+    * per-user row with the largest n_events IS the final answer, and a
+    * batch `max/max_by` closes the stream to the plain GROUP BY oracle.
+    * Requires the RocksDB state store provider (the only provider that
+    * implements the new composite state layout).
+    */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TypeCounts] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, ValueState}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCounts] = {
+      var t = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        t += 1
+        val c = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+      }
+      total.update(t)
+      Iterator.single(TypeCounts(key, t, counts.keys().size.toLong))
+    }
+  }
+
+  /** Stream shape for q172: group by user, run the composite-state
+    * processor, one snapshot row per (user, micro-batch).
+    */
+  def typeCountsWithState(events: Dataset[Event]): Dataset[TypeCounts] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }
