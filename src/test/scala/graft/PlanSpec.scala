@@ -307,4 +307,50 @@ class PlanSpec extends SparkSpec {
       s"packing running total fell back to a window (one-task funnel):\n$p")
     assert(p.contains("ExistingRDD"), p)
   }
+
+  test("q162: bloom filter and eval set both broadcast into the train scan") {
+    val p = plan("q162_bloom_decontaminate")
+    // one-row bit array → BroadcastNestedLoopJoin; eval verify → BHJ.
+    // Neither may degrade to shuffling the train grams for the prefilter.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bloom array stopped broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact verify join stopped broadcasting the eval set:\n$p")
+  }
+
+  test("q163: classifier weights join is a broadcast, never a shuffle of features") {
+    val p = plan("q163_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"weights lookup degenerated to a sort-merge join:\n$p")
+  }
+
+  test("q166: projection is a pure scan; the gram pass partial-aggregates") {
+    import org.apache.spark.sql.functions._
+    // the returned frame (broadcast direction dot product) must be a
+    // zero-exchange scan+project — the corpus is never reshuffled
+    val p = plan("q166_pca_power")
+    assert(!p.contains("Exchange"), s"projection pass gained a shuffle:\n$p")
+    // the eager GramAgg pass (one fixed-size buffer, map-side combined)
+    val g = graft.core.Tables.load(spark, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+        .as("qv"))
+      .select(graft.functions.GramAgg(64)(col("qv")))
+      .queryExecution.executedPlan.toString
+    assert(g.contains("partial_"), s"GramAgg lost its map-side partial:\n$g")
+  }
+
+  test("q167: med/mad flagging joins broadcast the per-key tables") {
+    val p = plan("q167_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q174: bm25 query terms and stats broadcast; top-k is TakeOrdered") {
+    val p = plan("q174_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-20 fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
