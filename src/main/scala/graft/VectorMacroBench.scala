@@ -183,7 +183,36 @@ object VectorMacroBench {
     require(recallPq == 1.0,
       s"PQ tie-aware rerank missed exact neighbors: recall $recallPq")
 
-    println(f"""{"metric":"vector_macro","value":$tProbe%.2f,"unit":"sec","n_vectors":$n,"brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,"ivf_probe_sec":$tProbe%.2f,"recall_at_10":$recall%.2f,"nprobe":$nprobe,"clusters":$nClusters,"pq_train_sec":$tTrain%.2f,"pq_encode_sec":$tEncode%.2f,"pq_adc_sec":$tAdc%.2f,"pq_pool":$poolSize,"brute_l2_sec":$tBruteL2%.2f,"pq_recall_at_10":$recallPq%.2f}""")
+    // ---- PCA arm (q166's GramAgg + power iteration at scale): ONE pass
+    // reduces the n×64 corpus to a 2145-long buffer (map-side partials),
+    // the driver iterates, one more scan projects. Gate: the fixture's
+    // variance lives on the 16 spike axes ((c%16)*4, value 8.0 vs ±0.5
+    // noise), so the top component must concentrate there — spike-axis
+    // |x| mass at least 5× the other 48 axes combined.
+    val tPc0 = System.nanoTime()
+    val qdfP = vecs.select(col("vec_id"), expr(
+      "transform(vec, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+      .as("qv"))
+    val gramBuf = qdfP
+      .select(graft.functions.GramAgg(64)(col("qv")).as("b"))
+      .head().getSeq[Long](0).toArray
+    val comp = graft.operators.PcaPower.topComponent(gramBuf, 64)
+    val tGram = (System.nanoTime() - tPc0) / 1e9
+    val tPj0 = System.nanoTime()
+    val xLit = array(comp.toSeq.map(lit(_)): _*)
+    qdfP.select(aggregate(zip_with(col("qv"), xLit,
+        (a, b) => a * b), lit(0L), (acc, v) => acc + v).as("p"))
+      .agg(sum(abs(col("p")))).collect()
+    val tProjP = (System.nanoTime() - tPj0) / 1e9
+    val spikeAxes = (0 until 16).map(_ * 4).toSet
+    val spikeMass = comp.zipWithIndex
+      .filter { case (_, i) => spikeAxes(i) }.map(v => math.abs(v._1)).sum
+    val noiseMass = comp.zipWithIndex
+      .filterNot { case (_, i) => spikeAxes(i) }.map(v => math.abs(v._1)).sum
+    require(spikeMass >= 5 * noiseMass,
+      s"top component not concentrated on spike axes: $spikeMass vs $noiseMass")
+
+    println(f"""{"metric":"vector_macro","value":$tProbe%.2f,"unit":"sec","n_vectors":$n,"brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,"ivf_probe_sec":$tProbe%.2f,"recall_at_10":$recall%.2f,"nprobe":$nprobe,"clusters":$nClusters,"pq_train_sec":$tTrain%.2f,"pq_encode_sec":$tEncode%.2f,"pq_adc_sec":$tAdc%.2f,"pq_pool":$poolSize,"brute_l2_sec":$tBruteL2%.2f,"pq_recall_at_10":$recallPq%.2f,"pca_gram_sec":$tGram%.2f,"pca_project_sec":$tProjP%.2f}""")
     spark.stop()
   }
 }

@@ -1394,25 +1394,7 @@ object VectorOps {
         .as("qv"))
       val buf = qdf.select(graft.functions.GramAgg(d)(col("qv")).as("b"))
         .head().getSeq[Long](0).toArray
-      val n = buf(0)
-      val sums = Array.tabulate(d)(j => buf(1 + j))
-      def gram(j: Int, k: Int): Long =
-        if (j <= k) buf(graft.functions.GramAgg.triIndex(d, j, k))
-        else buf(graft.functions.GramAgg.triIndex(d, k, j))
-      val m0 = Array.tabulate(d, d)((j, k) => n * gram(j, k) - sums(j) * sums(k))
-      // Long `/` truncates toward zero == the oracle's sign-decomposed `//`
-      val dm = math.max(1L, m0.flatten.map(math.abs).max / 4294967296L)
-      val mm = m0.map(_.map(_ / dm))
-      var x = Array.fill(d)(1L)
-      for (_ <- 1 to 8) {
-        val y = Array.tabulate(d) { j =>
-          var acc = 0L; var k = 0
-          while (k < d) { acc += mm(j)(k) * x(k); k += 1 }
-          acc
-        }
-        val dx = math.max(1L, y.map(math.abs).max / 1024L)
-        x = y.map(_ / dx)
-      }
+      val x = graft.operators.PcaPower.topComponent(buf, d)
       val xLit = array(x.toSeq.map(lit(_)): _*)
       qdf.select(col("vec_id"),
         aggregate(zip_with(col("qv"), xLit, (a, b) => a * b),
