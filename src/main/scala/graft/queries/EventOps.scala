@@ -807,10 +807,94 @@ object EventOps {
              CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
       FROM events GROUP BY 1"""))
 
+  /** Retention cohort analysis — the standard product-analytics matrix:
+    * users grouped by the WEEK of their first event, counted as active
+    * at each whole-week offset since. Dates stay DATE (never tz-adjusted
+    * timestamps, per the repo invariant); the offset is an exact integer
+    * day difference div 7. Scale shape: one per-user min-ts aggregate,
+    * a broadcast-joinable (user → cohort) table only if users are few —
+    * here it re-joins on user_id (one hash shuffle), then one
+    * distinct+count per (cohort, offset); no windows, no self-joins.
+    */
+  val q177RetentionCohorts = Q(
+    "q177_retention_cohorts",
+    (s, dir) => {
+      val e = t(s, dir)("events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val firstd = e.groupBy("user_id")
+        .agg(min("d").as("first_d"))
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("first_d"))).as("cohort_week"))
+      e.join(firstd, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(d, cohort_week) div 7").cast("int")
+            .as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      firstd AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(d)) AS DATE) AS cohort_week
+        FROM e GROUP BY 1),
+      act AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, e.d) // 7 AS INTEGER)
+                 AS week_offset
+        FROM e JOIN firstd f USING (user_id))
+      SELECT cohort_week, week_offset, count(*) AS n_users
+      FROM act GROUP BY 1, 2"""))
+
+  /** FORWARD as-of: each click's NEXT purchase at-or-after it by the
+    * same user (the mirror of q54's backward at-or-before), plus a
+    * 30-minute-tolerance conversion flag — the attribution primitive
+    * where the enrichment looks ahead instead of back. Same
+    * Spark-first shape: ONE user-partitioned window on the reversed
+    * (ts, event_id) order with a running min — linear work, one
+    * shuffle, never a range self-join.
+    */
+  val q178AsofForward = Q(
+    "q178_asof_forward",
+    (s, dir) => {
+      val e = t(s, dir)("events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"), col("next_purchase_us"),
+          when(col("next_purchase_us").isNotNull &&
+            col("next_purchase_us") - unix_micros(col("ts"))
+              <= 30L * 60 * 1000000, 1).otherwise(0).as("converted_30m"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS click_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS next_purchase_us,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END)
+                    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - epoch_us(ts) <= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS converted_30m
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      QUALIFY event_type = 'click'"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
     q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin,
-    q148StreamHeavyHitters, q167MadOutliers, q172StreamTransformState)
+    q148StreamHeavyHitters, q167MadOutliers, q172StreamTransformState,
+    q177RetentionCohorts, q178AsofForward)
 }

@@ -639,7 +639,140 @@ object PipelineQueries {
               JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
               JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles"""))
 
+  /** Systematic (equal-stratum midpoint) weighted sampling WITHOUT
+    * floating randomness: k = 100 strata over the cumulative token mass
+    * W, one probe position p_i = ((2i−1)·W) div (2k) per stratum, and a
+    * doc is drawn once per probe landing in its cumulative interval
+    * [c−w, c) — the deterministic PPS (probability-proportional-to-size)
+    * downsampling a training pipeline can re-run reproducibly. Exact
+    * integers end to end. Scale shape: the cumulative sums come from the
+    * distributed PrefixSum (range partition + P collected partials, no
+    * single-reducer window), and the 100-row probe table joins in as a
+    * BroadcastNestedLoop range join — one scan, no n×n.
+    */
+  val q175SystematicSample = Q(
+    "q175_systematic_sample",
+    (s, dir) => {
+      val k = 100
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(lower(col("text")), "\\s+"),
+            tk => length(tk) > 0)).cast("long").as("w"))
+        .filter(col("w") > 0)
+      val withCum = graft.operators.PrefixSum.runningSum(
+        d, Seq(col("doc_id").asc), col("w"), "c")
+      val tot = d.agg(sum("w").as("wtot"))
+      // (2i-1)*W and 2k are positive → integer div truncation matches
+      // both engines
+      val probesI = s.range(1, k + 1).crossJoin(broadcast(tot))
+        .select(expr(s"((2 * id - 1) * wtot) div ${2 * k}").as("p"))
+      withCum.join(broadcast(probesI),
+          col("p") >= col("c") - col("w") && col("p") < col("c"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    tk -> len(tk) > 0)) AS BIGINT) AS w
+        FROM documents),
+      dd AS (SELECT * FROM d WHERE w > 0),
+      cum AS (
+        SELECT doc_id, w,
+               sum(w) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+        FROM dd),
+      tot AS (SELECT sum(w) AS wtot FROM dd),
+      probes AS (
+        SELECT ((2 * i - 1) * wtot) // 200 AS p
+        FROM (SELECT unnest(generate_series(1, 100)) AS i), tot)
+      SELECT cum.doc_id, cum.w, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cum JOIN probes ON probes.p >= cum.c - cum.w AND probes.p < cum.c
+      GROUP BY 1, 2"""))
+
+  /** Per-node clustering coefficient over the q173 graph — the local
+    * triangle density that audits near-dup graphs for pathological
+    * cliques. Same degree-oriented enumeration (each triangle found
+    * once at its lowest-(deg,id) apex), then each triangle credits its
+    * THREE corners and coef = 2·t·10⁶ div (deg·(deg−1)) in exact
+    * integer arithmetic (positive truncating division — identical both
+    * engines). Oracle recounts per-node triangles from the brute
+    * id-ordered enumeration.
+    */
+  val q176ClusteringCoefficient = Q(
+    "q176_clustering_coefficient",
+    (s, dir) => {
+      val raw = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 401).as("x"),
+          ((col("doc_id") * 7 + 1) % 401).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      val deg = raw.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val withDeg = raw
+        .join(broadcast(deg.withColumnRenamed("n", "a")
+          .withColumnRenamed("deg", "dega")), "a")
+        .join(broadcast(deg.withColumnRenamed("n", "b")
+          .withColumnRenamed("deg", "degb")), "b")
+      val oriented = withDeg.select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("degb").as("degd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("dega").as("degd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.degd").as("degd"))
+      val wedges = oriented.as("o1")
+        .join(oriented.as("o2"), col("o1.src") === col("o2.src"))
+        .filter(struct(col("o1.degd"), col("o1.dst")) <
+          struct(col("o2.degd"), col("o2.dst")))
+        .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+          col("o2.dst").as("w"))
+      val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+      val tri = wedges.join(closing, Seq("v", "w"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("n"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("n").as("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(2 * coalesce(n_tri, 0) * 1000000) div (deg * (deg - 1))")
+            .as("coef_ppm"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT DISTINCT least(doc_id % 401, (doc_id * 7 + 1) % 401) AS a,
+               greatest(doc_id % 401, (doc_id * 7 + 1) % 401) AS b
+        FROM documents
+        WHERE doc_id % 401 <> (doc_id * 7 + 1) % 401),
+      deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS n FROM raw UNION ALL SELECT b FROM raw)
+        GROUP BY 1),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM raw e1
+        JOIN raw e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN raw e3 ON e3.a = e1.b AND e3.b = e2.b),
+      pernode AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_tri
+        FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1)
+      SELECT d.n AS node, d.deg,
+             coalesce(p.n_tri, 0) AS n_tri,
+             (2 * coalesce(p.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+               AS coef_ppm
+      FROM deg d LEFT JOIN pernode p USING (n)
+      WHERE d.deg >= 2"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
-    q168MixtureBudget, q169SnapshotDiff, q173TriangleCount)
+    q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
+    q175SystematicSample, q176ClusteringCoefficient)
 }
