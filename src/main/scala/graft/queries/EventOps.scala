@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -890,11 +890,117 @@ object EventOps {
       WHERE event_type IN ('click', 'purchase')
       QUALIFY event_type = 'click'"""))
 
+  /** Mann–Kendall trend detection per event type — the robust
+    * (rank-based, outlier-immune) monotone-trend test over the daily
+    * count series: S = Σ_{i<j} sign(n_j − n_i), an EXACT integer.
+    * Scale shape: the pair enumeration runs over the tiny
+    * (type × day) AGGREGATE — aggregate-then-pair, never event×event —
+    * so the quadratic is bounded by the series length (30 days) at any
+    * corpus size.
+    */
+  val q179MannKendall = Q(
+    "q179_mann_kendall",
+    (s, dir) => {
+      val daily = t(s, dir)("events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val d1 = daily.select(col("event_type"), col("d").as("d1"),
+        col("n").as("n1"))
+      val d2 = daily.select(col("event_type"), col("d").as("d2"),
+        col("n").as("n2"))
+      d1.join(d2, Seq("event_type")).filter(col("d1") < col("d2"))
+        .select(col("event_type"),
+          signum(col("n2") - col("n1")).cast("long").as("sg"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"), sum("sg").as("s_stat"))
+        .select(col("event_type"), col("n_pairs"), col("s_stat"),
+          when(col("s_stat") > 0, "increasing")
+            .when(col("s_stat") < 0, "decreasing")
+            .otherwise("flat").as("trend"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type,
+               CAST(sign(b.n - a.n) AS BIGINT) AS sg
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d)
+      SELECT event_type, count(*) AS n_pairs,
+             CAST(sum(sg) AS BIGINT) AS s_stat,
+             CASE WHEN CAST(sum(sg) AS BIGINT) > 0 THEN 'increasing'
+                  WHEN CAST(sum(sg) AS BIGINT) < 0 THEN 'decreasing'
+                  ELSE 'flat' END AS trend
+      FROM pairs GROUP BY 1"""))
+
+  /** A/B experiment readout with Welch's t² — users hash-assigned to
+    * variants (the q85 split applied to experimentation), per-variant
+    * mean and variance from ORDER-INDEPENDENT decimal sums (Σv, Σv² via
+    * exactSum), then the t² statistic as a short chain of identical
+    * IEEE ops on those exact sums — deterministic cross-engine without
+    * any rounding mask. The corpus reduces to one conditional-aggregate
+    * row; every variance formula input is a decimal sum, so executor
+    * count and summation order cannot move the statistic.
+    */
+  val q180AbTtest = Q(
+    "q180_ab_ttest",
+    (s, dir) => {
+      val e = t(s, dir)("events").withColumn("variant",
+        pmod(graft.operators.Dedup.md5Hash64(
+          concat(lit("v_"), col("user_id").cast("string"))), lit(2L)))
+      def side(v: Int, c: Column) = when(col("variant") === v, c)
+      val agg = e.agg(
+        count(side(0, lit(1))).as("n_a"),
+        count(side(1, lit(1))).as("n_b"),
+        Sql.exactSum(side(0, col("value"))).as("s_a"),
+        Sql.exactSum(side(1, col("value"))).as("s_b"),
+        Sql.exactSum(side(0, col("value") * col("value"))).as("q_a"),
+        Sql.exactSum(side(1, col("value") * col("value"))).as("q_b"))
+      agg.select(col("n_a"), col("n_b"),
+        (col("s_a") / col("n_a")).as("mean_a"),
+        (col("s_b") / col("n_b")).as("mean_b"),
+        (((col("s_a") / col("n_a")) - (col("s_b") / col("n_b"))) *
+          ((col("s_a") / col("n_a")) - (col("s_b") / col("n_b"))) /
+          ((col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
+            (col("n_a") - 1) / col("n_a") +
+            (col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
+              (col("n_b") - 1) / col("n_b"))).as("t2"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT value,
+               CAST('0x' || substr(md5('v_' || user_id), 18, 15) AS BIGINT)
+                 % 2 AS variant
+        FROM events),
+      agg AS (
+        SELECT
+          count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+          count(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+          CAST(sum(CASE WHEN variant = 0
+                        THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS s_a,
+          CAST(sum(CASE WHEN variant = 1
+                        THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE) AS s_b,
+          CAST(sum(CASE WHEN variant = 0
+                        THEN CAST(value * value AS DECIMAL(27,4)) END)
+               AS DOUBLE) AS q_a,
+          CAST(sum(CASE WHEN variant = 1
+                        THEN CAST(value * value AS DECIMAL(27,4)) END)
+               AS DOUBLE) AS q_b
+        FROM v)
+      SELECT n_a, n_b,
+             s_a / n_a AS mean_a,
+             s_b / n_b AS mean_b,
+             ((s_a / n_a) - (s_b / n_b)) * ((s_a / n_a) - (s_b / n_b)) /
+               ((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+                (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b) AS t2
+      FROM agg"""))
+
   val qs: Seq[Q] = Seq(q50EventHourly, q51Sessionize, q52JsonExtract,
     q53EventPivot, q54AsofJoin, q71AsofOperator, q83StreamSessionize,
     q87StreamHourly, q88StreamAttribution, q89StreamDedup, q90StreamAsof,
     q99StreamRunning, q106SessionWindow, q119Funnel, q125RunningTotal,
     q134SlidingWindow, q135StreamSliding, q139StreamOuterJoin,
     q148StreamHeavyHitters, q167MadOutliers, q172StreamTransformState,
-    q177RetentionCohorts, q178AsofForward)
+    q177RetentionCohorts, q178AsofForward, q179MannKendall, q180AbTtest)
 }
