@@ -478,7 +478,7 @@ object VectorOps {
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
     q153SemDedupIncremental, q157PqAdc, q159KmeansParInit, q160Ivfpq,
-    q166PcaPower)
+    q166PcaPower, q181EmbeddingDrift)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
@@ -1326,49 +1326,58 @@ object VectorOps {
     * `comps` are multi-referenced → AS MATERIALIZED (the 50-round BPE
     * oracle lesson: CTE inlining compounds per round).
     */
-  private def pcaOracleSql: String = {
-    val head = """
-      WITH q AS MATERIALIZED (
+  /** CTE chain computing the q166 power iteration for one (optionally
+    * filtered) vector population; `sfx` suffixes every CTE name so two
+    * chains can share one WITH clause (q181).
+    */
+  private def pcaCtes(sfx: String, where: String): String = {
+    val head = s"""
+      q$sfx AS MATERIALIZED (
         SELECT vec_id,
                [CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)
                 for x in embedding] AS qv
-        FROM embeddings),
-      idx AS (SELECT unnest(generate_series(1, 64)) AS j),
-      comps AS MATERIALIZED (SELECT vec_id, j, qv[j] AS qj FROM q, idx),
-      sums AS (SELECT j, sum(qj) AS s FROM comps GROUP BY j),
-      nrow AS (SELECT count(*) AS n FROM q),
-      gram AS (
+        FROM embeddings $where),
+      idx$sfx AS (SELECT unnest(generate_series(1, 64)) AS j),
+      comps$sfx AS MATERIALIZED (
+        SELECT vec_id, j, qv[j] AS qj FROM q$sfx, idx$sfx),
+      sums$sfx AS (SELECT j, sum(qj) AS s FROM comps$sfx GROUP BY j),
+      nrow$sfx AS (SELECT count(*) AS n FROM q$sfx),
+      gram$sfx AS (
         SELECT a.j AS j, b.j AS k, sum(a.qj * b.qj) AS g
-        FROM comps a JOIN comps b ON a.vec_id = b.vec_id GROUP BY a.j, b.j),
-      m0 AS (
-        SELECT g.j, g.k, nrow.n * g.g - sa.s * sb.s AS m
-        FROM gram g JOIN sums sa ON sa.j = g.j
-        JOIN sums sb ON sb.j = g.k CROSS JOIN nrow),
-      dm AS (SELECT greatest(CAST(1 AS HUGEINT),
-                             max(abs(m)) // 4294967296) AS dv FROM m0),
-      m AS MATERIALIZED (
+        FROM comps$sfx a JOIN comps$sfx b ON a.vec_id = b.vec_id
+        GROUP BY a.j, b.j),
+      m0$sfx AS (
+        SELECT g.j, g.k, nrow$sfx.n * g.g - sa.s * sb.s AS m
+        FROM gram$sfx g JOIN sums$sfx sa ON sa.j = g.j
+        JOIN sums$sfx sb ON sb.j = g.k CROSS JOIN nrow$sfx),
+      dm$sfx AS (SELECT greatest(CAST(1 AS HUGEINT),
+                             max(abs(m)) // 4294967296) AS dv FROM m0$sfx),
+      m$sfx AS MATERIALIZED (
         SELECT j, k,
-               CASE WHEN m0.m < 0 THEN -((-m0.m) // dm.dv)
-                    ELSE m0.m // dm.dv END AS m
-        FROM m0, dm),
-      x0 AS (SELECT j AS k, CAST(1 AS HUGEINT) AS xv FROM idx)"""
+               CASE WHEN m0$sfx.m < 0 THEN -((-m0$sfx.m) // dm$sfx.dv)
+                    ELSE m0$sfx.m // dm$sfx.dv END AS m
+        FROM m0$sfx, dm$sfx),
+      x0$sfx AS (SELECT j AS k, CAST(1 AS HUGEINT) AS xv FROM idx$sfx)"""
     val rounds = (1 to 8).map { r =>
-      val prev = if (r == 1) "x0" else "x" + (r - 1)
+      val prev = if (r == 1) s"x0$sfx" else s"x${r - 1}$sfx"
       s""",
-      y$r AS (SELECT m.j, sum(m.m * $prev.xv) AS y
-              FROM m JOIN $prev ON m.k = $prev.k GROUP BY m.j),
-      d$r AS (SELECT greatest(CAST(1 AS HUGEINT), max(abs(y)) // 1024) AS dv
-              FROM y$r),
-      x$r AS (SELECT j AS k,
+      y$r$sfx AS (SELECT m$sfx.j, sum(m$sfx.m * $prev.xv) AS y
+              FROM m$sfx JOIN $prev ON m$sfx.k = $prev.k GROUP BY m$sfx.j),
+      d$r$sfx AS (SELECT greatest(CAST(1 AS HUGEINT),
+                                  max(abs(y)) // 1024) AS dv
+              FROM y$r$sfx),
+      x$r$sfx AS (SELECT j AS k,
                      CASE WHEN y < 0 THEN -((-y) // dv) ELSE y // dv END AS xv
-              FROM y$r, d$r)"""
+              FROM y$r$sfx, d$r$sfx)"""
     }.mkString
-    val tail = """
+    head + rounds
+  }
+
+  private def pcaOracleSql: String =
+    "WITH " + pcaCtes("", "") + """
       SELECT c.vec_id, CAST(sum(c.qj * x8.xv) AS BIGINT) AS proj
       FROM comps c JOIN x8 ON c.j = x8.k
       GROUP BY c.vec_id"""
-    head + rounds + tail
-  }
 
   /** Distributed PCA top component by exact-integer power iteration —
     * the whitening/decorrelation primitive behind OPQ rotations and
@@ -1401,4 +1410,46 @@ object VectorOps {
           lit(0L), (acc, v) => acc + v).as("proj"))
     },
     Some(pcaOracleSql))
+
+  /** Embedding-distribution DRIFT between two corpus slices — the
+    * monitoring primitive for "did the embedding space move between
+    * releases / days": each half's top principal direction (one grouped
+    * GramAgg pass computes BOTH halves' buffers in a single scan), then
+    * the squared cosine between the two integer directions as an exact
+    * scaled fraction ((x·y)²·10⁶ div (|x|²·|y|²), BigInt on the driver,
+    * HUGEINT in the oracle — no floats anywhere). cos²≈1 ⇒ the dominant
+    * axis is stable; a drop flags drift. The oracle replays both
+    * suffixed 8-round power-iteration chains in one WITH clause.
+    */
+  lazy val q181EmbeddingDrift = Q(
+    "q181_embedding_drift",
+    (s, dir) => {
+      val d = 64
+      val qdf = t(s, dir)("embeddings").select(
+        (col("vec_id") % 2).as("half"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+          .as("qv"))
+      val bufs = qdf.groupBy("half")
+        .agg(graft.functions.GramAgg(d)(col("qv")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      val xa = graft.operators.PcaPower.topComponent(bufs(0L), d)
+      val xb = graft.operators.PcaPower.topComponent(bufs(1L), d)
+      val dot = (0 until d).map(i => BigInt(xa(i)) * BigInt(xb(i))).sum
+      val na2 = (0 until d).map(i => BigInt(xa(i)) * BigInt(xa(i))).sum
+      val nb2 = (0 until d).map(i => BigInt(xb(i)) * BigInt(xb(i))).sum
+      val cos2Ppm = ((dot * dot * 1000000) / (na2 * nb2)).toLong
+      val out = Seq((bufs(0L)(0), bufs(1L)(0), cos2Ppm))
+      import s.implicits._
+      out.toDF("n_a", "n_b", "cos2_ppm")
+    },
+    Some("WITH " + pcaCtes("a", "WHERE vec_id % 2 = 0") + "," +
+      pcaCtes("b", "WHERE vec_id % 2 = 1") + """,
+      dot AS (SELECT sum(a.xv * b.xv) AS dt
+              FROM x8a a JOIN x8b b ON a.k = b.k),
+      nrm AS (SELECT (SELECT sum(xv * xv) FROM x8a) AS qa2,
+                     (SELECT sum(xv * xv) FROM x8b) AS qb2)
+      SELECT (SELECT n FROM nrowa) AS n_a,
+             (SELECT n FROM nrowb) AS n_b,
+             CAST((dt * dt * 1000000) // (qa2 * qb2) AS BIGINT) AS cos2_ppm
+      FROM dot, nrm"""))
 }
