@@ -225,7 +225,10 @@ object TextMacroBench {
     // partial per input partition, so the build cost is
     // partitions × m/8 bytes through one reducer — hence also the
     // repartition(8) below (compact longs, cheap) to bound the fan-in.
-    val m = math.max(1L << 22, java.lang.Long.highestOneBit(n * 25L))
+    // clamp at 2^30 bits (128 MB): past ~86M docs n*25 outgrows Int range
+    // and m.toInt below would wrap negative into the BloomBits require
+    val m = math.min(1L << 30,
+      math.max(1L << 22, java.lang.Long.highestOneBit(n * 25L)))
     val grams = deconGrams(d)
     def pos(j: Int): Column = pmod(xxhash64(col("gk"), lit(j)), lit(m))
     val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()

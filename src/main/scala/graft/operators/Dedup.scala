@@ -28,6 +28,18 @@ object Dedup {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 18, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[md5Hash64]] (same low 60 bits of md5 on the
+    * UTF-8 bytes) for the few places that fold a SMALL collected set —
+    * e.g. q162's eval-set bloom bits — without a Spark job.
+    * Equality with the Column form is spec-pinned (DedupSpec).
+    */
+  def md5Hash64Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16)
+  }
+
   /** Distinct word n-gram shingles of a text column. Docs with fewer
     * than n tokens yield an empty array (NOT sequence(1, 0), which is
     * DESCENDING in Spark and feeds slice an illegal start of 0).

@@ -4,33 +4,39 @@ import graft.functions.GramAgg
 
 /** Driver-side companion of the one-pass [[graft.functions.GramAgg]]
   * covariance: turns the packed [n | Σq | qqᵀ triangle] buffer into the
-  * top principal direction by exact-integer power iteration. Every step
-  * is deterministic long arithmetic (truncating division), so the DuckDB
-  * oracle replays it bit-for-bit (q166); the pre-scaling trunc-div keeps
-  * all intermediates in long range at ANY corpus size.
+  * top principal direction by exact-integer power iteration. The
+  * covariance n·G − S·Sᵀ is formed in BigInt — its entries grow like
+  * n²·q_max², which leaves Long range past ~4·10⁷ rows at q_max=64
+  * while the DuckDB oracle computes the same step in 128-bit HUGEINT —
+  * then the pre-scaling trunc-div (BigInt `/` truncates toward zero,
+  * exactly the oracle's sign-decomposed `//`) brings every entry back
+  * below 2^33, and the 8 power-iteration rounds stay in plain Long
+  * (|Mx| ≤ 2^33·2^11·d). Bit-for-bit replayable at ANY corpus size
+  * that fits HUGEINT (n ≲ 10^17).
   */
 object PcaPower {
 
   /** Covariance matrix scaled by n²: M = n·G − S·Sᵀ, from the GramAgg
-    * buffer layout.
+    * buffer layout. BigInt: entries exceed Long past ~4e7 rows.
     */
-  def covarianceScaled(buf: Array[Long], d: Int): Array[Array[Long]] = {
-    val n = buf(0)
-    val sums = Array.tabulate(d)(j => buf(1 + j))
-    def gram(j: Int, k: Int): Long =
-      if (j <= k) buf(GramAgg.triIndex(d, j, k))
-      else buf(GramAgg.triIndex(d, k, j))
+  def covarianceScaled(buf: Array[Long], d: Int): Array[Array[BigInt]] = {
+    val n = BigInt(buf(0))
+    val sums = Array.tabulate(d)(j => BigInt(buf(1 + j)))
+    def gram(j: Int, k: Int): BigInt =
+      if (j <= k) BigInt(buf(GramAgg.triIndex(d, j, k)))
+      else BigInt(buf(GramAgg.triIndex(d, k, j)))
     Array.tabulate(d, d)((j, k) => n * gram(j, k) - sums(j) * sums(k))
   }
 
   /** Top component: pre-scale M below 2^33, then `rounds` iterations of
-    * x ← (Mx) / max(1, maxabs(Mx)/1024), all truncating long division
-    * (== the oracle's sign-decomposed `//`).
+    * x ← (Mx) / max(1, maxabs(Mx)/1024), all truncating division
+    * (BigInt `/` and Scala Long `/` == the oracle's sign-decomposed `//`).
     */
   def topComponent(buf: Array[Long], d: Int, rounds: Int = 8): Array[Long] = {
     val m0 = covarianceScaled(buf, d)
-    val dm = math.max(1L, m0.flatten.map(math.abs).max / 4294967296L)
-    val mm = m0.map(_.map(_ / dm))
+    val big1 = BigInt(1)
+    val dm = m0.flatten.map(_.abs).max / 4294967296L max big1
+    val mm = m0.map(_.map(v => (v / dm).toLong))
     var x = Array.fill(d)(1L)
     for (_ <- 1 to rounds) {
       val y = Array.tabulate(d) { j =>

@@ -708,8 +708,10 @@ object EventOps {
       val e = t(s, dir)("events")
         .select(col("event_type"), col("event_id"), col("value"))
       val cnt = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      // NULLS LAST to match DuckDB's ORDER BY default (Spark defaults to
+      // NULLS FIRST — a NULL value would shift the rank-(n+1)/2 row)
       val byV = Window.partitionBy("event_type")
-        .orderBy(col("value"), col("event_id"))
+        .orderBy(col("value").asc_nulls_last, col("event_id"))
       val med = e.withColumn("rn", row_number().over(byV))
         .join(broadcast(cnt), "event_type")
         .filter(col("rn") === expr("(n + 1) div 2"))
@@ -717,7 +719,7 @@ object EventOps {
       val dev = e.join(broadcast(med), "event_type")
         .withColumn("dv", abs(col("value") - col("med")))
       val byD = Window.partitionBy("event_type")
-        .orderBy(col("dv"), col("event_id"))
+        .orderBy(col("dv").asc_nulls_last, col("event_id"))
       val mad = dev.withColumn("rn", row_number().over(byD))
         .join(broadcast(cnt), "event_type")
         .filter(col("rn") === expr("(n + 1) div 2"))

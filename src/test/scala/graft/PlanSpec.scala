@@ -308,15 +308,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
-  test("q162: bloom filter and eval set both broadcast into the train scan") {
+  test("q162: literal bloom prefilter + broadcast eval verify, no train shuffle") {
     val p = plan("q162_bloom_decontaminate")
-    // one-row bit array → BroadcastNestedLoopJoin; eval verify → BHJ.
-    // Neither may degrade to shuffling the train grams for the prefilter.
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"bloom array stopped broadcasting:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // the bloom bit array is a build-time LITERAL folded into the scan
+    // filter (no join at all for the prefilter — better than the previous
+    // crossJoin(broadcast(agg)) shape); the exact verify must stay a BHJ.
+    // The train grams may never be shuffled before the prefilter.
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bloom prefilter regressed to a join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"exact verify join stopped broadcasting the eval set:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly ONE exchange: the final per-doc aggregation
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"train gram scan gained extra shuffles:\n$p")
   }
 
   test("q163: classifier weights join is a broadcast, never a shuffle of features") {

@@ -65,4 +65,15 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 0)))
   }
+
+  test("md5Hash64Local matches the Column md5Hash64 bit-for-bit") {
+    val inputs = Seq("", "a", "hello world", "-123_0", "9223372036854775807_2",
+      base, "unicode ééé 中文")
+    val viaSpark = inputs.toDF("s")
+      .select(col("s"), Dedup.md5Hash64(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    inputs.foreach { s =>
+      assert(Dedup.md5Hash64Local(s) == viaSpark(s), s"mismatch for '$s'")
+    }
+  }
 }
