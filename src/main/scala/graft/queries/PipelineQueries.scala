@@ -423,7 +423,8 @@ object PipelineQueries {
         FROM clean)
       SELECT doc_id, lang, round(quality, 6) AS quality, n_tokens,
              CAST(cum_tokens AS BIGINT) AS cum_tokens
-      FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""))
+      FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""),
+    headline = true)
 
   /** Training-mixture apportionment: a global token budget (half the
     * corpus) split across sources in EXACT proportion to their token

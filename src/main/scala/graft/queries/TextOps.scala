@@ -1305,7 +1305,8 @@ object TextOps {
              CAST(sum(CASE WHEN e.gk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_exact_grams
       FROM cand c LEFT JOIN evalg e ON c.gk = e.gk
-      GROUP BY c.doc_id"""))
+      GROUP BY c.doc_id"""),
+    headline = true)
 
   /** Linear quality-classifier INFERENCE with the hashing trick — the
     * fastText-shaped scoring pass (Joulin et al. 2016: bag of words +
@@ -1522,7 +1523,8 @@ object TextOps {
              CAST(sum(CAST(sterm AS DECIMAL(27,4))) AS DOUBLE) AS bm25_scaled,
              CAST(count(*) AS BIGINT) AS n_query_terms
       FROM scored GROUP BY doc_id
-      ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 20"""))
+      ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 20"""),
+    headline = true)
 
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,

@@ -611,7 +611,8 @@ object VectorOps {
               / (sqrt(CAST(va.vv AS DOUBLE)) * sqrt(CAST(vb.vv AS DOUBLE))) >= 0.95)
       SELECT a2.vec_id, cl,
              CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
-      FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""))
+      FROM a2 LEFT JOIN dups d ON a2.vec_id = d.vec_id"""),
+    headline = true)
 
   /** q144's SemDeDup with the round-11 SKEW GUARD + broadcast-argmax
     * assignment, both exercised cross-engine:
@@ -1409,7 +1410,8 @@ object VectorOps {
         aggregate(zip_with(col("qv"), xLit, (a, b) => a * b),
           lit(0L), (acc, v) => acc + v).as("proj"))
     },
-    Some(pcaOracleSql))
+    Some(pcaOracleSql),
+    headline = true)
 
   /** Embedding-distribution DRIFT between two corpus slices — the
     * monitoring primitive for "did the embedding space move between

@@ -23,8 +23,12 @@ class FunnelEmptyStageSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft-funnel").toFile
     d.deleteOnExit()
     // ts is INT64 nanos, exactly the driver fixture's physical type —
-    // Tables.load truncates to micros and restores TimestampType
+    // Tables.load truncates to micros and restores TimestampType.
+    // value/props fill out the full events schema contract (Tables.verify
+    // fails loudly on any missing critical column, even in test fixtures).
     rows.toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
     d.getAbsolutePath
   }
