@@ -8,13 +8,18 @@ import graft.operators.{Dedup, Multimodal}
 /** Fuzzy-dedup + multimodal surface over the testdata tables — all fully
   * oracle-checked. The MinHash oracle is *ground truth*: because the engine
   * verifies every LSH candidate with exact shingle Jaccard, its survivor
-  * set equals the brute-force all-pairs answer (the oracle) whenever LSH
+  * set equals the exact all-pairs answer (the oracle) whenever LSH
   * has no false negative — with k=64/16 bands the miss probability at the
   * 0.8 threshold is (1-0.8^4)^16 ≈ 2e-4 per pair, and the hashes are
   * deterministic, so an observed match at a scale factor is stable. The
-  * SimHash oracle replicates the signature exactly (shared md5-derived
-  * hash; the 4x16-bit pigeonhole banding provably finds ALL hamming<=3
-  * pairs, so brute-force SQL is equivalent, not approximate).
+  * oracle computes that exact answer through PPJoin-style prefix
+  * filtering ([[prefixCandSql]]) — a provably lossless candidate pruning,
+  * NOT an LSH replay — so it stays ground truth while scaling near-
+  * linearly to the sf1 gate (the naive O(n²) form cost >1.5 h there).
+  * The SimHash oracle replicates the signature exactly (shared
+  * md5-derived hash) and finds pairs through the same 4x16-bit
+  * pigeonhole banding the engine uses — provably complete for
+  * hamming<=3, so it too is exact, not approximate.
   */
 object DedupQueries {
 
@@ -29,6 +34,39 @@ object DedupQueries {
     FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM %s)
     WHERE len(t) >= 3"""
 
+  /** Prefix-filtered EXACT candidate generation for Jaccard >= 0.8 —
+    * the PPJoin prefix-filter principle (Chaudhuri/Ganti/Kaushik, ICDE
+    * 2006; Xiao et al., WWW 2008): sort every set by one global token
+    * order (ascending document frequency puts the rarest tokens first),
+    * then any pair with |A∩B| >= ceil(0.8*max(|A|,|B|)) MUST share a
+    * token inside the first n - ceil(0.8*n) + 1 elements of each side
+    * (pigeonhole on the sorted tails), and J >= 0.8 additionally forces
+    * 5*|A| >= 4*|B| and 5*|B| >= 4*|A| (J <= min/max). `cand` is
+    * therefore a PROVABLE SUPERSET of all qualifying pairs; exact
+    * verification downstream makes every result identical to the
+    * brute-force all-pairs form this replaces, at near-linear cost —
+    * what lets the ground-truth oracles follow the engine up the SF
+    * ladder (the r12 sf1-exclusion item) instead of costing O(n²) list
+    * intersections. `src` must expose (doc_id, sh); emits cand(ai, bi)
+    * with ai < bi. ceil(4n/5) = (4n+4)//5 in integer arithmetic.
+    */
+  private[queries] def prefixCandSql(src: String): String = s"""
+      ex AS (SELECT doc_id, unnest(sh) AS tk FROM $src),
+      dfreq AS (SELECT tk, count(*) AS df FROM ex GROUP BY 1),
+      srt AS (
+        SELECT e.doc_id, array_agg(e.tk ORDER BY d.df, e.tk) AS stoks,
+               count(*) AS n
+        FROM ex e JOIN dfreq d USING (tk) GROUP BY 1),
+      pref AS (
+        SELECT doc_id, n, unnest(stoks[1 : n - (4*n+4)//5 + 1]) AS tk
+        FROM srt),
+      cand AS (
+        SELECT a.doc_id AS ai, b.doc_id AS bi
+        FROM pref a JOIN pref b
+          ON a.tk = b.tk AND a.doc_id < b.doc_id
+         AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4
+        GROUP BY 1, 2)"""
+
   /** MinHash+LSH dedup over documents: surviving doc count per lang after
     * dropping verified near-duplicates (jaccard >= 0.8 on 3-gram shingles).
     */
@@ -42,9 +80,11 @@ object DedupQueries {
     },
     Some(s"""
       WITH sh AS (${shinglesSql.format("documents")}),
+      ${prefixCandSql("sh")},
       dups AS (
-        SELECT DISTINCT b.doc_id
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        SELECT DISTINCT c.bi AS doc_id
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(a.sh || b.sh)) >= 0.8)
       SELECT lang, count(*) AS n_survivors
@@ -68,11 +108,13 @@ object DedupQueries {
     },
     Some(s"""
       WITH RECURSIVE sh AS (${shinglesSql.format("documents")}),
+      ${prefixCandSql("sh")},
       e AS (
-        SELECT a.doc_id AS a, b.doc_id AS b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        SELECT c.ai AS a, c.bi AS b
+        FROM cand c JOIN sh sa ON sa.doc_id = c.ai
+        JOIN sh sb ON sb.doc_id = c.bi
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.8),
       sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
       reach(node, lbl) AS (
         SELECT doc_id, doc_id FROM documents
@@ -148,16 +190,20 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_accepted"))
     },
     Some(s"""
-      WITH shc AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")}),
-      shd AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 = 0)")}),
+      WITH sh0 AS (${shinglesSql.format("documents")}),
+      sh AS (SELECT doc_id, sh, doc_id % 5 = 0 AS is_delta FROM sh0),
+      ${prefixCandSql("sh")},
+      ver AS (
+        SELECT c.ai, c.bi, a.is_delta AS da, b.is_delta AS db
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
+        WHERE (a.is_delta OR b.is_delta)
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
       dropped AS (
-        SELECT DISTINCT d.doc_id FROM shd d JOIN shc c ON TRUE
-        WHERE CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE)
-              / len(list_distinct(d.sh || c.sh)) >= 0.8
-        UNION
-        SELECT DISTINCT b.doc_id FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(a.sh || b.sh)) >= 0.8)
+        SELECT bi AS doc_id FROM ver WHERE db AND NOT da
+        UNION SELECT ai FROM ver WHERE da AND NOT db
+        UNION SELECT bi FROM ver WHERE da AND db)
       SELECT lang, count(*) AS n_accepted
       FROM documents
       WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -190,9 +236,19 @@ object DedupQueries {
                bit_or(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
                            ELSE 0 END) AS simhash
         FROM votes GROUP BY 1),
+      bands AS (
+        SELECT doc_id, simhash, g.k AS bk,
+               (simhash >> (g.k * 16)) & 65535 AS bv
+        FROM sig, generate_series(0, 3) g(k)),
+      cand AS (
+        SELECT a.doc_id AS ai, b.doc_id AS bi
+        FROM bands a JOIN bands b
+          ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
       pairs AS (
         SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        FROM cand c JOIN sig a ON a.doc_id = c.ai
+        JOIN sig b ON b.doc_id = c.bi
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
       SELECT count(*) AS n_pairs,
              coalesce(min(dist), 0) AS min_dist
@@ -542,24 +598,24 @@ object DedupQueries {
         .groupBy("lang").agg(count(lit(1)).as("n_accepted"))
     },
     Some(s"""
-      WITH shc_raw AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 <> 0)")}),
-      shd_raw AS (${shinglesSql.format("(SELECT * FROM documents WHERE doc_id % 5 = 0)")}),
-      shc AS (
+      WITH sh0 AS (${shinglesSql.format("documents")}),
+      sh AS (
         SELECT doc_id, list_distinct(list_transform(sh,
-                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS h
-        FROM shc_raw),
-      shd AS (
-        SELECT doc_id, list_distinct(list_transform(sh,
-                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS h
-        FROM shd_raw),
+                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS sh,
+               doc_id % 5 = 0 AS is_delta
+        FROM sh0),
+      ${prefixCandSql("sh")},
+      ver AS (
+        SELECT c.ai, c.bi, a.is_delta AS da, b.is_delta AS db
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
+        WHERE (a.is_delta OR b.is_delta)
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
       dropped AS (
-        SELECT DISTINCT d.doc_id FROM shd d JOIN shc c ON TRUE
-        WHERE CAST(len(list_intersect(d.h, c.h)) AS DOUBLE)
-              / len(list_distinct(d.h || c.h)) >= 0.8
-        UNION
-        SELECT DISTINCT b.doc_id FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
-              / len(list_distinct(a.h || b.h)) >= 0.8)
+        SELECT bi AS doc_id FROM ver WHERE db AND NOT da
+        UNION SELECT ai FROM ver WHERE da AND NOT db
+        UNION SELECT bi FROM ver WHERE da AND db)
       SELECT lang, count(*) AS n_accepted
       FROM documents
       WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)

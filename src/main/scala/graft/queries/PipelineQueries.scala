@@ -60,9 +60,11 @@ object PipelineQueries {
                               for i in generate_series(1, len(t)-2)]) AS sh
         FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
         WHERE len(t) >= 3),
+      """ + DedupQueries.prefixCandSql("sh") + """,
       dups AS (
-        SELECT DISTINCT b.doc_id
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        SELECT DISTINCT c.bi AS doc_id
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(a.sh || b.sh)) >= 0.8)
       SELECT lang, count(*) AS n_docs,
@@ -386,9 +388,11 @@ object PipelineQueries {
                               for i in generate_series(1, len(t)-2)]) AS sh
         FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
         WHERE len(t) >= 3),
+      """ + DedupQueries.prefixCandSql("sh") + """,
       dups AS (
-        SELECT DISTINCT b.doc_id
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        SELECT DISTINCT c.bi AS doc_id
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(a.sh || b.sh)) >= 0.8),
       near AS (

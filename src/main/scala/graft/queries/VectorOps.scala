@@ -598,11 +598,12 @@ object VectorOps {
           FROM dot1 d JOIN vv USING (vec_id) JOIN cc1 ON cc1.cl = d.cl)
         WHERE rn = 1),
       pd AS (
-        SELECT a.vec_id AS ai, b.vec_id AS bi, CAST(sum(av.v * bv.v) AS BIGINT) AS dot
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               CAST(list_dot_product(CAST(qa.vq AS DOUBLE[]),
+                                     CAST(qb.vq AS DOUBLE[])) AS BIGINT) AS dot
         FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        JOIN flat av ON av.vec_id = a.vec_id
-        JOIN flat bv ON bv.vec_id = b.vec_id AND av.pos = bv.pos
-        GROUP BY 1, 2),
+        JOIN qz qa ON qa.vec_id = a.vec_id
+        JOIN qz qb ON qb.vec_id = b.vec_id),
       dups AS (
         SELECT DISTINCT pd.bi AS vec_id
         FROM pd JOIN vv va ON va.vec_id = pd.ai
@@ -743,11 +744,10 @@ object VectorOps {
         JOIN sigs sb ON sb.vec_id = b.vec_id AND sa.b = sb.b AND sa.sig = sb.sig
         WHERE szs.n > 40),
       cand AS (SELECT ai, bi FROM smallp UNION SELECT ai, bi FROM bigp),
-      pd AS (SELECT c.ai, c.bi, sum(av.v * bv.v) AS dot
+      pd AS (SELECT c.ai, c.bi, list_dot_product(qa.vq, qb.vq) AS dot
              FROM cand c
-             JOIN flat av ON av.vec_id = c.ai
-             JOIN flat bv ON bv.vec_id = c.bi AND av.pos = bv.pos
-             GROUP BY 1, 2),
+             JOIN qz qa ON qa.vec_id = c.ai
+             JOIN qz qb ON qb.vec_id = c.bi),
       dups AS (
         SELECT DISTINCT pd.bi AS vec_id
         FROM pd JOIN vv va ON va.vec_id = pd.ai
@@ -858,21 +858,20 @@ object VectorOps {
                             d.cl ASC) AS rn
           FROM dotc d JOIN vvd USING (vec_id) JOIN cc ON cc.cl = d.cl)
         WHERE rn = 1),
-      pdc AS (SELECT a.vec_id, m.vec_id AS mid, sum(dv.v * cv.v) AS dot
+      pdc AS (SELECT a.vec_id, m.vec_id AS mid,
+                     list_dot_product(qd.vq, m.vq) AS dot
               FROM asg a JOIN qzc m ON m.cl = a.cl
-              JOIN flatd dv ON dv.vec_id = a.vec_id
-              JOIN flatc cv ON cv.vec_id = m.vec_id AND cv.pos = dv.pos
-              GROUP BY 1, 2),
+              JOIN qzd qd ON qd.vec_id = a.vec_id),
       dup1 AS (
         SELECT DISTINCT pdc.vec_id
         FROM pdc JOIN vvd ON vvd.vec_id = pdc.vec_id
         JOIN vvc ON vvc.vec_id = pdc.mid
         WHERE pdc.dot / (sqrt(vvd.vv) * sqrt(vvc.vv)) >= 0.95),
-      pdd AS (SELECT a.vec_id AS ai, b.vec_id AS bi, sum(av.v * bv.v) AS dot
+      pdd AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                     list_dot_product(qa.vq, qb.vq) AS dot
               FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
-              JOIN flatd av ON av.vec_id = a.vec_id
-              JOIN flatd bv ON bv.vec_id = b.vec_id AND av.pos = bv.pos
-              GROUP BY 1, 2),
+              JOIN qzd qa ON qa.vec_id = a.vec_id
+              JOIN qzd qb ON qb.vec_id = b.vec_id),
       dup2 AS (
         SELECT DISTINCT pdd.bi AS vec_id
         FROM pdd JOIN vvd va ON va.vec_id = pdd.ai
