@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis rank (PageRank, Page/Brin/Motwani/Winograd
+  * 1999) in EXACT integer arithmetic with a fixed round count — the
+  * crawl-graph quality signal a web-corpus curation pipeline weights
+  * documents by (the reference's corpus tooling stops at static graph
+  * metrics; this is the iterative centrality companion to the q173/q176
+  * triangle family).
+  *
+  * Arithmetic contract (cross-engine replayable, every value a Long):
+  *
+  *  - rank_0(v) = scale for every node
+  *  - contrib_r(u) = rank_r(u) div outdeg(u)   (truncating; positive)
+  *  - rank_{r+1}(v) = (scale*(100-d)) div 100
+  *                    + (d * Σ_{u→v} contrib_r(u)) div 100
+  *
+  * with d the damping numerator (default 85). All divisions are
+  * positive-domain truncating division, so Scala `/` ≡ DuckDB `//`
+  * (the q166 lesson about sign-decomposed division never triggers).
+  * Mass lost to div-remainders and to dangling nodes (outdeg 0) is
+  * deliberately NOT redistributed: both engines drop it identically,
+  * and the fixed-round unrolled oracle replays the recurrence term for
+  * term — rank VALUES gate by hash, no tolerance anywhere.
+  *
+  * Scale shape (the CC/BpeTrainer iteration pattern):
+  *  - `edges` with its outdeg column is computed once, repartitioned on
+  *    src, and cached — the static side of every round's join.
+  *  - Each round is one hash join (ranks ⋈ edges on src) + one
+  *    partial-aggregated groupBy(dst) + one left join back to the node
+  *    universe; nothing ever collects to the driver.
+  *  - Each round `localCheckpoint`s the new ranks (eager) — without it
+  *    the nested AQE plan string OOMs the driver long before the data
+  *    does (the 30-round BPE lineage lesson, CLAUDE.md round-11).
+  *
+  * Overflow guard: Σ contrib over all in-edges of one node is bounded
+  * by the total mass n*scale, so d * Σ stays in Long while
+  * n * scale <= Long.MaxValue / 100 — `require`d loudly up front.
+  */
+object PageRank {
+
+  /** Run `rounds` exact-integer PageRank rounds over a directed edge
+    * list. Returns (node, rank) for every node appearing as src or dst.
+    *
+    * @param edges   DataFrame with long columns `src`, `dst` (parallel
+    *                edges allowed — each contributes separately, like a
+    *                weighted link; dedup upstream if unwanted)
+    * @param scale   initial integer rank per node (rank_0)
+    * @param rounds  fixed iteration count (the oracle unrolls this many)
+    * @param damping damping numerator out of 100 (default 85)
+    */
+  def run(
+      edges: DataFrame,
+      scale: Long = 1000000000L,
+      rounds: Int = 8,
+      damping: Int = 85): DataFrame = {
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(parts, col("node"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pagerank: empty graph")
+    require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
+      s"pagerank: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+
+    val base = scale * (100 - damping) / 100
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var r = 0
+    while (r < rounds) {
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division — the
+      // truncating integer form must be the SQL div operator to stay
+      // exact (and to mirror DuckDB's positive-domain `//`)
+      val sums = ranks.join(linked, col("node") === col("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"${base}L + ($damping * coalesce(m, 0L)) div 100")
+            .as("rank"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    ranks
+  }
+
+  /** The unrolled DuckDB oracle for [[run]] — generated from the SAME
+    * round count so the SQL text and the Spark loop can never drift
+    * (the q166/q181 suffix-parameterized chain pattern). `edgesCte`
+    * must define a CTE named `edges(src, dst)`; the caller appends the
+    * final SELECT over `r{rounds}`(node, rank). Multi-referenced CTEs
+    * are MATERIALIZED — DuckDB re-inlines them per round otherwise
+    * (the 50-round BPE "Too many open files" lesson).
+    */
+  def oracleRounds(rounds: Int, scale: Long, damping: Int = 85): String = {
+    val base = scale * (100 - damping) / 100
+    val sb = new StringBuilder
+    sb ++= s"""
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges),
+      outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      linked AS MATERIALIZED (
+        SELECT e.src, e.dst, d.outdeg
+        FROM edges e JOIN outdeg d USING (src)),
+      r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      s$r AS (
+        SELECT l.dst AS node, CAST(sum(r$r.rank // l.outdeg) AS BIGINT) AS m
+        FROM linked l JOIN r$r ON r$r.node = l.src
+        GROUP BY 1),
+      r${r + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CAST($base + ($damping * coalesce(s$r.m, 0)) // 100
+                    AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN s$r USING (node))"""
+    }
+    sb.toString
+  }
+}

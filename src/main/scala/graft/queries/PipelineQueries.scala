@@ -776,8 +776,44 @@ object PipelineQueries {
       FROM deg d LEFT JOIN pernode p USING (n)
       WHERE d.deg >= 2"""))
 
+  /** Iterative PageRank over a deterministic 1499-node crawl graph
+    * synthesized from doc_id (two directed links per document) — the
+    * link-centrality quality signal web-corpus curation weights
+    * documents by, and the round-13 companion to the static q173/q176
+    * metrics. Eight exact-integer rounds (scale 10⁹, damping 85/100,
+    * truncating division both engines — see operators/PageRank.scala);
+    * the oracle's 8-round CTE chain is GENERATED from the same round
+    * count (the q166 suffix-parameterized pattern: programmatic SQL on
+    * both sides, never hand-copied), so rank values gate by hash with
+    * no tolerance. Scale shape: per round one src-hash join + one
+    * partially-aggregated groupBy(dst) + a node-universe left join;
+    * the edge side is repartitioned+cached once, every round
+    * localCheckpoints (the BPE lineage lesson).
+    */
+  val q182Pagerank = Q(
+    "q182_pagerank",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val e1 = docs.select((col("doc_id") % 1499).as("src"),
+        ((col("doc_id") * 31 + 7) % 1499).as("dst"))
+      val e2 = docs.select((col("doc_id") % 1499).as("src"),
+        ((col("doc_id") * 17 + 3) % 1499).as("dst"))
+      val edges = e1.union(e2).filter(col("src") =!= col("dst")).distinct()
+      graft.operators.PageRank.run(edges, scale = 1000000000L, rounds = 8)
+    },
+    Some("""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 1499 AS src, (doc_id * 31 + 7) % 1499 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 1499, (doc_id * 17 + 3) % 1499 FROM documents)
+        WHERE src <> dst),""" +
+      graft.operators.PageRank.oracleRounds(8, 1000000000L) + """
+      SELECT node, rank FROM r8"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
-    q175SystematicSample, q176ClusteringCoefficient)
+    q175SystematicSample, q176ClusteringCoefficient, q182Pagerank)
 }
