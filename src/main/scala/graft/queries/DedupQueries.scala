@@ -736,10 +736,139 @@ object DedupQueries {
                AS first_cut_idx
       FROM c GROUP BY 1"""))
 
+  /** STREAMING curation composition — q147's batch curation DAG run as
+    * ONE continuous-ingest stream (streaming/StreamCuration.scala):
+    * arriving delta documents (doc_id % 5 = 0, replayed in id order)
+    * pass the q163 quality classifier (inline stateless fold of the
+    * same hashed-linear arithmetic), the q156 fuzzy dedup against the
+    * QUALITY-CURATED corpus index loaded as initial state, and the
+    * q162 bloom+exact decontamination against the eval split
+    * (doc_id % 199 = 0), emitting per-lang funnel counts
+    * n_arrived ≥ n_quality ≥ n_unique ≥ n_accepted. The oracle replays
+    * the identical batch pipeline: inline-weight scores, h-space
+    * prefix-filtered exact Jaccard among quality survivors, exact
+    * eval-gram containment — all near-linear, so this gate follows the
+    * engine to sf1 unlike the brute forms it composes.
+    */
+  val q183StreamCuration = Q(
+    "q183_stream_curation",
+    (s, dir) => {
+      import graft.streaming.{FileReplay, StreamCuration, StreamDedup}
+      val docs = Tables.load(s, dir, "documents")
+      val m = 65536L
+      // build-time: eval gram keys + local bloom fold (the q162 shape)
+      val evalGks = docs.filter(col("doc_id") % 199 === 0)
+        .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
+        .distinct().as[Long](s.implicits.newLongEncoder).collect()
+      val positions = (for (gk <- evalGks; j <- 0 to 2) yield Math.floorMod(
+        Dedup.md5Hash64Local(gk.toString + "_" + j), m)).distinct
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        .filter(StreamCuration.qualityScore(col("text")) > 0)
+      val init = StreamDedup.corpusIndexState(corpus, "doc_id", "text")
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_curation")
+      val sel = delta.select(col("doc_id"), col("text"))
+      FileReplay.stageOrderedReplay(sel, "doc_id", srcDir)
+      val verdicts = FileReplay.runToTable(s, srcDir, sel.schema,
+          s"graft_stream_curation_$h") { stream =>
+          StreamCuration.curationStream(
+            StreamCuration.curationRows(stream, "doc_id", "text",
+              positions, evalGks), init).toDF()
+        }
+      // phase 2 (batch): OR the per-band verdicts, join back the funnel
+      val perDoc = verdicts.groupBy(col("docId").as("doc_id"))
+        .agg(max(col("matched")).as("matched"),
+          max(col("contaminated")).as("contaminated"))
+      val q = StreamCuration.qualityScore(col("text")) > 0
+      delta.join(perDoc, Seq("doc_id"), "left")
+        .select(col("lang"), q.as("quality"),
+          coalesce(col("matched"), lit(false)).as("matched"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("quality") && !col("matched"), 1L).otherwise(0L))
+            .as("n_unique"),
+          sum(when(col("quality") && !col("matched") && !col("contaminated"),
+            1L).otherwise(0L)).as("n_accepted"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      feats AS (
+        SELECT doc_id,
+               unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS f
+        FROM toks),
+      fscore AS (
+        SELECT doc_id,
+               CAST(sum(CAST('0x' || substr(md5('w_' ||
+                      (CAST('0x' || substr(md5(f), 18, 15) AS BIGINT) % 4096)),
+                      18, 15) AS BIGINT) % 2001 - 1000) AS BIGINT) AS score
+        FROM feats GROUP BY 1),
+      qual AS (
+        SELECT d.doc_id, d.lang, coalesce(s.score, 0) AS score
+        FROM documents d LEFT JOIN fscore s USING (doc_id)),
+      sh0 AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, len(t)-2)]) AS shr
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 3),
+      sh AS (
+        SELECT s.doc_id,
+               list_distinct(list_transform(s.shr,
+                 x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS sh,
+               s.doc_id % 5 = 0 AS is_delta
+        FROM sh0 s JOIN qual q ON q.doc_id = s.doc_id
+        WHERE q.score > 0),
+      """ + prefixCandSql("sh") + """,
+      ver AS (
+        SELECT c.ai, c.bi, a.is_delta AS da, b.is_delta AS db
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
+        WHERE (a.is_delta OR b.is_delta)
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+      dropped AS (
+        SELECT bi AS doc_id FROM ver WHERE db AND NOT da
+        UNION SELECT ai FROM ver WHERE da AND NOT db
+        UNION SELECT bi FROM ver WHERE da AND db),
+      gr AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)])) AS g
+        FROM toks WHERE len(w) >= 3),
+      gks AS (
+        SELECT doc_id, CAST('0x' || substr(md5(g), 18, 15) AS BIGINT) AS gk
+        FROM gr),
+      evalg AS (SELECT DISTINCT gk FROM gks WHERE doc_id % 199 = 0),
+      contam AS (SELECT DISTINCT k.doc_id FROM gks k JOIN evalg e USING (gk))
+      SELECT q.lang,
+             CAST(count(*) AS BIGINT) AS n_arrived,
+             CAST(sum(CASE WHEN q.score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+             CAST(sum(CASE WHEN q.score > 0 AND dr.doc_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN q.score > 0 AND dr.doc_id IS NULL
+                            AND ct.doc_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+      FROM qual q
+      LEFT JOIN dropped dr ON dr.doc_id = q.doc_id
+      LEFT JOIN contam ct ON ct.doc_id = q.doc_id
+      WHERE q.doc_id % 5 = 0
+      GROUP BY 1"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
       q146MultimodalPack, q156StreamDedup, q161ImageDhash,
-      q170AudioFingerprint, q171SceneCuts)
+      q170AudioFingerprint, q171SceneCuts, q183StreamCuration)
 }

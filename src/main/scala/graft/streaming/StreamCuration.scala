@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, KeyValueGroupedDataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+import graft.streaming.StreamDedup.Member
+
+/** CONTINUOUS-INGEST corpus curation: the q147 batch pipeline's three
+  * scale stages — quality classification (q163), fuzzy dedup against a
+  * persisted index (q156), eval-set decontamination (q162) — composed
+  * into ONE streaming query over arriving documents. This is the
+  * production corpus-service shape: documents flow in continuously, the
+  * existing curated corpus is the dedup operator's initial state, and
+  * each arrival is scored, checked against the index, and
+  * decontaminated without ever re-scanning the corpus.
+  *
+  * Stage placement inside one stream (Spark allows ONE stateful
+  * operator in this append pipeline, so everything else must be
+  * stateless):
+  *
+  *  - quality: the q163 hashed-linear-model score computed as an INLINE
+  *    columnar fold (`aggregate(transform(feats, wt))`) instead of the
+  *    batch query's explode + broadcast-weight join — hash-derived
+  *    weights make the lookup a pure expression, so the stage is
+  *    stateless and arithmetically IDENTICAL to the batch form (exact
+  *    long sums, any order). Rejected docs stop here and never index.
+  *  - decontamination: per-doc 3-gram keys tested against the broadcast
+  *    65536-bit bloom literal, survivors exact-verified against the
+  *    eval-key array — q162's two-phase semantics as a stateless
+  *    projection; the flag rides along to the verdict.
+  *  - dedup: the ONE stateful op — q156's per-band
+  *    `flatMapGroupsWithState` with the corpus index as initial state,
+  *    extended to carry the contamination flag through.
+  *
+  * Contaminated-but-unique docs still join the index (they ARE corpus
+  * content; only their downstream use is blocked), mirroring the batch
+  * rule where decontamination runs after dedup.
+  */
+object StreamCuration {
+
+  /** One (band bucket, document) occurrence with the doc's verification
+    * hash set and its (stateless) contamination verdict attached.
+    */
+  case class CurRow(bandHash: Long, docId: Long, shh: Array[Long],
+      contaminated: Boolean)
+
+  /** Final per-(band, doc) verdict; a doc is a duplicate iff ANY band
+    * matched (LSH OR-semantics — aggregate downstream).
+    */
+  case class CurVerdict(docId: Long, matched: Boolean, contaminated: Boolean)
+
+  /** q163's hashed linear quality score as one stateless expression:
+    * tokens ++ bigrams, bucket = md5Hash64(f) mod 4096, weight =
+    * md5Hash64("w_" || bucket) mod 2001 − 1000, score = Σ weights.
+    * Exactly the batch query's integer arithmetic (both mods are
+    * positive-domain), so stream and batch agree bit-for-bit.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val w = filter(split(lower(textCol), "\\s+"), tk => length(tk) > 0)
+    val feats = concat(w,
+      transform(
+        slice(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+          lit(1), greatest(size(w) - 1, lit(0))),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+    aggregate(
+      transform(feats, f =>
+        pmod(Dedup.md5Hash64(concat(lit("w_"),
+          pmod(Dedup.md5Hash64(f), lit(4096L)).cast("string"))),
+          lit(2001L)) - 1000L),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Distinct md5-hashed 3-gram keys of a text column (q162's gram
+    * keys), as a TOTAL expression (the round-5 guard-filter lesson).
+    */
+  def gramKeys(textCol: Column): Column = {
+    val w = filter(split(lower(textCol), "\\s+"), tk => length(tk) > 0)
+    val grams = when(size(w) >= 3, array_distinct(
+      transform(
+        slice(sequence(lit(1), greatest(size(w) - 2, lit(1))),
+          lit(1), greatest(size(w) - 2, lit(0))),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1),
+          lit(" "), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    transform(grams, g => Dedup.md5Hash64(g))
+  }
+
+  /** Stateless front of the stream: quality-gate arrivals, attach the
+    * two-phase contamination flag (bloom literal prefilter + exact
+    * eval-key verify), then explode to per-band rows with the
+    * verification hash set — the typed `map(identity)` barrier stops
+    * projection collapse from re-inlining the k-hash signature per band
+    * (the q156 lesson).
+    */
+  def curationRows(docs: DataFrame, idCol: String, textCol: String,
+      bloomPositions: Array[Long], evalKeys: Array[Long], m: Long = 65536L,
+      n: Int = 3, k: Int = 64, bands: Int = 16): Dataset[CurRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // set-bit POSITIONS as a sorted literal: membership ⇔ bit set, the
+    // exact semantics of q162's packed 65536-bit array (whose per-gram
+    // bit index is data-dependent — Spark's shiftright only takes a
+    // literal count, so the stream tests the position set instead)
+    val posLit = typedLit(bloomPositions.sorted.toSeq)
+    val evalLit = typedLit(evalKeys.toSeq)
+    def pos(gk: Column, j: Int): Column =
+      pmod(Dedup.md5Hash64(concat(gk.cast("string"), lit("_" + j))), lit(m))
+    def bitSet(p: Column): Column = array_contains(posLit, p)
+
+    docs
+      .filter(qualityScore(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.shingles(col(textCol), n).as("sh"),
+        exists(
+          filter(gramKeys(col(textCol)), gk =>
+            bitSet(pos(gk, 0)) && bitSet(pos(gk, 1)) && bitSet(pos(gk, 2))),
+          gk => array_contains(evalLit, gk)).as("contaminated"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shx", transform(col("sh"), t => xxhash64(t)))
+      .select(col("docId"),
+        array_distinct(transform(col("sh"), t => Dedup.md5Hash64(t)))
+          .as("shh"),
+        Dedup.minhashSignatureFromHashes(col("shx"), k).as("sig"),
+        col("contaminated"))
+      .as[(Long, Array[Long], Array[Long], Boolean)]
+      .map(identity) // ser/deser barrier: signature materialized once
+      .toDF("docId", "shh", "sig", "contaminated")
+      .select(col("docId"), col("shh"), col("contaminated"),
+        explode(Dedup.bandedSignature(col("sig"), k, bands)).as("b"))
+      .select(col("b.band_hash").as("bandHash"), col("docId"), col("shh"),
+        col("contaminated"))
+      .as[CurRow]
+  }
+
+  /** The stateful dedup core — q156's band-bucket state function with
+    * the contamination flag passed through. Arrivals verify (ascending
+    * id) against corpus members and smaller-id earlier arrivals, then
+    * join the bucket whether or not they matched.
+    */
+  def curationStream(stream: Dataset[CurRow],
+      initial: KeyValueGroupedDataset[Long, Seq[Member]],
+      threshold: Double = 0.8): Dataset[CurVerdict] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .groupByKey(_.bandHash)
+      .flatMapGroupsWithState[Seq[Member], CurVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
+        (_: Long, rows: Iterator[CurRow], state: GroupState[Seq[Member]]) =>
+          var members = state.getOption.getOrElse(Seq.empty[Member])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CurVerdict]
+          rows.toSeq.sortBy(_.docId).foreach { r =>
+            val a = r.shh.toSet
+            val hit = members.exists { m =>
+              (m.corpus || m.docId < r.docId) && {
+                val inter = m.shh.count(a.contains)
+                val union = a.size + m.shh.length - inter
+                union > 0 && inter.toDouble / union >= threshold
+              }
+            }
+            out += CurVerdict(r.docId, hit, r.contaminated)
+            members = members :+ Member(r.docId, corpus = false, r.shh)
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}
