@@ -248,6 +248,7 @@ object TextMacroBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--deep-bpe")) { deepBpe(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -316,6 +317,49 @@ object TextMacroBench {
       f"""{"metric":"text_macro","value":${tN.values.sum}%.1f,"unit":"sec","factor":$factor,"base_docs":$baseDocs,"shapes":$detail,"cliff":${cliff.nonEmpty}}""")
     require(cliff.isEmpty,
       s"scale cliff (>${1.5 * factor}x time at ${factor}x data): $cliff")
+    spark.stop()
+  }
+
+  /** Production-depth BPE training: a real tokenizer is 30k merges, not
+    * the 50 the q154 gate unrolls — this arm drives trainBatched to
+    * `merges` EFFECTIVE merges over the full corpus, proving the
+    * per-round latency amortizes: rounds ≈ merges / batch (the ranked-
+    * prefix stop rule only shortens a batch when selections collide,
+    * so the average accepted batch must stay a large fraction of
+    * batchSize). localCheckpoint-per-round keeps driver memory flat
+    * regardless of depth (the 30-round lineage-OOM lesson).
+    *
+    * Usage: TextMacroBench --deep-bpe [merges] [batchSize] [nDocs]
+    *        (defaults 1000, 64, 300000)
+    */
+  private def deepBpe(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val merges = pos.headOption.map(_.toInt).getOrElse(1000)
+    val batch = pos.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val nDocs = pos.drop(2).headOption.map(_.toLong).getOrElse(300000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d = docs(spark, nDocs).cache()
+    d.count()
+    val words = graft.operators.BpeTrainer.wordTable(d, "text")
+    val t0 = System.nanoTime()
+    val (steps, finalWords, rounds) =
+      graft.operators.BpeTrainer.trainBatched(words, merges, batch)
+    finalWords.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(steps.size == merges,
+      s"asked for $merges merges, applied ${steps.size}")
+    val avgBatch = merges.toDouble / rounds
+    println(f"""{"metric":"bpe_deep","value":$secs%.1f,"unit":"sec","n_docs":$nDocs,"merges":$merges,"batch_size":$batch,"rounds":$rounds,"avg_batch":$avgBatch%.1f,"merges_per_sec":${merges / secs}%.1f}""")
+    require(avgBatch >= batch / 4.0,
+      s"batching failed to amortize: avg accepted batch $avgBatch of $batch")
     spark.stop()
   }
 }
