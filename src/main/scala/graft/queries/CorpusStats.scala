@@ -1,0 +1,581 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Corpus-statistics curation operators beyond the reference's own
+  * surface — the document-quality / collocation / cardinality / novelty
+  * signals a large-scale LLM training-data pipeline computes corpus-wide:
+  *
+  *  - q184: Gopher-style repetition rules (Rae et al. 2021 §A1.1):
+  *    characters covered by the most frequent word n-gram (n=2,3,4) and
+  *    by duplicated n-grams (n=5,8), exact char accounting per doc.
+  *  - q185: top-k collocations by PMI — rational form (c_xy·N)/(c_x·c_y)
+  *    (log is monotone, so ranking is unchanged — the q131 rational-idf
+  *    precedent); both products stay < 2^53 so the IEEE division is
+  *    bit-identical cross-engine. Decimal path needed past ~10^8 tokens.
+  *  - q186: HyperLogLog registers (Flajolet et al. 2007) over 3-gram
+  *    shingle hashes — the mergeable 64-register sketch, rho computed
+  *    exactly via binary-string length (no float log), plus the exact
+  *    distinct count for comparison.
+  *  - q187: n-gram novelty — per doc, how many of its distinct 8-gram
+  *    shingles first appear in it (min-doc_id attribution): the
+  *    "new content" curve an ingest pipeline tracks. Two grouped
+  *    passes + per-doc joins; the corpus-wide shingle table never
+  *    self-joins.
+  *  - q188: bounded k-core peeling (k=4, 4 rounds) on a deterministic
+  *    doc-derived graph — the degeneracy-core graph signal; the oracle
+  *    is the IDENTICAL round chain generated as unrolled CTEs (the
+  *    q166 generate-never-hand-copy pattern).
+  *  - q189: count-min sketch (Cormode & Muthukrishnan 2005), d=4 rows ×
+  *    w=256 buckets over corpus trigram counts, verified by probing the
+  *    top-5 trigrams (min over rows >= exact count, never undercounts).
+  *
+  * Scale shapes: every operator is a scan + hash-shuffle on compact keys
+  * (grams, shingle hashes, node ids); sketches are bounded-state (64
+  * registers / 1024 counters) and mergeable; the k-core alive set is
+  * O(nodes) and broadcast into semi-joins. No doc×doc stage anywhere.
+  */
+object CorpusStats {
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Whitespace tokens of lower(text), empties dropped. */
+  private def toksCol: Column =
+    filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+
+  /** DuckDB twin of [[toksCol]] (plain triple-quote — no s"" escape
+    * processing, the r11 lesson). */
+  private val toksSql =
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> len(x) > 0) AS tk
+       FROM documents"""
+
+  /** Generic-n twin of the DedupQueries shinglesSql (raw split, distinct
+    * grams — mirrors Dedup.shingles exactly). Built by concatenation so
+    * the backslash survives without interpolator escape processing.
+    */
+  private def shNSql(n: Int): String =
+    """SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+""" + (n - 1) +
+      """], ' ')
+                          for i in generate_series(1, len(t)-""" + (n - 1) +
+      """)]) AS sh
+       FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             FROM documents)
+       WHERE len(t) >= """ + n
+
+  // -------------------------------------------------------------------
+  // q184: Gopher repetition rules — char coverage of top/duplicated
+  // word n-grams, exact integer accounting.
+  // -------------------------------------------------------------------
+  val q184GopherNgrams = Q(
+    "q184_gopher_ngrams",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val withT = docs.select(col("doc_id"), toksCol.as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("tn"))
+      // (doc, 1-based position, token length) — the char ledger
+      val pos = withT
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"),
+          length(col("tok")).cast("long").as("lw"))
+      val totals = pos.groupBy("doc_id").agg(sum("lw").as("total_chars"))
+      // all overlapping n-gram occurrences, one branch per n (each is an
+      // independent scan; the transform builds the WHOLE gram array once
+      // per row, so token splitting never re-runs per occurrence)
+      val ns = Seq(2, 3, 4, 5, 8)
+      val occ = ns.map { n =>
+        withT.filter(col("tn") >= n)
+          .select(col("doc_id"), lit(n).as("n"),
+            posexplode(transform(sequence(lit(1), col("tn") - (n - 1)),
+              i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+              .as(Seq("i0", "gram")))
+          .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
+            col("gram"))
+      }.reduce(_ unionByName _)
+      val counted = occ.groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("ii"))
+      // most frequent n-gram per (doc, n in 2..4), ties to the smallest
+      val w = Window.partitionBy("doc_id", "n")
+        .orderBy(col("c").desc, col("gram").asc)
+      val top = counted.filter(col("n").isin(2, 3, 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      val dup = counted.filter(col("n").isin(5, 8) && col("c") >= 2)
+      // char coverage: distinct token positions under qualifying grams
+      val covered = top.unionByName(dup)
+        .select(col("doc_id"), col("n"), explode(col("ii")).as("i"))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+        .distinct()
+      val cov = covered.join(pos, Seq("doc_id", "p"))
+        .groupBy("doc_id", "n").agg(sum("lw").as("cv"))
+      def pick(n: Int, name: String): Column =
+        coalesce(max(when(col("n") === n, col("cv"))), lit(0L)).as(name)
+      val pivoted = cov.groupBy("doc_id").agg(
+        pick(2, "c2"), pick(3, "c3"), pick(4, "c4"), pick(5, "c5"),
+        pick(8, "c8"))
+      totals.join(pivoted, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total_chars"),
+          coalesce(col("c2"), lit(0L)).as("top2_chars"),
+          coalesce(col("c3"), lit(0L)).as("top3_chars"),
+          coalesce(col("c4"), lit(0L)).as("top4_chars"),
+          coalesce(col("c5"), lit(0L)).as("dup5_chars"),
+          coalesce(col("c8"), lit(0L)).as("dup8_chars"))
+    },
+    Some("""
+      WITH toks AS (""" + toksSql + """),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(tk))) AS p,
+               unnest(list_transform(tk, x -> len(x))) AS lw
+        FROM toks),
+      total AS (
+        SELECT doc_id, CAST(sum(lw) AS BIGINT) AS total_chars
+        FROM pos GROUP BY 1),
+      occ AS (
+        SELECT doc_id, n, unnest(generate_series(1, len(tk) - n + 1)) AS i
+        FROM toks CROSS JOIN (VALUES (2),(3),(4),(5),(8)) v(n)
+        WHERE len(tk) >= n),
+      occg AS (
+        SELECT o.doc_id, o.n, o.i,
+               array_to_string(list_slice(t2.tk, o.i, o.i + o.n - 1), ' ')
+                 AS gram
+        FROM occ o JOIN toks t2 ON t2.doc_id = o.doc_id),
+      counted AS (
+        SELECT doc_id, n, gram, count(*) AS c, list(i) AS ii
+        FROM occg GROUP BY 1, 2, 3),
+      topg AS (
+        SELECT doc_id, n, ii FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                       ORDER BY c DESC, gram) AS rk
+          FROM counted WHERE n IN (2, 3, 4)) WHERE rk = 1),
+      dupg AS (
+        SELECT doc_id, n, ii FROM counted WHERE n IN (5, 8) AND c >= 2),
+      qual AS (SELECT * FROM topg UNION ALL SELECT * FROM dupg),
+      covered AS (
+        SELECT DISTINCT doc_id, n, i + off AS p
+        FROM (SELECT doc_id, n, unnest(ii) AS i FROM qual)
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS off) o
+        WHERE off < n),
+      cov AS (
+        SELECT c.doc_id, c.n, CAST(sum(p2.lw) AS BIGINT) AS cv
+        FROM covered c
+        JOIN pos p2 ON p2.doc_id = c.doc_id AND p2.p = c.p
+        GROUP BY 1, 2)
+      SELECT t.doc_id, t.total_chars,
+        CAST(coalesce(max(CASE WHEN c.n = 2 THEN c.cv END), 0) AS BIGINT)
+          AS top2_chars,
+        CAST(coalesce(max(CASE WHEN c.n = 3 THEN c.cv END), 0) AS BIGINT)
+          AS top3_chars,
+        CAST(coalesce(max(CASE WHEN c.n = 4 THEN c.cv END), 0) AS BIGINT)
+          AS top4_chars,
+        CAST(coalesce(max(CASE WHEN c.n = 5 THEN c.cv END), 0) AS BIGINT)
+          AS dup5_chars,
+        CAST(coalesce(max(CASE WHEN c.n = 8 THEN c.cv END), 0) AS BIGINT)
+          AS dup8_chars
+      FROM total t LEFT JOIN cov c ON c.doc_id = t.doc_id
+      GROUP BY 1, 2"""))
+
+  // -------------------------------------------------------------------
+  // q185: PMI collocations — top-50 adjacent word pairs by the rational
+  // PMI core (c_xy·N)/(c_x·c_y), exact long products, one IEEE division.
+  // -------------------------------------------------------------------
+  val q185PmiCollocations = Q(
+    "q185_pmi_collocations",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val base = docs.select(toksCol.as("tk")).filter(size(col("tk")) >= 2)
+      val big = base.select(
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cxy = big.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      val uni = docs.select(explode(toksCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val n = cxy.agg(sum("cxy").as("bign"))
+      cxy
+        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cx"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cy"))),
+          Seq("w2"))
+        .crossJoin(broadcast(n))
+        .filter(col("cxy") >= 5)
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+          ((col("cxy") * col("bign")).cast("double") /
+            (col("cx") * col("cy")).cast("double")).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (""" + toksSql + """),
+      big AS (
+        SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+              FROM toks WHERE len(tk) >= 2)),
+      cxy AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY 1, 2),
+      cu AS (SELECT w, count(*) AS cu
+             FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+      nn AS (SELECT CAST(sum(cxy) AS BIGINT) AS bign FROM cxy)
+      SELECT c.w1, c.w2, c.cxy, a.cu AS cx, b.cu AS cy,
+             CAST(c.cxy * bign AS DOUBLE) / CAST(a.cu * b.cu AS DOUBLE)
+               AS pmi_ratio
+      FROM cxy c
+      JOIN cu a ON a.w = c.w1
+      JOIN cu b ON b.w = c.w2
+      CROSS JOIN nn
+      WHERE c.cxy >= 5
+      ORDER BY pmi_ratio DESC, c.w1, c.w2
+      LIMIT 50"""))
+
+  // -------------------------------------------------------------------
+  // q186: HyperLogLog registers over 3-shingle hashes. bucket = low 6
+  // hash bits, rho = leading-zero rank of the remaining 54 bits computed
+  // EXACTLY via length(bin(w)) (a string op, no float log), registers
+  // zero-filled over the 64-bucket universe, and the harmonic-sum
+  // estimate carried as the exact long S = sum 2^(56-reg) (max 2^62).
+  // -------------------------------------------------------------------
+  val q186HllDistinct = Q(
+    "q186_hll_distinct",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val sh = docs.select(explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      val hashed = sh.select(Dedup.md5Hash64(col("sh")).as("h"))
+      val regs = hashed
+        .select((col("h") % 64).as("bucket"),
+          shiftright(col("h"), 6).as("wv"))
+        .select(col("bucket"),
+          when(col("wv") === 0, lit(55L))
+            .otherwise(lit(55L) - length(bin(col("wv"))).cast("long"))
+            .as("rho"))
+        .groupBy("bucket").agg(max("rho").as("reg"))
+      val universe = s.range(64).select(col("id").as("bucket"))
+      val full = universe.join(regs, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
+      val summary = full
+        .agg(sum(pow(lit(2.0), lit(56) - col("reg")).cast("long"))
+          .as("s_scaled"))
+        .crossJoin(broadcast(
+          sh.agg(countDistinct(col("sh")).as("exact_distinct"))))
+        .select(col("s_scaled"),
+          (((lit(0.709) * lit(4096.0)) * pow(lit(2.0), lit(56))) /
+            col("s_scaled").cast("double")).as("est"),
+          col("exact_distinct"))
+      full.crossJoin(broadcast(summary))
+    },
+    Some("""
+      WITH sh0 AS (""" + shNSql(3) + """),
+      h AS (
+        SELECT CAST('0x' || substr(md5(sh), 18, 15) AS BIGINT) AS h, sh
+        FROM (SELECT unnest(sh) AS sh FROM sh0)),
+      regs AS (
+        SELECT h % 64 AS bucket,
+               max(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - len(bin(h // 64)) END) AS reg
+        FROM h GROUP BY 1),
+      fullr AS (
+        SELECT u.bucket, CAST(coalesce(r.reg, 0) AS BIGINT) AS reg
+        FROM (SELECT unnest(generate_series(0, 63)) AS bucket) u
+        LEFT JOIN regs r ON r.bucket = u.bucket),
+      summary AS (
+        SELECT CAST(sum(CAST(power(2, 56 - reg) AS BIGINT)) AS BIGINT)
+                 AS s_scaled
+        FROM fullr),
+      ex AS (SELECT count(DISTINCT sh) AS exact_distinct FROM h)
+      SELECT f.bucket, f.reg, s.s_scaled,
+             ((0.709 * 4096.0) * power(2.0, 56))
+               / CAST(s.s_scaled AS DOUBLE) AS est,
+             ex.exact_distinct
+      FROM fullr f, summary s, ex"""))
+
+  // -------------------------------------------------------------------
+  // q187: n-gram novelty — distinct 8-shingles per doc and how many of
+  // them FIRST appear in that doc (min-doc_id attribution). Two grouped
+  // passes over the compact shingle stream; no self-join.
+  // -------------------------------------------------------------------
+  val q187NgramNovelty = Q(
+    "q187_ngram_novelty",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val sh = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 8)).as("sh"))
+      val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val nov = sh.groupBy("sh").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("novel_count"))
+      docs.select(col("doc_id"))
+        .join(nsh, Seq("doc_id"), "left")
+        .join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("novel_count"), lit(0L)).as("novel_count"))
+    },
+    Some("""
+      WITH sh0 AS (""" + shNSql(8) + """),
+      ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh0),
+      nsh AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY 1),
+      nov AS (
+        SELECT doc_id, count(*) AS novel_count
+        FROM (SELECT sh, min(doc_id) AS doc_id FROM ex GROUP BY 1)
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(coalesce(v.novel_count, 0) AS BIGINT) AS novel_count
+      FROM documents d
+      LEFT JOIN nsh n ON n.doc_id = d.doc_id
+      LEFT JOIN nov v ON v.doc_id = d.doc_id"""))
+
+  // -------------------------------------------------------------------
+  // q188: bounded k-core peeling (k=4, 4 rounds). Graph: three forward
+  // id-offset edges per doc (two n_chars-derived, one id-derived), so
+  // the node space SCALES with the corpus and local density varies with
+  // the data — no modular saturation at higher SF. Spark = loop of
+  // semi-joins against the alive set (O(|V|) — let AQE pick the join
+  // strategy; at cluster scale this is a shuffled semi-join, not a
+  // broadcast); oracle = the IDENTICAL round chain as unrolled CTEs,
+  // generated from the same constants (never hand-copied).
+  // -------------------------------------------------------------------
+  private val KcoreK = 4
+  private val KcoreRounds = 4
+
+  val q188Kcore = Q(
+    "q188_kcore",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      // b > a by construction, so edges are canonical without least/greatest
+      val raw = docs.select(explode(array(
+          struct(col("doc_id").as("a"),
+            (col("doc_id") + 1 + (col("n_chars") % 7)).as("b")),
+          struct(col("doc_id").as("a"),
+            (col("doc_id") + 2 + (col("doc_id") % 5)).as("b")),
+          struct(col("doc_id").as("a"),
+            (col("doc_id") + 3 + ((col("n_chars") * 3) % 11)).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+      var edges = raw
+      for (_ <- 1 to KcoreRounds) {
+        val alive = edges
+          .select(explode(array(col("a"), col("b"))).as("nd"))
+          .groupBy("nd").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK).select("nd")
+        edges = edges
+          .join(alive.withColumnRenamed("nd", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("nd", "b"), Seq("b"), "left_semi")
+      }
+      edges.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    },
+    Some {
+      val base = s"""e0 AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT doc_id AS a, doc_id + 1 + (n_chars % 7) AS b FROM documents
+          UNION ALL
+          SELECT doc_id AS a, doc_id + 2 + (doc_id % 5) AS b FROM documents
+          UNION ALL
+          SELECT doc_id AS a, doc_id + 3 + ((n_chars * 3) % 11) AS b
+          FROM documents))"""
+      val rounds = (1 to KcoreRounds).map { r =>
+        s""",
+        d$r AS (SELECT nd, count(*) AS deg FROM (
+            SELECT a AS nd FROM e${r - 1}
+            UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+        a$r AS (SELECT nd FROM d$r WHERE deg >= $KcoreK),
+        e$r AS MATERIALIZED (
+          SELECT e.a, e.b FROM e${r - 1} e
+          JOIN a$r x ON x.nd = e.a
+          JOIN a$r y ON y.nd = e.b)"""
+      }.mkString
+      s"""WITH $base$rounds
+      SELECT nd AS node, count(*) AS deg FROM (
+        SELECT a AS nd FROM e$KcoreRounds
+        UNION ALL SELECT b FROM e$KcoreRounds) GROUP BY 1"""
+    })
+
+  // -------------------------------------------------------------------
+  // q189: count-min sketch over corpus trigram occurrence counts — d=4
+  // hash rows x w=256 buckets, md5-derived row hashes, probed at the
+  // top-5 trigrams: est = min over rows, provably >= the exact count.
+  // -------------------------------------------------------------------
+  val q189CmSketch = Q(
+    "q189_cm_sketch",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val base = docs.select(toksCol.as("tk")).filter(size(col("tk")) >= 3)
+      val tri = base.select(
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i, lit(3))))).as("g"))
+      val counts = tri.groupBy("g").agg(count(lit(1)).as("c"))
+      def bkt(g: Column, j: Column): Column =
+        Dedup.md5Hash64(concat(g, lit("_"), j.cast("string"))) % 256
+      val rows = counts
+        .select(col("g"), col("c"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), bkt(col("g"), col("j")).as("bkt"), col("g"),
+          col("c"))
+      val sketch = rows.groupBy("j", "bkt").agg(sum("c").as("sc"))
+      val probes = counts.orderBy(col("c").desc, col("g")).limit(5)
+      probes
+        .select(col("g"), col("c"), explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("g"), col("c"), col("j"), bkt(col("g"), col("j")).as("bkt"))
+        .join(broadcast(sketch), Seq("j", "bkt"))
+        .groupBy("g", "c").agg(min("sc").as("est"))
+        .select(col("g").as("gram"), col("c").as("exact_c"), col("est"),
+          (col("est") >= col("c")).as("no_undercount"))
+    },
+    Some("""
+      WITH toks AS (""" + toksSql + """),
+      tri AS (
+        SELECT array_to_string(list_slice(tk, i, i + 2), ' ') AS g
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+              FROM toks WHERE len(tk) >= 3)),
+      counts AS (SELECT g, count(*) AS c FROM tri GROUP BY 1),
+      hrows AS (
+        SELECT g, c, j,
+               CAST('0x' || substr(md5(g || '_' || CAST(j AS VARCHAR)),
+                                   18, 15) AS BIGINT) % 256 AS bkt
+        FROM counts
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+      sketch AS (
+        SELECT j, bkt, CAST(sum(c) AS BIGINT) AS sc
+        FROM hrows GROUP BY 1, 2),
+      probes AS (SELECT g, c FROM counts ORDER BY c DESC, g LIMIT 5)
+      SELECT p.g AS gram, p.c AS exact_c,
+             CAST(min(s.sc) AS BIGINT) AS est,
+             min(s.sc) >= p.c AS no_undercount
+      FROM probes p
+      JOIN hrows r ON r.g = p.g
+      JOIN sketch s ON s.j = r.j AND s.bkt = r.bkt
+      GROUP BY 1, 2"""))
+
+  // -------------------------------------------------------------------
+  // q190: DSIR-lite importance weighting (Xie et al. 2023, hashed n-gram
+  // importance resampling): bucket every distinct 2-gram into 4096
+  // md5-derived buckets, estimate target (source='src0') vs raw corpus
+  // bucket frequencies, and score each doc by the ADDITIVE integer
+  // surrogate sum_g (target[b(g)]*10^6 div raw[b(g)]) — exact truncating
+  // arithmetic both engines (all terms nonnegative), monotone in the
+  // per-bucket importance ratio. Top-50 docs by score.
+  // -------------------------------------------------------------------
+  val q190DsirWeights = Q(
+    "q190_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val sh = docs.select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .select(col("doc_id"), col("source"),
+          (Dedup.md5Hash64(col("g")) % 4096).as("bkt"))
+      val raw = sh.groupBy("bkt").agg(count(lit(1)).as("rc"))
+      val tgt = sh.filter(col("source") === "src0")
+        .groupBy("bkt").agg(count(lit(1)).as("tc"))
+      val weights = raw.join(tgt, Seq("bkt"), "left")
+        .select(col("bkt"),
+          expr("coalesce(tc, 0L) * 1000000L div rc").as("w"))
+      sh.join(broadcast(weights), Seq("bkt"))
+        .groupBy("doc_id").agg(sum("w").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some("""
+      WITH sh0 AS (""" + shNSql(2) + """),
+      ex AS (
+        SELECT s0.doc_id, d.source,
+               CAST('0x' || substr(md5(g), 18, 15) AS BIGINT) % 4096 AS bkt
+        FROM (SELECT doc_id, unnest(sh) AS g FROM sh0) s0
+        JOIN documents d ON d.doc_id = s0.doc_id),
+      raw AS (SELECT bkt, count(*) AS rc FROM ex GROUP BY 1),
+      tgt AS (SELECT bkt, count(*) AS tc FROM ex
+              WHERE source = 'src0' GROUP BY 1),
+      wts AS (
+        SELECT r.bkt, (coalesce(t2.tc, 0) * 1000000) // r.rc AS w
+        FROM raw r LEFT JOIN tgt t2 ON t2.bkt = r.bkt)
+      SELECT e.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+      FROM ex e JOIN wts w ON w.bkt = e.bkt
+      GROUP BY 1
+      ORDER BY score DESC, e.doc_id
+      LIMIT 50"""))
+
+  // -------------------------------------------------------------------
+  // q191: cross-source shingle containment — for every ordered source
+  // pair, |shingles(s1) ∩ shingles(s2)| and the containment fraction of
+  // s1 (exact longs; the division of two exact longs is one IEEE op,
+  // bit-identical cross-engine). The join key is the compact shingle
+  // stream (distinct (source, shingle) pairs); output is bounded by
+  // sources², never doc×doc.
+  // -------------------------------------------------------------------
+  val q191SourceContainment = Q(
+    "q191_source_containment",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val sh = docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
+        .filter(col("x.source") =!= col("y.source"))
+        .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("sz").as("size1"))), Seq("s1"))
+        .select(col("s1"), col("s2"), col("inter"), col("size1"),
+          (col("inter").cast("double") / col("size1").cast("double"))
+            .as("containment"))
+    },
+    Some("""
+      WITH sh0 AS (""" + shNSql(3) + """),
+      ex AS (
+        SELECT DISTINCT d.source, g AS sh
+        FROM (SELECT doc_id, unnest(sh) AS g FROM sh0) s0
+        JOIN documents d ON d.doc_id = s0.doc_id),
+      sizes AS (SELECT source, count(*) AS sz FROM ex GROUP BY 1),
+      inter AS (
+        SELECT x.source AS s1, y.source AS s2, count(*) AS inter
+        FROM ex x JOIN ex y ON y.sh = x.sh AND y.source <> x.source
+        GROUP BY 1, 2)
+      SELECT i.s1, i.s2, i.inter, z.sz AS size1,
+             CAST(i.inter AS DOUBLE) / CAST(z.sz AS DOUBLE) AS containment
+      FROM inter i JOIN sizes z ON z.source = i.s1"""))
+
+  // -------------------------------------------------------------------
+  // q192: Gini lexical diversity — 1 - sum_i (c_i/n)^2 carried as the
+  // EXACT integer pair (n² - Σc_i², n²); the double is one division of
+  // exact longs. The repetition-collapse signal Gopher's dup_word_frac
+  // misses (it ignores the distribution shape among repeated words).
+  // -------------------------------------------------------------------
+  val q192GiniDiversity = Q(
+    "q192_gini_diversity",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      docs.select(col("doc_id"), explode(toksCol).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_words"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") * col("n_words") - col("sum_c2")).as("gini_num"),
+          ((col("n_words") * col("n_words") - col("sum_c2")).cast("double") /
+            (col("n_words") * col("n_words")).cast("double")).as("gini"))
+    },
+    Some("""
+      WITH toks AS (""" + toksSql + """),
+      wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * c) AS BIGINT) AS sum_c2
+        FROM wc GROUP BY 1)
+      SELECT doc_id, n_words,
+             n_words * n_words - sum_c2 AS gini_num,
+             CAST(n_words * n_words - sum_c2 AS DOUBLE)
+               / CAST(n_words * n_words AS DOUBLE) AS gini
+      FROM agg"""))
+
+  val qs: Seq[Q] = Seq(q184GopherNgrams, q185PmiCollocations,
+    q186HllDistinct, q187NgramNovelty, q188Kcore, q189CmSketch,
+    q190DsirWeights, q191SourceContainment, q192GiniDiversity)
+}
+
