@@ -272,12 +272,18 @@ object TextMacroBench {
       out
     }
 
+    // q184 shape: five gram explosions + per-doc top-gram window +
+    // coverage-dedup join against the char ledger — the heaviest plan
+    // of the corpus-stats batch (q184–q192)
+    def gopher(d: DataFrame): DataFrame =
+      graft.queries.CorpusStats.gopherNgrams(d)
+
     val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
-      "html_extract" -> htmlExtract,
+      "html_extract" -> htmlExtract, "gopher" -> gopher,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
 
     def runAll(nDocs: Long, check: Boolean = false): Map[String, Double] = {

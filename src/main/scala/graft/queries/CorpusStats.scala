@@ -74,10 +74,9 @@ object CorpusStats {
   // q184: Gopher repetition rules — char coverage of top/duplicated
   // word n-grams, exact integer accounting.
   // -------------------------------------------------------------------
-  val q184GopherNgrams = Q(
-    "q184_gopher_ngrams",
-    (s, dir) => {
-      val docs = t(s, dir)("documents")
+  /** The q184 plan over any (doc_id, text) frame — shared with
+    * TextMacroBench's `gopher` scale arm. */
+  def gopherNgrams(docs: DataFrame): DataFrame = {
       val withT = docs.select(col("doc_id"), toksCol.as("tk"))
         .select(col("doc_id"), col("tk"), size(col("tk")).as("tn"))
       // (doc, 1-based position, token length) — the char ledger
@@ -128,7 +127,11 @@ object CorpusStats {
           coalesce(col("c4"), lit(0L)).as("top4_chars"),
           coalesce(col("c5"), lit(0L)).as("dup5_chars"),
           coalesce(col("c8"), lit(0L)).as("dup8_chars"))
-    },
+  }
+
+  val q184GopherNgrams = Q(
+    "q184_gopher_ngrams",
+    (s, dir) => gopherNgrams(t(s, dir)("documents")),
     Some("""
       WITH toks AS (""" + toksSql + """),
       pos AS (
@@ -241,6 +244,21 @@ object CorpusStats {
   // zero-filled over the 64-bucket universe, and the harmonic-sum
   // estimate carried as the exact long S = sum 2^(56-reg) (max 2^62).
   // -------------------------------------------------------------------
+  /** (bucket, reg) registers + harmonic-sum/estimate/exact columns —
+    * shared by the batch (q186) and streaming (q193) HLL forms. `exact`
+    * must be a single-row frame with an `exact_distinct` column. */
+  private def hllSummary(full: DataFrame, exact: DataFrame): DataFrame = {
+    val summary = full
+      .agg(sum(pow(lit(2.0), lit(56) - col("reg")).cast("long"))
+        .as("s_scaled"))
+      .crossJoin(broadcast(exact))
+      .select(col("s_scaled"),
+        (((lit(0.709) * lit(4096.0)) * pow(lit(2.0), lit(56))) /
+          col("s_scaled").cast("double")).as("est"),
+        col("exact_distinct"))
+    full.crossJoin(broadcast(summary))
+  }
+
   val q186HllDistinct = Q(
     "q186_hll_distinct",
     (s, dir) => {
@@ -258,16 +276,8 @@ object CorpusStats {
       val universe = s.range(64).select(col("id").as("bucket"))
       val full = universe.join(regs, Seq("bucket"), "left")
         .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
-      val summary = full
-        .agg(sum(pow(lit(2.0), lit(56) - col("reg")).cast("long"))
-          .as("s_scaled"))
-        .crossJoin(broadcast(
-          sh.agg(countDistinct(col("sh")).as("exact_distinct"))))
-        .select(col("s_scaled"),
-          (((lit(0.709) * lit(4096.0)) * pow(lit(2.0), lit(56))) /
-            col("s_scaled").cast("double")).as("est"),
-          col("exact_distinct"))
-      full.crossJoin(broadcast(summary))
+      hllSummary(full,
+        sh.agg(countDistinct(col("sh")).as("exact_distinct")))
     },
     Some("""
       WITH sh0 AS (""" + shNSql(3) + """),
@@ -574,8 +584,69 @@ object CorpusStats {
                / CAST(n_words * n_words AS DOUBLE) AS gini
       FROM agg"""))
 
+  // -------------------------------------------------------------------
+  // q193: STREAMING distinct-count — the q186 HLL registers maintained
+  // continuously over the event replay as a Complete-mode global
+  // aggregate of the mergeable HllSketch Aggregator (64 longs of state,
+  // elementwise-max merge: idempotent, so merge-tree- AND micro-batch-
+  // order-independent; registers only grow, so the final snapshot
+  // equals the batch registers over the same rows — the q148 closure
+  // argument without even needing a second exact pass). The oracle
+  // replays the identical register math from the batch table.
+  // -------------------------------------------------------------------
+  val q193StreamHll = Q(
+    "q193_stream_hll",
+    (s, dir) => {
+      import graft.streaming.FileReplay
+      val sel = t(s, dir)("events").select(
+        col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"), col("value"))
+      val h = Integer.toHexString(dir.hashCode)
+      val srcDir = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_stream_src_${h}_hll")
+      FileReplay.stageEventReplay(sel, srcDir)
+      val regsRow = FileReplay.runToTable(s, srcDir, sel.schema,
+        s"graft_stream_hll_$h",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { stream =>
+        stream.filter(col("event_type") =!= "flush")
+          .select(Dedup.md5Hash64(col("user_id").cast("string")).as("h"))
+          .agg(graft.functions.HllSketch()(col("h")).as("regs"))
+      }
+      val full = regsRow
+        .select(posexplode(col("regs")).as(Seq("b", "reg")))
+        .select(col("b").cast("long").as("bucket"), col("reg"))
+      hllSummary(full, t(s, dir)("events")
+        .agg(countDistinct(col("user_id")).as("exact_distinct")))
+    },
+    Some("""
+      WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 18, 15)
+                    AS BIGINT) AS h
+        FROM events),
+      regs AS (
+        SELECT h % 64 AS bucket,
+               max(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - len(bin(h // 64)) END) AS reg
+        FROM h GROUP BY 1),
+      fullr AS (
+        SELECT u.bucket, CAST(coalesce(r.reg, 0) AS BIGINT) AS reg
+        FROM (SELECT unnest(generate_series(0, 63)) AS bucket) u
+        LEFT JOIN regs r ON r.bucket = u.bucket),
+      summary AS (
+        SELECT CAST(sum(CAST(power(2, 56 - reg) AS BIGINT)) AS BIGINT)
+                 AS s_scaled
+        FROM fullr),
+      ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+      SELECT f.bucket, f.reg, s.s_scaled,
+             ((0.709 * 4096.0) * power(2.0, 56))
+               / CAST(s.s_scaled AS DOUBLE) AS est,
+             ex.exact_distinct
+      FROM fullr f, summary s, ex"""))
+
   val qs: Seq[Q] = Seq(q184GopherNgrams, q185PmiCollocations,
     q186HllDistinct, q187NgramNovelty, q188Kcore, q189CmSketch,
-    q190DsirWeights, q191SourceContainment, q192GiniDiversity)
+    q190DsirWeights, q191SourceContainment, q192GiniDiversity,
+    q193StreamHll)
 }
 

@@ -155,6 +155,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q193: streaming HLL registers equal the batch register math") {
+    import graft.operators.Dedup
+    val d = Files.createTempDirectory("graft-streamhll").toFile
+    d.deleteOnExit()
+    val base = 1700000000L * 1000000000L // INT64 nanos, driver physical type
+    (0 until 40).map(i =>
+      (i.toLong, (i % 13).toLong, "view", base + i * 60L * 1000000000L))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+    val got = q("q193_stream_hll").run(spark, d.getAbsolutePath).collect()
+    assert(got.length == 64)
+    val exp = new Array[Long](64)
+    for (u <- 0 until 13) {
+      val h = Dedup.md5Hash64Local(u.toString)
+      val b = (h % 64).toInt
+      val w = h >>> 6
+      val rho =
+        if (w == 0L) 55L
+        else 55L - (64L - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > exp(b)) exp(b) = rho
+    }
+    val gotRegs = got
+      .map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Long]("reg")).toMap
+    for (b <- 0 until 64) assert(gotRegs(b) == exp(b))
+    assert(got.head.getAs[Long]("exact_distinct") == 13L)
+  }
+
   test("q189: the sketch never undercounts and probes match exact counts") {
     val dir = writeDocs(Seq(
       (1L, "a b c a b c a b c d e f"),
