@@ -129,10 +129,9 @@ object CorpusStats {
           coalesce(col("c8"), lit(0L)).as("dup8_chars"))
   }
 
-  val q184GopherNgrams = Q(
-    "q184_gopher_ngrams",
-    (s, dir) => gopherNgrams(t(s, dir)("documents")),
-    Some("""
+  /** The q184 oracle text — also embedded verbatim as a CTE by q194's
+    * composed-policy oracle. */
+  private val gopherSql = ("""
       WITH toks AS (""" + toksSql + """),
       pos AS (
         SELECT doc_id, unnest(generate_series(1, len(tk))) AS p,
@@ -183,7 +182,12 @@ object CorpusStats {
         CAST(coalesce(max(CASE WHEN c.n = 8 THEN c.cv END), 0) AS BIGINT)
           AS dup8_chars
       FROM total t LEFT JOIN cov c ON c.doc_id = t.doc_id
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2""")
+
+  val q184GopherNgrams = Q(
+    "q184_gopher_ngrams",
+    (s, dir) => gopherNgrams(t(s, dir)("documents")),
+    Some(gopherSql))
 
   // -------------------------------------------------------------------
   // q185: PMI collocations — top-50 adjacent word pairs by the rational
@@ -644,9 +648,55 @@ object CorpusStats {
              ex.exact_distinct
       FROM fullr f, summary s, ex"""))
 
+  // -------------------------------------------------------------------
+  // q194: composed curation POLICY — the three-stage selection a corpus
+  // release actually ships: (1) Gopher repetition thresholds (top-2-gram
+  // < 20% of chars, duplicated 5-grams < 50%: exact integer cross-
+  // multiplied comparisons, no division), (2) a per-source quality cap
+  // (top 10 docs per source by total_chars, the web-curation per-domain
+  // budget), (3) a deterministic md5 train/val split. One DAG; the
+  // oracle embeds the q184 oracle text VERBATIM as its first CTE, so
+  // the policy gate also re-verifies the signal computation it consumes.
+  // -------------------------------------------------------------------
+  val q194CurationPolicy = Q(
+    "q194_curation_policy",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val g = gopherNgrams(docs)
+      val keep = g.filter(
+        col("top2_chars") * 5 <= col("total_chars") &&
+          col("dup5_chars") * 2 <= col("total_chars"))
+        .select(col("doc_id"), col("total_chars"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("total_chars").desc, col("doc_id"))
+      keep.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"),
+          when(Dedup.md5Hash64(col("doc_id").cast("string")) % 10 < 8,
+            lit("train")).otherwise(lit("val")).as("split"))
+    },
+    Some("""
+      WITH g AS (""" + gopherSql + """),
+      keep AS (
+        SELECT doc_id, total_chars FROM g
+        WHERE top2_chars * 5 <= total_chars
+          AND dup5_chars * 2 <= total_chars),
+      ranked AS (
+        SELECT k.doc_id, d.source, k.total_chars,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY k.total_chars DESC, k.doc_id)
+                 AS rk
+        FROM keep k JOIN documents d ON d.doc_id = k.doc_id)
+      SELECT doc_id, source,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM ranked WHERE rk <= 10"""))
+
   val qs: Seq[Q] = Seq(q184GopherNgrams, q185PmiCollocations,
     q186HllDistinct, q187NgramNovelty, q188Kcore, q189CmSketch,
     q190DsirWeights, q191SourceContainment, q192GiniDiversity,
-    q193StreamHll)
+    q193StreamHll, q194CurationPolicy)
 }
 

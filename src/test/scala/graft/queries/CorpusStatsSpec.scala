@@ -33,7 +33,7 @@ class CorpusStatsSpec extends SparkSpec {
     for (n <- Seq("q184_gopher_ngrams", "q185_pmi_collocations",
       "q186_hll_distinct", "q187_ngram_novelty", "q188_kcore",
       "q189_cm_sketch", "q190_dsir_weights", "q191_source_containment",
-      "q192_gini_diversity"))
+      "q192_gini_diversity", "q194_curation_policy"))
       q(n).run(spark, dir).collect() // must not throw
   }
 
@@ -182,6 +182,27 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("bucket").toInt -> r.getAs[Long]("reg")).toMap
     for (b <- 0 until 64) assert(gotRegs(b) == exp(b))
     assert(got.head.getAs[Long]("exact_distinct") == 13L)
+  }
+
+  test("q194: repetition filter, per-source cap, and deterministic split") {
+    import graft.operators.Dedup
+    // doc 1 is pure 2-gram repetition -> dropped by the top2 threshold;
+    // docs 2..13 are all-distinct-token docs with strictly decreasing
+    // length -> the per-source cap keeps the 10 longest (ids 2..11)
+    val rows = (1L, "x y x y x y x y x y", "s1") +:
+      (2L to 13L).map { i =>
+        val n = (30 - i).toInt
+        (i, (1 to n).map(j => f"d$i%02dt$j%02d").mkString(" "), "s1")
+      }
+    val dir = writeDocsSrc(rows)
+    val got = q("q194_curation_policy").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(got.keySet == (2L to 11L).toSet)
+    for ((id, split) <- got) {
+      val want =
+        if (Dedup.md5Hash64Local(id.toString) % 10 < 8) "train" else "val"
+      assert(split == want, s"doc $id")
+    }
   }
 
   test("q189: the sketch never undercounts and probes match exact counts") {
