@@ -378,11 +378,11 @@ object PipelineQueries {
         SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
         FROM g),
       gate AS (SELECT * FROM q WHERE quality >= 0.3),
-      exact AS (
+      exact AS MATERIALIZED (
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
           FROM gate) WHERE rn = 1),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct([array_to_string(t[i:i+2], ' ')
                               for i in generate_series(1, len(t)-2)]) AS sh
@@ -395,7 +395,7 @@ object PipelineQueries {
         JOIN sh b ON b.doc_id = c.bi
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / len(list_distinct(a.sh || b.sh)) >= 0.8),
-      near AS (
+      near AS MATERIALIZED (
         SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
       evg AS (
         SELECT DISTINCT unnest(list_distinct(

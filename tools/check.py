@@ -22,6 +22,19 @@ import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# Large-SF list-heavy oracles (prefix-filtered dedup joins at sf1) hit
+# DuckDB's tracked-memory ceiling long before the host runs out:
+# insertion-order preservation pins every intermediate. Order is
+# irrelevant here — the compare sorts columns+rows before hashing —
+# so trade it for bounded memory, and bound threads (join memory
+# scales with them).
+for pragma in ("SET preserve_insertion_order = false",
+               "SET threads TO 16",
+               "SET memory_limit = '48GB'"):
+    try:
+        con.execute(pragma)
+    except Exception:
+        pass
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 for t in TABLES:
