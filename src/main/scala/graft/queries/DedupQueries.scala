@@ -191,7 +191,7 @@ object DedupQueries {
     },
     Some(s"""
       WITH sh0 AS (${shinglesSql.format("documents")}),
-      sh AS (SELECT doc_id, sh, doc_id % 5 = 0 AS is_delta FROM sh0),
+      sh AS MATERIALIZED (SELECT doc_id, sh, doc_id % 5 = 0 AS is_delta FROM sh0),
       ${prefixCandSql("sh")},
       ver AS (
         SELECT c.ai, c.bi, a.is_delta AS da, b.is_delta AS db
