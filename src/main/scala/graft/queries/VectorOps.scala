@@ -229,10 +229,15 @@ object VectorOps {
     * vectors cosine-similar (>= 0.95) to a lower-id vector that share
     * ANY of 8 hyperplane-LSH bands (16 sign-bits each); count survivors
     * per label. The oracle rebuilds the EXACT signatures: ±1 weights
-    * from the shared md5 recipe, and each sign bit's double sum folded
-    * in d order via `list_reduce(list(t ORDER BY d))` — bit-identical to
-    * the kernel's index-order accumulation (a bare SQL sum() would be
-    * order-nondeterministic).
+    * from the shared md5 recipe aggregated into ONE 64-element list per
+    * (band, bit) — 128 rows — then each sign bit's double sum is folded
+    * in d order via `list_reduce(list_transform(generate_series(1,64),
+    * d -> ws[d]*v[d]))`: the same products in the same left-to-right
+    * order as the kernel's index-order accumulation, so bit-identical
+    * (a bare SQL sum() would be order-nondeterministic). This per-vector
+    * form replaces an exploded nVecs×8192-row aggregate that OOM'd the
+    * sf1-scale oracle (1.6B-row list() hash aggregate); `bands` is
+    * MATERIALIZED because it is referenced twice in the bucket self-join.
     */
   val q46EmbeddingDedup = Q(
     "q46_embedding_dedup",
@@ -245,7 +250,7 @@ object VectorOps {
         .agg(count(lit(1)).as("n_survivors"))
     },
     Some("""
-      WITH e AS (
+      WITH e AS MATERIALIZED (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
       w AS (
@@ -255,15 +260,16 @@ object VectorOps {
                     AS BIGINT) % 2 = 0
                     THEN 1.0 ELSE -1.0 END AS wt
         FROM range(0, 8) b, range(0, 16) i, range(0, 64) d),
-      terms AS (
-        SELECT e.vec_id, w.b, w.i, w.d, w.wt * e.v[w.d + 1] AS t
-        FROM e CROSS JOIN w),
+      wl AS MATERIALIZED (
+        SELECT b, i, list(wt ORDER BY d) AS ws FROM w GROUP BY 1, 2),
       folds AS (
-        SELECT vec_id, b, i,
-               list_reduce(list_prepend(0.0, list(t ORDER BY d)),
-                           (a, x) -> a + x) AS s
-        FROM terms GROUP BY 1, 2, 3),
-      bands AS (
+        SELECT e.vec_id, wl.b, wl.i,
+               list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, 64),
+                                d -> wl.ws[d] * e.v[d])),
+                 (a, x) -> a + x) AS s
+        FROM e CROSS JOIN wl),
+      bands AS MATERIALIZED (
         SELECT vec_id, b,
                CAST(sum(CASE WHEN s >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bv
         FROM folds GROUP BY 1, 2),
