@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * buffer bytes through one task — CLAUDE.md round-12 lesson).
   *
   * Two arms over the same deterministic corpus:
+  * Three arms over the same deterministic corpus:
   *  - flat: GramAgg straight over the scan (one partial per input
   *    partition — P=cpus partials reach the reducer)
   *  - guarded: repartition(8) BEFORE the agg, bounding the merge fan-in
-  *    at 8 partials regardless of scan parallelism
+  *    at 8 partials — but paying an n·d-long data shuffle (measured
+  *    STRICTLY WORSE than flat at every shape tried; kept as the
+  *    negative control)
+  *  - tree: PcaPower.gramTree — local buffer per partition, the P
+  *    compact buffers merged via treeAggregate(depth=2); shuffle is
+  *    P × buffer bytes independent of n. The scale path for large d.
   *
-  * Gate: the two buffers must be EQUAL element-wise (exact long sums
+  * Gate: all three buffers must be EQUAL element-wise (exact long sums
   * are order-independent — any divergence is a real bug, not noise),
   * and the driver-side power iteration must complete at this d (its
   * O(d²)/round cost is the documented large-d watch item). Reported:
@@ -54,8 +60,13 @@ object GramMacroBench {
 
     val (flat, tFlat) = gram(vecs)
     val (guarded, tGuard) = gram(vecs.repartition(8))
+    val tT0 = System.nanoTime()
+    val tree = graft.operators.PcaPower.gramTree(vecs, "qv", d)
+    val tTree = (System.nanoTime() - tT0) / 1e9
     require(java.util.Arrays.equals(flat, guarded),
       "guarded (repartition-8) Gram buffer differs from the flat path")
+    require(java.util.Arrays.equals(flat, tree),
+      "treeAggregate Gram buffer differs from the flat path")
     require(flat(0) == n, s"count mismatch: ${flat(0)} != $n")
 
     val tP0 = System.nanoTime()
@@ -64,7 +75,7 @@ object GramMacroBench {
     require(comp.length == d && comp.exists(_ != 0L),
       "power iteration degenerated at large d")
 
-    println(f"""{"metric":"gram_large_d","value":$tGuard%.2f,"unit":"sec","n":$n,"d":$d,"buffer_mb":$bufMb%.2f,"flat_sec":$tFlat%.2f,"guarded_sec":$tGuard%.2f,"power_sec":$tPower%.2f}""")
+    println(f"""{"metric":"gram_large_d","value":$tTree%.2f,"unit":"sec","n":$n,"d":$d,"buffer_mb":$bufMb%.2f,"flat_sec":$tFlat%.2f,"guarded_sec":$tGuard%.2f,"tree_sec":$tTree%.2f,"power_sec":$tPower%.2f}""")
     spark.stop()
   }
 }

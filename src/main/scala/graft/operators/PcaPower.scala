@@ -16,6 +16,27 @@ import graft.functions.GramAgg
   */
 object PcaPower {
 
+  /** Large-d Gram pass with hierarchical partial merge. The SQL
+    * `GramAgg(d)(col)` path funnels one buffer PER INPUT PARTITION
+    * through a single final reducer — at d=4096 that is 67 MB × P
+    * partials into one task (the bloom fan-in trap). Repartitioning the
+    * DATA first bounds the fan-in but shuffles n·d longs, which is
+    * strictly worse at any n ≫ P·d/2 (measured: 200k×1024 flat 7.0 s vs
+    * repartition-8 12.7 s). This path instead computes one local buffer
+    * per partition and merges the P COMPACT buffers through a
+    * `treeAggregate` of the given depth — shuffle volume is P × buffer
+    * bytes (independent of n), final fan-in ≈ P^(1/depth). Identical
+    * exact-long sums, so the result is bit-equal to the SQL path
+    * (GramMacroBench gates it).
+    */
+  def gramTree(df: org.apache.spark.sql.DataFrame, vecCol: String, d: Int,
+               depth: Int = 2): Array[Long] = {
+    val agg = new GramAgg(d)
+    df.select(vecCol).rdd
+      .map(_.getSeq[Long](0))
+      .treeAggregate(agg.zero)(agg.reduce, agg.merge, depth)
+  }
+
   /** Covariance matrix scaled by n²: M = n·G − S·Sᵀ, from the GramAgg
     * buffer layout. BigInt: entries exceed Long past ~4e7 rows.
     */
