@@ -812,8 +812,48 @@ object PipelineQueries {
       graft.operators.PageRank.oracleRounds(8, 1000000000L) + """
       SELECT node, rank FROM r8"""))
 
+  /** HITS hubs/authorities over a deterministic 1237-node crawl graph
+    * (two unconditional links per document plus a third for every 7th
+    * doc, so in/out neighborhoods differ and the hub/auth vectors
+    * separate) — the directional link-quality signal q182's single
+    * PageRank centrality can't give: curation up-weights authorities
+    * and down-weights pure hubs (directories, link farms). Eight exact
+    * integer rounds with div-by-max renormalization each half-round
+    * (see operators/Hits.scala); the oracle chain is GENERATED from the
+    * same round count, so hub/auth values gate by hash, no tolerance.
+    */
+  val q195Hits = Q(
+    "q195_hits",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val e1 = docs.select((col("doc_id") % 1237).as("src"),
+        ((col("doc_id") * 31 + 7) % 1237).as("dst"))
+      val e2 = docs.select((col("doc_id") % 1237).as("src"),
+        ((col("doc_id") * 17 + 3) % 1237).as("dst"))
+      val e3 = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") % 1237).as("src"),
+          ((col("doc_id") * 13 + 5) % 1237).as("dst"))
+      val edges = e1.union(e2).union(e3)
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.operators.Hits.run(edges, rounds = 8)
+    },
+    Some("""
+      WITH edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 1237 AS src, (doc_id * 31 + 7) % 1237 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 1237, (doc_id * 17 + 3) % 1237 FROM documents
+          UNION ALL
+          SELECT doc_id % 1237, (doc_id * 13 + 5) % 1237 FROM documents
+          WHERE doc_id % 7 = 0)
+        WHERE src <> dst),""" +
+      graft.operators.Hits.oracleRounds(8) + """
+      SELECT node, hub, auth FROM h8 JOIN a8 USING (node)"""))
+
   val qs: Seq[Q] = Seq(q39CorpusPipeline, q43Sketches, q47KmvSketch,
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
-    q175SystematicSample, q176ClusteringCoefficient, q182Pagerank)
+    q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
+    q195Hits)
 }
