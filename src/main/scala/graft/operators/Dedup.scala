@@ -55,6 +55,42 @@ object Dedup {
         s => length(s) > 0))
   }
 
+  /** The (id, gk) table of DISTINCT word-3-gram 60-bit md5 keys — the
+    * shared gram builder of the decontamination family (q84/q151/q162/
+    * q147 stage 4). Tokens are the length>0 pieces of a lowercased \s+
+    * split; grams are space-joined triples; keys are [[md5Hash64]] so
+    * the DuckDB oracle replays them exactly. The gram expression is
+    * TOTAL (greatest-bounded sequence + trimming slice — the round-5
+    * lesson: explode's inferred predicate merges into the upstream
+    * Filter and codegen may evaluate the array expr before the AND
+    * short-circuits).
+    *
+    * explode_OUTER, deliberately: with plain explode,
+    * InferFiltersFromGenerate adds a `size(gs) > 0` guard that pushes
+    * below this projection chain, re-inlining the WHOLE gram
+    * construction — tokenization included, no longer an attribute —
+    * into ONE Filter evaluation per row: each of ~50 lambda elements
+    * re-evaluates three element_at over the re-inlined split, ~150
+    * tokenizations per document (measured 12.3 s vs 1.1 s on the sf0.1
+    * documents scan). The outer form infers no such predicate; the
+    * explicit isNotNull drops the single null row an empty gram array
+    * would emit (none exists past the size>=3 filter — this is belt
+    * and braces, not semantics).
+    */
+  def wordGramKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0)
+    docs.select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol), array_distinct(expr(
+        "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
+          " greatest(size(w) - 2, 0))," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
+          " ' ', element_at(w, i + 2)))")).as("gs"))
+      .select(col(idCol), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col(idCol), md5Hash64(col("g")).as("gk"))
+  }
+
   /** MinHash signature from PRE-HASHED shingles: the k orderings come
     * from re-hashing the compact (hash, j) pair — a 16-byte xxhash64
     * instead of re-walking a ~50-char shingle string per (shingle, j),

@@ -479,10 +479,19 @@ object CorpusStats {
     "q190_dsir_weights",
     (s, dir) => {
       val docs = t(s, dir)("documents")
+      // explode_OUTER + isNotNull: plain explode lets
+      // InferFiltersFromGenerate push a size(shingles-expr)>0 guard
+      // below the projection, re-tokenizing per lambda element (the
+      // Dedup.wordGramKeys lesson). Checkpointed: the bucket stream is
+      // consumed THREE times (raw, target, scoring join).
       val sh = docs.select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 2)).as("g"))
+        Dedup.shingles(col("text"), 2).as("shs"))
+        .select(col("doc_id"), col("source"),
+          explode_outer(col("shs")).as("g"))
+        .filter(col("g").isNotNull)
         .select(col("doc_id"), col("source"),
           (Dedup.md5Hash64(col("g")) % 4096).as("bkt"))
+        .localCheckpoint(true)
       val raw = sh.groupBy("bkt").agg(count(lit(1)).as("rc"))
       val tgt = sh.filter(col("source") === "src0")
         .groupBy("bkt").agg(count(lit(1)).as("tc"))
@@ -525,8 +534,15 @@ object CorpusStats {
     "q191_source_containment",
     (s, dir) => {
       val docs = t(s, dir)("documents")
+      // explode_OUTER + isNotNull + checkpoint: same InferFilters
+      // re-inlining fix as q190; the distinct (source, shingle) stream
+      // is consumed three times (sizes + both self-join sides)
       val sh = docs.select(col("source"),
-        explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+        Dedup.shingles(col("text"), 3).as("shs"))
+        .select(col("source"), explode_outer(col("shs")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
       val inter = sh.as("x").join(sh.as("y"), Seq("sh"))
         .filter(col("x.source") =!= col("y.source"))

@@ -332,22 +332,18 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
-      // 3: near-dup dedup (banded MinHash LSH)
+      // 3: near-dup dedup (banded MinHash LSH). Materialized once:
+      // the survivor set feeds BOTH the decontamination gram scan and
+      // the final left-anti join — without the checkpoint the whole
+      // quality→exact→LSH prefix re-executes per consumer (measured
+      // 26.4 → 12.1 s at sf0.1; localCheckpoint storage is freed with
+      // the frame, the q162 cache-leak lesson)
       val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+        .localCheckpoint(true)
       // 4: decontamination — eval split = doc_id % 199 == 0 of the RAW
       // corpus (an eval set is external; it never went through the gate)
-      def grams(df: org.apache.spark.sql.DataFrame) = {
-        val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-        df.select(col("doc_id"), toks.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
-              " greatest(size(w) - 2, 0))," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-              " ' ', element_at(w, i + 2)))")).as("gs"))
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-          .select(col("doc_id"), Dedup.md5Hash64(col("g")).as("gk"))
-      }
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        Dedup.wordGramKeys(df, "doc_id", "text")
       val evalGrams = grams(docs.filter(col("doc_id") % 199 === 0))
         .select("gk").distinct()
       val trainSide = near.filter(col("doc_id") % 199 =!= 0)
@@ -356,6 +352,8 @@ object PipelineQueries {
       val clean = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tokens").cast("long").as("n_tokens"))
+        // consumed by PrefixSum staging AND the total-tokens aggregate
+        .localCheckpoint(true)
       // 5: token budget — best-quality docs until 50% of surviving tokens
       val withCum = graft.operators.PrefixSum.runningSum(
         clean, Seq(col("quality").desc, col("doc_id").asc),

@@ -307,25 +307,10 @@ object TextOps {
   val q84Decontaminate = Q(
     "q84_decontaminate",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-      val grams = t(s, dir)("documents")
-        .select(col("doc_id"), toks.as("w"))
-        .filter(size(col("w")) >= 3)
-        // TOTAL gram expression (round-5 lesson): the size>=3 filter does
-        // NOT protect this — explode's inferred non-empty predicate merges
-        // into the same Filter and subexpression elimination evaluates the
-        // array expr first. sequence is bounded to >=1 element and slice
-        // trims to the true (possibly 0) gram count, so short docs yield []
-        // instead of a descending sequence + element_at(w, 0) throw.
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
-            " greatest(size(w) - 2, 0))," +
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-            " ' ', element_at(w, i + 2)))")).as("gs"))
-        .select(col("doc_id"),
-          explode(col("gs")).as("g"))
-        .select(col("doc_id"),
-          graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
+      // shared gram builder — totality + the InferFiltersFromGenerate
+      // re-inlining fix live there (see Dedup.wordGramKeys)
+      val grams = graft.operators.Dedup.wordGramKeys(
+        t(s, dir)("documents"), "doc_id", "text")
       val eval_ = grams.filter(col("doc_id") % 199 === 0)
         .select(col("gk")).distinct()
       grams.filter(col("doc_id") % 199 =!= 0)
@@ -1049,19 +1034,8 @@ object TextOps {
   val q151EvalContamination = Q(
     "q151_eval_contamination",
     (s, dir) => {
-      def grams(df: org.apache.spark.sql.DataFrame) = {
-        val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-        df.select(col("doc_id"), toks.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
-              " greatest(size(w) - 2, 0))," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-              " ' ', element_at(w, i + 2)))")).as("gs"))
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-          .select(col("doc_id"),
-            graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
-      }
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.wordGramKeys(df, "doc_id", "text")
       val docs = t(s, dir)("documents")
       val evalG = grams(docs.filter(col("doc_id") % 199 === 0))
       val trainG = grams(docs.filter(col("doc_id") % 199 =!= 0))
@@ -1226,20 +1200,10 @@ object TextOps {
     "q162_bloom_decontaminate",
     (s, dir) => {
       val m = 65536L
-      val toks = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
-      // same TOTAL gram expression as q84 (round-5 lesson: explode's
-      // inferred non-empty predicate merges into the size>=3 Filter and
-      // subexpression elimination evaluates the array expr first).
-      def grams = t(s, dir)("documents")
-        .select(col("doc_id"), toks.as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
-            " greatest(size(w) - 2, 0))," +
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-            " ' ', element_at(w, i + 2)))")).as("gs"))
-        .select(col("doc_id"), explode(col("gs")).as("g"))
-        .select(col("doc_id"), graft.operators.Dedup.md5Hash64(col("g")).as("gk"))
+      // shared gram builder (totality + the InferFiltersFromGenerate
+      // re-inlining fix — see Dedup.wordGramKeys)
+      def grams = graft.operators.Dedup.wordGramKeys(
+        t(s, dir)("documents"), "doc_id", "text")
       def pos(j: Int): Column =
         pmod(graft.operators.Dedup.md5Hash64(
           concat(col("gk").cast("string"), lit("_" + j))), lit(m))
