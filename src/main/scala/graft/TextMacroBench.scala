@@ -146,13 +146,20 @@ object TextMacroBench {
     val near = ckpt(
       graft.operators.Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8))
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    // explode_OUTER + isNotNull: the Dedup.wordGramKeys lesson — plain
+    // explode's inferred size()>0 guard re-inlines the whole gram
+    // construction into a per-row Filter evaluation (~150 re-tokenizations
+    // per doc). Same expression otherwise; gk stays xxhash64 (no oracle
+    // replays this arm — the gate is composed ≡ staged).
     def grams(df: DataFrame) = df.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
           " greatest(size(w) - 2, 0))," +
           " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-          " ' ', element_at(w, i + 2)))"))).as("g"))
+          " ' ', element_at(w, i + 2)))")).as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("doc_id"), xxhash64(col("g")).as("gk"))
     val evalGrams = grams(aug.filter(col("doc_id") % 199 === 0))
       .select("gk").distinct()
@@ -201,13 +208,16 @@ object TextMacroBench {
     * hash at the 1× run.
     */
   private def deconGrams(d: DataFrame): DataFrame =
+    // explode_OUTER + isNotNull: the Dedup.wordGramKeys inferred-filter fix
     d.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         "transform(slice(sequence(1, greatest(size(w) - 2, 1)), 1," +
           " greatest(size(w) - 2, 0))," +
           " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)," +
-          " ' ', element_at(w, i + 2)))"))).as("g"))
+          " ' ', element_at(w, i + 2)))")).as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("doc_id"), xxhash64(col("g")).as("gk"))
 
   private def deconExact(d: DataFrame): DataFrame = {
@@ -278,13 +288,20 @@ object TextMacroBench {
     def gopher(d: DataFrame): DataFrame =
       graft.queries.CorpusStats.gopherNgrams(d)
 
-    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+    val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
+    // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation)
+    val shapes = sys.env.get("SPARK_GRAFT_SHAPES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).toSet
+        allShapes.filter { case (n, _) => want(n) }
+      case None => allShapes
+    }
 
     def runAll(nDocs: Long, check: Boolean = false): Map[String, Double] = {
       val d = docs(spark, nDocs).cache()
@@ -292,7 +309,18 @@ object TextMacroBench {
       val times = shapes.map { case (name, f) =>
         val t0 = System.nanoTime()
         materialize(f(d))
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Arm isolation — the in-JVM twin of the "never run two macros
+        // concurrently" lesson: operators register internal caches
+        // (minhashDedup's shingle/signature tables are GBs at 10×) that
+        // outlive their arm and put every LATER arm under storage
+        // pressure (measured: decon_exact 98.6 s after the curation +
+        // gopher arms vs 21.7 s isolated). Drop everything, restore d,
+        // all outside the timed region.
+        spark.sharedState.cacheManager.clearCache()
+        d.cache()
+        d.count()
+        name -> secs
       }.toMap
       // composition correctness (1× run): the one-DAG curation must
       // produce the SAME final manifest as the stage-by-stage

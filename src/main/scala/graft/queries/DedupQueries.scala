@@ -865,10 +865,72 @@ object DedupQueries {
       WHERE q.doc_id % 5 = 0
       GROUP BY 1"""))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): hash every char 8-gram of the lowercased text, slide a
+    * 4-hash window, keep the window MINIMUM — guaranteeing any shared
+    * substring of length ≥ 11 contributes at least one COMMON selected
+    * fingerprint between two documents, with expected density 2/(w+1).
+    * The local-minimum selection is position-robust (unlike fixed-stride
+    * q57 rolling fingerprints, edits shift selections only locally), the
+    * robust partial-copy detector the dedup family lacks. Everything is
+    * exact integers on the shared md5 recipe ([[Dedup.md5Hash64]]), so
+    * the per-doc fingerprint SET gates by count + bit_xor + min with no
+    * tolerance; DuckDB replays hash, window-min (list_aggregate 'min'),
+    * and dedup identically. Totality: greatest-bounded sequence + trimming
+    * slice (the q98 lesson) and explode_OUTER (the InferFilters lesson).
+    * Scale shape: pure per-row codegen expressions → one groupBy(doc_id);
+    * nothing ever pairs documents — fingerprint buckets are what a
+    * downstream join would meet on, exactly like the LSH band keys.
+    */
+  val q196Winnowing = Q(
+    "q196_winnowing",
+    (s, dir) => {
+      val k = 8
+      val w = 4
+      val txt = lower(col("text"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), txt.as("t"))
+        .filter(length(col("t")) >= k + w - 1)
+      val hashed = docs.select(col("doc_id"), expr(
+        s"transform(slice(sequence(1, greatest(length(t) - ${k - 1}, 1)), 1," +
+          s" greatest(length(t) - ${k - 1}, 0))," +
+          s" i -> cast(conv(substring(md5(substring(t, i, $k)), 18, 15)," +
+          " 16, 10) as bigint))").as("hs"))
+      val fps = hashed.select(col("doc_id"), expr(
+        s"array_distinct(transform(slice(sequence(1, greatest(size(hs) - ${w - 1}, 1)), 1," +
+          s" greatest(size(hs) - ${w - 1}, 0))," +
+          s" j -> array_min(slice(hs, j, $w))))").as("fps"))
+      fps.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          expr("bit_xor(fp)").as("fp_xor"),
+          min(col("fp")).as("fp_min"))
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE len(lower(text)) >= 11),
+      hs AS (
+        SELECT doc_id,
+               [CAST('0x' || substr(md5(substr(t, i, 8)), 18, 15) AS BIGINT)
+                for i in generate_series(1, len(t) - 7)] AS hs
+        FROM t0),
+      fps AS (
+        SELECT doc_id,
+               list_distinct([list_aggregate(hs[j:j+3], 'min')
+                              for j in generate_series(1, len(hs) - 3)]) AS fps
+        FROM hs),
+      ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+             bit_xor(fp) AS fp_xor, min(fp) AS fp_min
+      FROM ex GROUP BY 1"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
       q146MultimodalPack, q156StreamDedup, q161ImageDhash,
-      q170AudioFingerprint, q171SceneCuts, q183StreamCuration)
+      q170AudioFingerprint, q171SceneCuts, q183StreamCuration,
+      q196Winnowing)
 }
