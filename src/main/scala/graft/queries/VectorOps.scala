@@ -520,8 +520,10 @@ object VectorOps {
         // ×2 is exponent-exact in float: a planted copy at cosine 1
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
         col("label"))
-      val longDot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      // fused unboxed integer dot (functions/DotLong) — identical exact
+      // sums to the aggregate(zip_with) form, minus the boxing (the
+      // MinhashSignature lesson; DotLongSpec pins the equality)
+      val longDot = (a: Column, b: Column) => graft.functions.DotLong(a, b)
       val e = base.select("vec_id", "embedding", "label")
         .unionByName(planted)
         .select(col("vec_id"), col("label"),
@@ -551,7 +553,9 @@ object VectorOps {
           .select("vec_id", "vq", "vv", "cl")
       }
       val a1 = assign(centroids(e, "label"))
-      val a2 = assign(centroids(a1, "cl"))
+      // consumed three times (both pair-join sides + the final join);
+      // without the checkpoint both Lloyd rounds re-execute per consumer
+      val a2 = assign(centroids(a1, "cl")).localCheckpoint(true)
       val dups = a2.as("a").join(a2.as("b"),
           col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
         .filter(longDot(col("a.vq"), col("b.vq")).cast("double")
