@@ -147,10 +147,17 @@ object DedupQueries {
         .select(col("doc_id").as("id"),
           Dedup.shingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+      // explode_OUTER + isNotNull (the Dedup.wordGramKeys lesson): plain
+      // explode's inferred size()>0 guard re-inlines the whole k=64
+      // MinhashSignature + banding into a per-row Filter evaluation —
+      // the signature was being computed twice per document
       def bandRows(d: org.apache.spark.sql.DataFrame) = sh(d)
         .withColumn("shh", transform(col("sh"), t => xxhash64(t)))
-        .select(col("id"), explode(Dedup.bandedSignature(
-          Dedup.minhashSignatureFromHashes(col("shh"), 64), 64, 16)).as("b"))
+        .select(col("id"), Dedup.bandedSignature(
+          Dedup.minhashSignatureFromHashes(col("shh"), 64), 64, 16)
+          .as("bands"))
+        .select(col("id"), explode_outer(col("bands")).as("b"))
+        .filter(col("b").isNotNull)
         .select(col("id"), col("b.band_id").as("band_id"),
           col("b.band_hash").as("band_hash"))
 
