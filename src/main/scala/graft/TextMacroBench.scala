@@ -51,7 +51,11 @@ object TextMacroBench {
 
   /** q131 shape: tf → df → join → per-doc top-3 window. */
   private def tfidf(d: DataFrame): DataFrame = {
-    val terms = d.select(col("doc_id"), explode(toks).as("term"))
+    // explode_OUTER (the Dedup.wordGramKeys lesson): the non-outer
+    // form's inferred size()>0 guard re-tokenizes once more per row
+    val terms = d.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode_outer(col("tk")).as("term"))
+      .filter(col("term").isNotNull)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n"))
@@ -68,7 +72,9 @@ object TextMacroBench {
       slice(col("tk"), lit(1), nPairs).as("a"),
       slice(col("tk"), lit(2), nPairs).as("b"))
     d.select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), explode(zipped).as("z"))
+      .select(col("doc_id"), zipped.as("zs"))
+      .select(col("doc_id"), explode_outer(col("zs")).as("z"))
+      .filter(col("z").isNotNull)
       .select(col("doc_id"), concat(col("z.a"), lit(" "), col("z.b")).as("pair"))
   }
 
@@ -79,7 +85,9 @@ object TextMacroBench {
 
   /** q136 shape: bounded-state candidates + exact second pass. */
   private def heavyHitters(d: DataFrame): DataFrame = {
-    val tok = d.select(explode(toks).as("tok"))
+    val tok = d.select(toks.as("tk"))
+      .select(explode_outer(col("tk")).as("tok"))
+      .filter(col("tok").isNotNull)
     val cand = tok
       .agg(graft.functions.FrequentItems(128)(col("tok")).as("cand"))
       .select(explode(col("cand")).as("tok"))

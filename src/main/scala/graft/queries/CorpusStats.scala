@@ -89,12 +89,17 @@ object CorpusStats {
       // independent scan; the transform builds the WHOLE gram array once
       // per row, so token splitting never re-runs per occurrence)
       val ns = Seq(2, 3, 4, 5, 8)
+      // gram array staged + posexplode_OUTER (the Dedup.wordGramKeys
+      // lesson): the non-outer form's inferred size()>0 guard re-inlines
+      // the whole gram construction below the projection
       val occ = ns.map { n =>
         withT.filter(col("tn") >= n)
           .select(col("doc_id"), lit(n).as("n"),
-            posexplode(transform(sequence(lit(1), col("tn") - (n - 1)),
-              i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
-              .as(Seq("i0", "gram")))
+            transform(sequence(lit(1), col("tn") - (n - 1)),
+              i => concat_ws(" ", slice(col("tk"), i, lit(n)))).as("gs"))
+          .select(col("doc_id"), col("n"),
+            posexplode_outer(col("gs")).as(Seq("i0", "gram")))
+          .filter(col("gram").isNotNull)
           .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
             col("gram"))
       }.reduce(_ unionByName _)
