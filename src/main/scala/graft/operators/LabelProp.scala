@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) with a
+  * deterministic tie rule and a fixed round count — community detection
+  * over a crawl/citation graph, the domain-clustering signal a corpus
+  * curation pipeline groups documents by (PageRank/HITS rank nodes;
+  * LPA partitions them). The asynchronous randomized original is
+  * non-reproducible by design; the synchronous fixed-round variant with
+  * "max neighbor-label count, ties toward the SMALLEST label" is exact
+  * and replayable term for term in SQL.
+  *
+  * Contract:
+  *  - label_0(v) = v
+  *  - label_{r+1}(v) = the most frequent label among v's in-neighbors'
+  *    round-r labels, ties → smallest label; nodes with no in-edges
+  *    keep their round-r label.
+  * Pass a symmetrized edge list for the classic undirected semantics.
+  *
+  * Scale shape (the PageRank loop pattern): edges repartitioned on src
+  * and cached once; each round = one hash join (labels ⋈ edges) + one
+  * two-key groupBy count + one per-dst argmax via min(struct(-cnt,
+  * lbl)) — a MERGEABLE aggregate, never a window over the edge list —
+  * + a node-universe left join; every round localCheckpoints (the BPE
+  * lineage lesson). Nothing collects to the driver.
+  */
+object LabelProp {
+
+  /** Run `rounds` synchronous LPA rounds over long `src`/`dst` edges.
+    * Returns (node, label) for every node appearing as src or dst.
+    */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(parts, col("node"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+
+    var labels = nodes.withColumn("label", col("node"))
+    var r = 0
+    while (r < rounds) {
+      val best = labels.join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        // min over (−cnt, lbl) ≡ ORDER BY cnt DESC, lbl ASC row 1 —
+        // a mergeable aggregate instead of a window over the counts
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+        .select(col("dst"), col("b.lbl").as("nl"))
+      labels = labels.join(best, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
+
+  /** Unrolled DuckDB oracle for [[run]] — generated from the SAME round
+    * count. The caller must define `edges(src, dst)`; the final labels
+    * are `l{rounds}`(node, label). The per-dst argmax replays the
+    * (cnt DESC, lbl ASC) rule via row_number.
+    */
+  def oracleRounds(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges),
+      l0 AS (SELECT node, node AS label FROM nodes)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      c$r AS (
+        SELECT e.dst, l.label AS lbl, count(*) AS cnt
+        FROM edges e JOIN l$r l ON l.node = e.src
+        GROUP BY 1, 2),
+      b$r AS (
+        SELECT dst, lbl FROM (
+          SELECT dst, lbl, row_number() OVER (
+                   PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+          FROM c$r)
+        WHERE rn = 1),
+      l${r + 1} AS MATERIALIZED (
+        SELECT n.node, coalesce(b.lbl, l.label) AS label
+        FROM nodes n JOIN l$r l USING (node)
+        LEFT JOIN b$r b ON b.dst = n.node)"""
+    }
+    sb.toString
+  }
+}

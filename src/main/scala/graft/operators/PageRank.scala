@@ -95,6 +95,102 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set —
+    * the "rank relative to a trusted set" centrality (TrustRank-style
+    * curation: seed with known-good domains, rank the crawl by
+    * proximity). Identical integer contract to [[run]] except:
+    *
+    *  - rank_0(v) = scale for seeds, 0 otherwise
+    *  - rank_{r+1}(v) = seed(v)·(scale·(100−d) div 100)
+    *                    + (d · Σ_{u→v} contrib_r(u)) div 100
+    *
+    * `seeds` is a one-column (node) frame, broadcast into the node
+    * universe once — at cluster scale the seed list is always tiny
+    * relative to the graph.
+    */
+  def runSeeded(
+      edges: DataFrame,
+      seeds: DataFrame,
+      scale: Long = 1000000000L,
+      rounds: Int = 8,
+      damping: Int = 85): DataFrame = {
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(seeds.select(col("node"), lit(1L).as("is_seed"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .repartition(parts, col("node"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    require(nNodes > 0, "ppr: empty graph")
+    require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
+      s"ppr: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+
+    val base = scale * (100 - damping) / 100
+    var ranks = nodes.withColumn("rank", col("is_seed") * lit(scale))
+      .select("node", "rank")
+    var r = 0
+    while (r < rounds) {
+      val sums = ranks.join(linked, col("node") === col("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"is_seed * ${base}L + ($damping * coalesce(m, 0L)) div 100")
+            .as("rank"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    ranks
+  }
+
+  /** Unrolled DuckDB oracle for [[runSeeded]]. The caller must define
+    * CTEs `edges(src, dst)` AND `seeds(node)`; final ranks are
+    * `r{rounds}`(node, rank).
+    */
+  def oracleRoundsSeeded(rounds: Int, scale: Long, damping: Int = 85): String = {
+    val base = scale * (100 - damping) / 100
+    val sb = new StringBuilder
+    sb ++= s"""
+      nodes AS MATERIALIZED (
+        SELECT node, CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END
+                          AS BIGINT) AS is_seed
+        FROM (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges) n
+        LEFT JOIN (SELECT DISTINCT node FROM seeds) s USING (node)),
+      outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      linked AS MATERIALIZED (
+        SELECT e.src, e.dst, d.outdeg
+        FROM edges e JOIN outdeg d USING (src)),
+      r0 AS (SELECT node, CAST(is_seed * $scale AS BIGINT) AS rank
+             FROM nodes)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      s$r AS (
+        SELECT l.dst AS node, CAST(sum(r$r.rank // l.outdeg) AS BIGINT) AS m
+        FROM linked l JOIN r$r ON r$r.node = l.src
+        GROUP BY 1),
+      r${r + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(n.is_seed * $base
+                    + ($damping * coalesce(s$r.m, 0)) // 100
+                    AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN s$r USING (node))"""
+    }
+    sb.toString
+  }
+
   /** The unrolled DuckDB oracle for [[run]] — generated from the SAME
     * round count so the SQL text and the Spark loop can never drift
     * (the q166/q181 suffix-parameterized chain pattern). `edgesCte`
