@@ -290,23 +290,35 @@ object TextMacroBench {
       out
     }
 
-    // q184 shape: five gram explosions + per-doc top-gram window +
-    // coverage-dedup join against the char ledger — the heaviest plan
-    // of the corpus-stats batch (q184–q192)
+    // q184 shape: since r14 ONE scan through the fused GopherStats
+    // kernel (was five gram explosions + coverage-dedup joins — the
+    // heaviest plan of the corpus-stats batch at 392 s / 3M docs)
     def gopher(d: DataFrame): DataFrame =
       graft.queries.CorpusStats.gopherNgrams(d)
+
+    // q185 shape: bigram/unigram counts + two vocab joins + top-50 —
+    // no forced broadcast of the vocabulary-sized unigram table (r14)
+    def pmi(d: DataFrame): DataFrame =
+      graft.queries.CorpusStats.pmiCollocations(d)
 
     val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
-      "html_extract" -> htmlExtract, "gopher" -> gopher,
+      "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
-    // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation)
+    // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
+    // unknown names fail LOUDLY — a typo must never time nothing and
+    // report success (round-13 advice)
     val shapes = sys.env.get("SPARK_GRAFT_SHAPES") match {
       case Some(list) =>
-        val want = list.split(",").map(_.trim).toSet
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = allShapes.map(_._1).toSet
+        val unknown = want.diff(known)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SHAPES names unknown arms: ${unknown.mkString(",")};" +
+            s" known: ${known.toSeq.sorted.mkString(",")}")
         allShapes.filter { case (n, _) => want(n) }
       case None => allShapes
     }

@@ -34,12 +34,17 @@ case class DotLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DotLong.getClass.getName.stripSuffix("$")
+    // freshName, not a fixed local: with non-nullable inputs nullSafeExec
+    // adds no scoping braces, so two fused copies of this expression in
+    // one codegen function would otherwise declare duplicate locals and
+    // fall back to interpreted mode (round-13 advice)
+    val r = ctx.freshName("dotResult")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = $cls.dot($a, $b);
-      if (r == null) {
+      Object $r = $cls.dot($a, $b);
+      if ($r == null) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = ((java.lang.Long) r).longValue();
+        ${ev.value} = ((java.lang.Long) $r).longValue();
       }""")
   }
 

@@ -31,10 +31,13 @@ case class SqDistLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = SqDistLong.getClass.getName.stripSuffix("$")
+    // freshName so two fused copies never declare duplicate locals
+    // (nullSafeExec adds no braces for non-nullable inputs; r13 advice)
+    val r = ctx.freshName("sqDistResult")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = $cls.sqDist($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((Long) r).longValue(); }""")
+      Object $r = $cls.sqDist($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Long) $r).longValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

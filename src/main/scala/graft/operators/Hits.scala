@@ -47,6 +47,7 @@ object Hits {
     * Returns (node, hub, auth) for every node appearing as src or dst.
     */
   def run(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
 
@@ -60,7 +61,11 @@ object Hits {
       .localCheckpoint(true)
     require(nodes.count() > 0, "hits: empty graph")
 
-    def renorm(raw: DataFrame, c: String): DataFrame = {
+    def renorm(raw0: DataFrame, c: String): DataFrame = {
+      // materialize the raw aggregate ONCE: the driver-side max action
+      // and the renorm select would otherwise each recompute the
+      // scores-join+groupBy (round-13 advice)
+      val raw = raw0.localCheckpoint(true)
       // one Long to the driver per half-round — the oracle computes the
       // identical max over the identical pre-coalesce relation
       val mx = raw.agg(max(abs(col(c)))).head().getLong(0)

@@ -95,6 +95,116 @@ object PageRank {
     ranks
   }
 
+  /** Dangling-mass-redistributing PageRank — the production contract:
+    * [[run]] deliberately DROPS the rank mass parked on sink pages
+    * (outdeg 0), which systematically deflates every rank on crawl
+    * frontiers where most discovered pages are still unfetched sinks.
+    * This variant redistributes it uniformly, staying exact-integer:
+    *
+    *  - D_r       = Σ_{outdeg(v)=0} rank_r(v)   (the dangling mass)
+    *  - share_r   = D_r div n                    (truncating, positive)
+    *  - rank_{r+1}(v) = scale·(100−d) div 100
+    *                    + (d · (Σ_{u→v} contrib_r(u) + share_r)) div 100
+    *
+    * One scalar Long to the driver per round (the Hits renorm shape —
+    * the bounded-collect family); the oracle replays share_r as a
+    * single-row CTE cross-joined into the next round, so rank VALUES
+    * still gate by hash with no tolerance. Overflow: the total mass is
+    * still bounded by n·scale (redistribution never creates mass), so
+    * the [[run]] guard applies unchanged.
+    */
+  def runRedistributed(
+      edges: DataFrame,
+      scale: Long = 1000000000L,
+      rounds: Int = 8,
+      damping: Int = 85): DataFrame = {
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(parts, col("node"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pagerank: empty graph")
+    require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
+      s"pagerank: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    // the static dangling set: nodes that never appear as src
+    val dangling = nodes.join(outdeg.select(col("src").as("node")),
+        Seq("node"), "left_anti")
+      .localCheckpoint(true)
+
+    val base = scale * (100 - damping) / 100
+    var ranks = nodes.withColumn("rank", lit(scale))
+    var r = 0
+    while (r < rounds) {
+      val dMass = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val share = dMass / nNodes
+      val sums = ranks.join(linked, col("node") === col("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"${base}L + ($damping * (coalesce(m, 0L) + ${share}L))" +
+            " div 100").as("rank"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    ranks
+  }
+
+  /** Unrolled DuckDB oracle for [[runRedistributed]]. The caller must
+    * define `edges(src, dst)`; final ranks are `r{rounds}`(node, rank).
+    * share_r is a single-row CTE (dangling sum // n) cross-joined into
+    * round r+1 — the same scalar the Spark loop pulls to the driver.
+    */
+  def oracleRoundsRedistributed(
+      rounds: Int, scale: Long, damping: Int = 85): String = {
+    val base = scale * (100 - damping) / 100
+    val sb = new StringBuilder
+    sb ++= s"""
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges),
+      ncount AS (SELECT count(*) AS n FROM nodes),
+      outdeg AS MATERIALIZED (
+        SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      linked AS MATERIALIZED (
+        SELECT e.src, e.dst, d.outdeg
+        FROM edges e JOIN outdeg d USING (src)),
+      dang AS MATERIALIZED (
+        SELECT n.node FROM nodes n
+        LEFT JOIN outdeg o ON o.src = n.node
+        WHERE o.src IS NULL),
+      r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes)"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      sh$r AS (
+        SELECT CAST(coalesce((SELECT sum(r$r.rank)
+                              FROM dang JOIN r$r USING (node)), 0)
+                    // ncount.n AS BIGINT) AS share
+        FROM ncount),
+      s$r AS (
+        SELECT l.dst AS node, CAST(sum(r$r.rank // l.outdeg) AS BIGINT) AS m
+        FROM linked l JOIN r$r ON r$r.node = l.src
+        GROUP BY 1),
+      r${r + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CAST($base + ($damping * (coalesce(s$r.m, 0) + sh$r.share))
+                    // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN s$r USING (node) CROSS JOIN sh$r)"""
+    }
+    sb.toString
+  }
+
   /** Personalized PageRank: teleport mass lands ONLY on the seed set —
     * the "rank relative to a trusted set" centrality (TrustRank-style
     * curation: seed with known-good domains, rank the crawl by

@@ -75,64 +75,26 @@ object CorpusStats {
   // word n-grams, exact integer accounting.
   // -------------------------------------------------------------------
   /** The q184 plan over any (doc_id, text) frame — shared with
-    * TextMacroBench's `gopher` scale arm. */
-  def gopherNgrams(docs: DataFrame): DataFrame = {
-      val withT = docs.select(col("doc_id"), toksCol.as("tk"))
-        .select(col("doc_id"), col("tk"), size(col("tk")).as("tn"))
-      // (doc, 1-based position, token length) — the char ledger
-      val pos = withT
-        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).as("p"),
-          length(col("tok")).cast("long").as("lw"))
-      val totals = pos.groupBy("doc_id").agg(sum("lw").as("total_chars"))
-      // all overlapping n-gram occurrences, one branch per n (each is an
-      // independent scan; the transform builds the WHOLE gram array once
-      // per row, so token splitting never re-runs per occurrence)
-      val ns = Seq(2, 3, 4, 5, 8)
-      // gram array staged + posexplode_OUTER (the Dedup.wordGramKeys
-      // lesson): the non-outer form's inferred size()>0 guard re-inlines
-      // the whole gram construction below the projection
-      val occ = ns.map { n =>
-        withT.filter(col("tn") >= n)
-          .select(col("doc_id"), lit(n).as("n"),
-            transform(sequence(lit(1), col("tn") - (n - 1)),
-              i => concat_ws(" ", slice(col("tk"), i, lit(n)))).as("gs"))
-          .select(col("doc_id"), col("n"),
-            posexplode_outer(col("gs")).as(Seq("i0", "gram")))
-          .filter(col("gram").isNotNull)
-          .select(col("doc_id"), col("n"), (col("i0") + 1).as("i"),
-            col("gram"))
-      }.reduce(_ unionByName _)
-      val counted = occ.groupBy("doc_id", "n", "gram")
-        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("ii"))
-      // most frequent n-gram per (doc, n in 2..4), ties to the smallest
-      val w = Window.partitionBy("doc_id", "n")
-        .orderBy(col("c").desc, col("gram").asc)
-      val top = counted.filter(col("n").isin(2, 3, 4))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1).drop("rk")
-      val dup = counted.filter(col("n").isin(5, 8) && col("c") >= 2)
-      // char coverage: distinct token positions under qualifying grams
-      val covered = top.unionByName(dup)
-        .select(col("doc_id"), col("n"), explode(col("ii")).as("i"))
-        .select(col("doc_id"), col("n"),
-          explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
-        .distinct()
-      val cov = covered.join(pos, Seq("doc_id", "p"))
-        .groupBy("doc_id", "n").agg(sum("lw").as("cv"))
-      def pick(n: Int, name: String): Column =
-        coalesce(max(when(col("n") === n, col("cv"))), lit(0L)).as(name)
-      val pivoted = cov.groupBy("doc_id").agg(
-        pick(2, "c2"), pick(3, "c3"), pick(4, "c4"), pick(5, "c5"),
-        pick(8, "c8"))
-      totals.join(pivoted, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("total_chars"),
-          coalesce(col("c2"), lit(0L)).as("top2_chars"),
-          coalesce(col("c3"), lit(0L)).as("top3_chars"),
-          coalesce(col("c4"), lit(0L)).as("top4_chars"),
-          coalesce(col("c5"), lit(0L)).as("dup5_chars"),
-          coalesce(col("c8"), lit(0L)).as("dup8_chars"))
-  }
+    * TextMacroBench's `gopher` scale arm. Since round 14 this is ONE
+    * scan + the fused per-document [[graft.functions.GopherStats]]
+    * kernel (all seven outputs in a single unboxed pass): the previous
+    * explode → groupBy(doc,n,gram) → coverage explode → global distinct
+    * → join-back → pivot plan shipped ~5 exploded copies of the corpus
+    * through the shuffle for a purely per-document statistic (the r13
+    * verdict's top item; TextMacroBench gopher arm was 392 s / 3M docs).
+    * The `size(tk) >= 1` filter preserves the original contract that
+    * token-less docs are absent from the output. Oracle unchanged. */
+  def gopherNgrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toksCol.as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.GopherStats(col("tk")).as("g"))
+      .select(col("doc_id"), col("g.total_chars").as("total_chars"),
+        col("g.top2_chars").as("top2_chars"),
+        col("g.top3_chars").as("top3_chars"),
+        col("g.top4_chars").as("top4_chars"),
+        col("g.dup5_chars").as("dup5_chars"),
+        col("g.dup8_chars").as("dup8_chars"))
 
   /** The q184 oracle text — also embedded verbatim as a CTE by q194's
     * composed-policy oracle. */
@@ -198,10 +160,9 @@ object CorpusStats {
   // q185: PMI collocations — top-50 adjacent word pairs by the rational
   // PMI core (c_xy·N)/(c_x·c_y), exact long products, one IEEE division.
   // -------------------------------------------------------------------
-  val q185PmiCollocations = Q(
-    "q185_pmi_collocations",
-    (s, dir) => {
-      val docs = t(s, dir)("documents")
+  /** The q185 plan over any (doc_id, text) frame — shared with
+    * TextMacroBench's `pmi` scale arm. */
+  def pmiCollocations(docs: DataFrame): DataFrame = {
       val base = docs.select(toksCol.as("tk")).filter(size(col("tk")) >= 2)
       val big = base.select(
         explode(transform(sequence(lit(1), size(col("tk")) - 1),
@@ -212,19 +173,27 @@ object CorpusStats {
       val uni = docs.select(explode(toksCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cu"))
       val n = cxy.agg(sum("cxy").as("bign"))
+      // bigN sums over ALL pairs; the survivor filter applies after.
+      // No broadcast hint on `uni`: it is vocabulary-sized (unbounded in
+      // corpus scale — the r13 verdict's q185 flag); the cxy>=5 filter
+      // prunes the probe side first and AQE picks the join strategy
+      // (these are healthy shuffle joins on well-distributed token keys;
+      // only the single-row total is broadcast).
       cxy
-        .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cx"))),
-          Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cy"))),
-          Seq("w2"))
-        .crossJoin(broadcast(n))
         .filter(col("cxy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("cu").as("cx")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cu").as("cy")), Seq("w2"))
+        .crossJoin(broadcast(n))
         .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
           ((col("cxy") * col("bign")).cast("double") /
             (col("cx") * col("cy")).cast("double")).as("pmi_ratio"))
         .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
         .limit(50)
-    },
+  }
+
+  val q185PmiCollocations = Q(
+    "q185_pmi_collocations",
+    (s, dir) => pmiCollocations(t(s, dir)("documents")),
     Some("""
       WITH toks AS (""" + toksSql + """),
       big AS (

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -889,26 +890,36 @@ object DedupQueries {
     * nothing ever pairs documents — fingerprint buckets are what a
     * downstream join would meet on, exactly like the LSH band keys.
     */
+  /** Exploded distinct winnowing fingerprints — (doc_id, fp) rows, one
+    * per (doc, selected fingerprint) — over any (doc_id, text) frame.
+    * k=8 char-gram hash (shared md5 recipe), w=4 window minimum: any
+    * shared substring of length ≥ k+w−1 = 11 guarantees ≥ 1 common fp.
+    * Shared by q196 (per-doc set stats) and q201 (cross-doc pairing).
+    */
+  def winnowFps(docsIn: DataFrame): DataFrame = {
+    val k = 8
+    val w = 4
+    val txt = lower(col("text"))
+    val docs = docsIn
+      .select(col("doc_id"), txt.as("t"))
+      .filter(length(col("t")) >= k + w - 1)
+    val hashed = docs.select(col("doc_id"), expr(
+      s"transform(slice(sequence(1, greatest(length(t) - ${k - 1}, 1)), 1," +
+        s" greatest(length(t) - ${k - 1}, 0))," +
+        s" i -> cast(conv(substring(md5(substring(t, i, $k)), 18, 15)," +
+        " 16, 10) as bigint))").as("hs"))
+    val fps = hashed.select(col("doc_id"), expr(
+      s"array_distinct(transform(slice(sequence(1, greatest(size(hs) - ${w - 1}, 1)), 1," +
+        s" greatest(size(hs) - ${w - 1}, 0))," +
+        s" j -> array_min(slice(hs, j, $w))))").as("fps"))
+    fps.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
   val q196Winnowing = Q(
     "q196_winnowing",
     (s, dir) => {
-      val k = 8
-      val w = 4
-      val txt = lower(col("text"))
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), txt.as("t"))
-        .filter(length(col("t")) >= k + w - 1)
-      val hashed = docs.select(col("doc_id"), expr(
-        s"transform(slice(sequence(1, greatest(length(t) - ${k - 1}, 1)), 1," +
-          s" greatest(length(t) - ${k - 1}, 0))," +
-          s" i -> cast(conv(substring(md5(substring(t, i, $k)), 18, 15)," +
-          " 16, 10) as bigint))").as("hs"))
-      val fps = hashed.select(col("doc_id"), expr(
-        s"array_distinct(transform(slice(sequence(1, greatest(size(hs) - ${w - 1}, 1)), 1," +
-          s" greatest(size(hs) - ${w - 1}, 0))," +
-          s" j -> array_min(slice(hs, j, $w))))").as("fps"))
-      fps.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
-        .filter(col("fp").isNotNull)
+      winnowFps(Tables.load(s, dir, "documents"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fps"),
           expr("bit_xor(fp)").as("fp_xor"),
@@ -933,11 +944,79 @@ object DedupQueries {
              bit_xor(fp) AS fp_xor, min(fp) AS fp_min
       FROM ex GROUP BY 1"""))
 
+  /** q201: cross-doc partial-copy detection — the PAIRING the MOSS use
+    * case is for (q196 stops at per-doc fingerprint sets). Docs meet on
+    * shared winnowing fingerprints (the LSH band shape: the join key is
+    * the compact fp long, payloads join back after), with the standard
+    * MOSS stop-fingerprint rule — fps appearing in > 50 docs carry no
+    * copy signal (boilerplate) and are dropped, which also BOUNDS the
+    * per-bucket pair blowup at ≤ 50²/2 regardless of corpus size. A pair
+    * is reported when ≥ 3 distinct fingerprints are shared; containment
+    * = n_shared / min(|A|, |B|) is one IEEE division of exact integers
+    * (bit-identical cross-engine). Any shared substring ≥ 11 chars
+    * contributes a common fp even under edits elsewhere (the winnowing
+    * guarantee) — the robustness fixed-stride q57 whole-doc fingerprints
+    * provably lack (WinnowingPairsSpec plants exactly that case).
+    */
+  def winnowingPairs(docsIn: DataFrame): DataFrame = {
+    val ex = winnowFps(docsIn)
+    val nf = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("fp")
+    val exr = ex.join(rare, "fp")
+    val pairs = exr.as("a")
+      .join(exr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    pairs
+      .join(nf.select(col("doc_id").as("ai"), col("n").as("n_a")), "ai")
+      .join(nf.select(col("doc_id").as("bi"), col("n").as("n_b")), "bi")
+      .select(col("ai"), col("bi"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+
+  val q201WinnowingPairs = Q(
+    "q201_winnowing_pairs",
+    (s, dir) => winnowingPairs(Tables.load(s, dir, "documents")),
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE len(lower(text)) >= 11),
+      hs AS (
+        SELECT doc_id,
+               [CAST('0x' || substr(md5(substr(t, i, 8)), 18, 15) AS BIGINT)
+                for i in generate_series(1, len(t) - 7)] AS hs
+        FROM t0),
+      fps AS (
+        SELECT doc_id,
+               list_distinct([list_aggregate(hs[j:j+3], 'min')
+                              for j in generate_series(1, len(hs) - 3)]) AS fps
+        FROM hs),
+      ex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM fps),
+      nf AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 50),
+      exr AS MATERIALIZED (
+        SELECT e.doc_id, e.fp FROM ex e JOIN rare r USING (fp)),
+      pairs AS (
+        SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS n_shared
+        FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT p.ai, p.bi, CAST(p.n_shared AS BIGINT) AS n_shared,
+             CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             CAST(p.n_shared AS DOUBLE) / least(na.n, nb.n) AS containment
+      FROM pairs p
+      JOIN nf na ON na.doc_id = p.ai
+      JOIN nf nb ON nb.doc_id = p.bi"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
       q146MultimodalPack, q156StreamDedup, q161ImageDhash,
       q170AudioFingerprint, q171SceneCuts, q183StreamCuration,
-      q196Winnowing)
+      q196Winnowing, q201WinnowingPairs)
 }

@@ -17,7 +17,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++
       FloodQueries.qs ++ DedupQueries.qs ++ SpatialQueries.qs ++
-      PipelineQueries.qs ++ BpeQueries.qs ++ CorpusStats.qs
+      PipelineQueries.qs ++ BpeQueries.qs ++ CorpusStats.qs ++
+      GraphQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -362,4 +362,20 @@ class PlanSpec extends SparkSpec {
       s"bm25 top-20 fell back to a global sort:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q185: only the single-row total carries a broadcast hint — " +
+    "never the vocabulary-sized unigram table (unbounded at corpus scale)") {
+    val df = Registry.queries("q185_pmi_collocations")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected exactly the bign hint:\n$hints")
+    assert(hints.head.child.output.map(_.name) == Seq("bign"),
+      hints.head.toString)
+  }
+
+  test("q184: gopher repetition stats are scan-bound — zero shuffles") {
+    val p = plan("q184_gopher_ngrams")
+    assert(!p.contains("Exchange"), p)
+  }
 }
