@@ -176,6 +176,16 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // subtotals so deep history stays one-glance comparable: the legacy
+    // 15 (r7–r12 headline set, hashes stable since r7/r10) vs the LLM
+    // flagships added in r13 — split by query number (every r13+
+    // addition is >= q144), so the sets track the registry automatically
+    def qNum(name: String): Int =
+      name.drop(1).takeWhile(_.isDigit).toInt
+    val legacySubtotal =
+      results.filter(r => qNum(r._1) < 144).map(_._2).sum
+    val new5Subtotal =
+      results.filter(r => qNum(r._1) >= 144).map(_._2).sum
     val overall = if (results.exists(_._4 == "err")) "err" else "ok"
     // The driver tail-captures stdout: BENCH_r07.json came back parsed:null
     // because this line outgrew its window once passes/plan_hash/io joined
@@ -185,7 +195,7 @@ object Bench {
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     val detail =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"io":$ioStats,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","legacy15_sec":$legacySubtotal%.4f,"new5_sec":$new5Subtotal%.4f,"queries":$qs,"passes":$allPasses,"status":$statuses,"plan_hash":$hashes,"io":$ioStats,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, HyperplaneBands, PandasFloatString, PointInPolygon, WkbRingCoords}
+import graft.functions.{CosineSim, GopherStats, HyperplaneBands, PandasFloatString, PointInPolygon, WkbRingCoords}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneBands)
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.wkbRing)
+    ext.injectFunction(GraftExtensions.gopherStats)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -31,7 +32,7 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim,
-      wkbRing).foreach {
+      wkbRing, gopherStats).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -82,6 +83,18 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 2, "wkb_ring(wkb, axis + 2*ring)")
       WkbRingCoords(args(0), args(1))
+    })
+
+  /** gopher_stats(tokens): all seven Gopher repetition-rule outputs
+    * (total/top-n/dup-n char coverage) as one struct, in a single
+    * unboxed pass over a token array.
+    */
+  val gopherStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gopher_stats"),
+    new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "gopher_stats(tokens)")
+      GopherStats(args.head)
     })
 
   /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH

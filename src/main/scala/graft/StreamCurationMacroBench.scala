@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.{FileReplay, StreamCuration, StreamDedup}
+
+/** Streaming-curation SCALE record (round-13 verdict item 5): q183
+  * gates the semantics at fixture scale; this arm replays a 10% delta
+  * against a 10×-larger persisted corpus index and records rows/s,
+  * state size, and survivor-set equality against the batch incremental
+  * pipeline.
+  *
+  * Fixture: TextMacroBench's synthetic corpus (text is a pure function
+  * of doc_id), `nCorpus` docs indexed, `nDelta` arrivals with ~3%
+  * PLANTED exact copies of corpus docs (delta id % 100 < 3 reuses the
+  * corpus doc's token seed) — a planted copy whose corpus twin passed
+  * quality MUST verify at Jaccard 1, so the closed-form subset gate is
+  * `planted∩quality ⊆ matched`, and the full gate is exact equality of
+  * the stream's matched set with a BATCH twin computing the identical
+  * incremental rule (band join → compact candidate pairs → exact
+  * set-Jaccard ≥ 0.8 against corpus members and smaller-id arrivals).
+  *
+  * State is the per-band member index — 16 bands × corpus size — which
+  * exceeds executor heap at 3M docs, so the stream runs on the RocksDB
+  * state store (the r12 transformWithState lesson generalizes: set the
+  * provider for the stream, restore in finally). State rows/bytes are
+  * read from the final StreamingQueryProgress; the invariant is state
+  * ≈ index size + delta additions, NEVER corpus×delta.
+  *
+  * Usage: StreamCurationMacroBench [nCorpus] [nDelta] [nBuckets]
+  *        (defaults 3M, 300k, 10 — ~20-60 tokens/doc)
+  */
+object StreamCurationMacroBench {
+
+  private def synthDocs(spark: SparkSession, lo: Long, hi: Long,
+      genId: org.apache.spark.sql.Column): DataFrame = {
+    // TextMacroBench's generator shape: ~45% hot tokens, 100k tail,
+    // 20-60 tokens; text is a pure function of the GENERATING id
+    val nTok = (pmod(xxhash64(col("gen_id")), lit(41)) + 20).cast("int")
+    val tok = {
+      val h = xxhash64(col("gen_id"), col("i"))
+      when(pmod(h, lit(100)) < 45,
+        concat(lit("h"), pmod(xxhash64(col("gen_id"), col("i"), lit(1)), lit(16))))
+        .otherwise(
+          concat(lit("w"), pmod(xxhash64(col("gen_id"), col("i"), lit(2)), lit(100000))))
+    }
+    spark.range(lo, hi)
+      .select(col("id").as("doc_id"), genId.as("gen_id"))
+      .select(col("doc_id"), col("gen_id"),
+        explode(sequence(lit(1), nTok)).as("i"))
+      .select(col("doc_id"), tok.as("tok"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCorpus = args.headOption.map(_.toLong).getOrElse(3000000L)
+    val nDelta = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+    val nBuckets = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val corpus = synthDocs(spark, 0L, nCorpus, col("id"))
+      .localCheckpoint(true)
+    // ~3% of delta ids replay a corpus doc's token seed → exact copies
+    val delta = synthDocs(spark, nCorpus, nCorpus + nDelta,
+      when(col("id") % 100 < 3, col("id") - nCorpus).otherwise(col("id")))
+      .localCheckpoint(true)
+
+    // tiny eval split (the bloom stage is a stateless rider here; its
+    // cost story is q162's — the macro stresses the dedup state path)
+    val m = 65536L
+    val evalGks = corpus.filter(col("doc_id") % 99991 === 0)
+      .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
+      .distinct().as[Long].collect()
+    val positions = (for (gk <- evalGks; j <- 0 to 2) yield Math.floorMod(
+      Dedup.md5Hash64Local(gk.toString + "_" + j), m)).distinct
+
+    val corpusQ = corpus.filter(StreamCuration.qualityScore(col("text")) > 0)
+    // corpus band rows computed ONCE and checkpointed: the initial
+    // state, the batch twin's member side, and the payload table all
+    // reuse this frame instead of re-shingling 3M docs three times
+    val cbFull = StreamDedup.bandRows(corpusQ, "doc_id", "text").toDF()
+      .localCheckpoint(true)
+
+    // ---------------- stream: index as initial state ------------------
+    val srcDir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")), "graft_scur_macro_src")
+    FileReplay.stageOrderedReplay(delta.select(col("doc_id"), col("text")),
+      "doc_id", srcDir, nBuckets)
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_scur_macro_ckpt").toString
+    var stateRows = -1L
+    var stateBytes = -1L
+    val t0 = System.nanoTime()
+    val init = cbFull
+      .groupBy("bandHash")
+      .agg(collect_list(struct(col("docId"), lit(true).as("corpus"),
+        col("shh"))).as("members"))
+      .as[(Long, Seq[StreamDedup.Member])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val stream = spark.readStream
+      .schema(delta.select(col("doc_id"), col("text")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val sq = StreamCuration.curationStream(
+        StreamCuration.curationRows(stream, "doc_id", "text",
+          positions, evalGks), init)
+      .toDF()
+      .writeStream.format("memory").queryName("scur_macro")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      sq.processAllAvailable()
+      val prog = sq.lastProgress
+      if (prog != null && prog.stateOperators.nonEmpty) {
+        stateRows = prog.stateOperators(0).numRowsTotal
+        stateBytes = prog.stateOperators(0).memoryUsedBytes
+      }
+    } finally {
+      sq.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val tStream = (System.nanoTime() - t0) / 1e9
+
+    val streamMatched = spark.table("scur_macro")
+      .groupBy(col("docId").as("doc_id"))
+      .agg(max(col("matched")).as("matched"))
+      .filter(col("matched"))
+      .select("doc_id").as[Long].collect().toSet
+
+    // ---------------- batch twin: identical incremental rule ----------
+    val t1 = System.nanoTime()
+    val deltaQ = delta.filter(StreamCuration.qualityScore(col("text")) > 0)
+    val cb = cbFull
+      .select(col("bandHash"), col("docId").as("mid"), lit(true).as("corpus"))
+    val db = StreamDedup.bandRows(deltaQ, "doc_id", "text").toDF()
+      .localCheckpoint(true)
+    val members = cb.unionByName(db.select(col("bandHash"),
+      col("docId").as("mid"), lit(false).as("corpus")))
+    val cand = db.select(col("bandHash"), col("docId").as("did"))
+      .join(members, "bandHash")
+      .filter(col("corpus") || col("mid") < col("did"))
+      .select("did", "mid").distinct()
+    val shhAll = db.select(col("docId"), col("shh")).distinct()
+      .unionByName(cbFull.select(col("docId"), col("shh")).distinct())
+      .distinct()
+    val batchMatched = cand
+      .join(shhAll.select(col("docId").as("did"), col("shh").as("sa")), "did")
+      .join(shhAll.select(col("docId").as("mid"), col("shh").as("sb")), "mid")
+      .select(col("did"),
+        expr("size(array_intersect(sa, sb))").as("inter"),
+        (size(col("sa")) + size(col("sb"))).as("sz"))
+      .filter(col("inter").cast("double") /
+        (col("sz") - col("inter")).cast("double") >= 0.8)
+      .select("did").distinct().as[Long].collect().toSet
+    val tBatch = (System.nanoTime() - t1) / 1e9
+
+    // closed-form subset: planted copies whose twin passed quality
+    val plantedQ = delta.filter(col("doc_id") % 100 < 3)
+      .filter(StreamCuration.qualityScore(col("text")) > 0)
+      .select("doc_id").as[Long].collect().toSet
+
+    require(plantedQ.subsetOf(streamMatched),
+      s"${plantedQ.diff(streamMatched).size} planted copies missed " +
+        s"(of ${plantedQ.size})")
+    require(streamMatched == batchMatched,
+      s"stream/batch survivor divergence: stream-only " +
+        s"${streamMatched.diff(batchMatched).size}, batch-only " +
+        s"${batchMatched.diff(streamMatched).size}")
+    val rate = nDelta / tStream
+    println(f"stream_curation_macro: corpus=$nCorpus delta=$nDelta " +
+      f"buckets=$nBuckets stream=$tStream%.1f s (${rate}%.0f docs/s) " +
+      f"batch_twin=$tBatch%.1f s state_rows=$stateRows " +
+      f"state_mb=${stateBytes / 1048576.0}%.0f matched=${streamMatched.size} " +
+      f"planted_q=${plantedQ.size}  EXACT")
+    spark.stop()
+  }
+}

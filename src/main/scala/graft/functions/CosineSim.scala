@@ -36,10 +36,13 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = CosineSim.getClass.getName.stripSuffix("$")
+    // freshName so two fused copies never declare duplicate locals
+    // (nullSafeExec adds no braces for non-nullable inputs; r13 advice)
+    val r = ctx.freshName("cosineResult")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = $cls.cosine($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((Double) r).doubleValue(); }""")
+      Object $r = $cls.cosine($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $r).doubleValue(); }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -68,6 +68,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[Double](1) == Seq(0.0, 0.0, 3.0, 0.0))
   }
 
+  test("gopher_stats is callable from SQL and matches the kernel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""
+      SELECT gopher_stats(array('x', 'y', 'x', 'y', 'x')) AS g""")
+      .select("g.*").collect()(0)
+    // "x y" (pos 1,3) and "y x" (pos 2,4) tie at count 2; the
+    // binary-smaller "x y" wins and covers token positions 1-4
+    assert(r.getLong(0) == 5L, r)      // total_chars
+    assert(r.getLong(1) == 4L, r)      // top2 covers 4 tokens of len 1
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L, r)
+  }
+
   test("injected SQL functions compose with builtin SQL over views") {
     GraftExtensions.register(spark)
     Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
