@@ -1490,6 +1490,118 @@ object TextOps {
       ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 20"""),
     headline = true)
 
+  /** Exact-substring corpus REWRITE (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — q98 detects shared
+    * 16-token spans; this operator actually CUTS them: every occurrence
+    * of a duplicated span except the GLOBAL FIRST (smallest (doc_id,
+    * position), within-doc repeats count as occurrences) has its token
+    * positions removed, and each document re-emits as the surviving
+    * tokens joined by single spaces (whitespace-normalized — both
+    * engines join identically). A position covered by ANY non-owner
+    * duplicated occurrence is cut, owner coverage does not protect it —
+    * the deterministic contract both engines replay.
+    *
+    * Scale shape: window occurrences (doc, i, fold-hash) never leave
+    * compact keys; ownership is ONE groupBy(w) with count + min(struct)
+    * (mergeable, no window function over the corpus); cut positions
+    * explode only from duplicated non-owner occurrences; the rebuild is
+    * a left-anti join against the token ledger + one sort_array per doc
+    * (the q146 no-single-reducer posture). Output carries md5 of the
+    * rewritten text, not the text — dumps stay compact at any SF.
+    */
+  /** The q202 plan over any (doc_id, text) frame — SpanRewriteSpec
+    * feeds planted copies through it; `span` is the window width. */
+  def spanRewrite(docsIn: DataFrame, span: Int = 16): DataFrame = {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val hashes = transform(toks,
+        t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
+      val base = docsIn
+        .select(col("doc_id"), toks.as("tk"), hashes.as("hs"))
+      val ledger = base
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          posexplode(col("tk")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("p"),
+          col("tok"))
+      // ALL window occurrences (no distinct — within-doc repeats count).
+      // posexplode_OUTER + isNotNull: the non-outer form infers a
+      // size()>0 guard that re-evaluates the whole fingerprint pass per
+      // row (the r13 explode-tax lesson — WindowFingerprints is an
+      // expensive construction). Ownership key = doc_id·2^20 + i (one
+      // BIGINT, identical comparison semantics in both engines; token
+      // positions are < 2^20 at any realistic document size).
+      val occ = base.filter(size(col("hs")) >= span)
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.WindowFingerprints(col("hs"), span))
+            .as(Seq("i0", "w")))
+        .filter(col("w").isNotNull)
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("w"))
+      val occKey = col("doc_id") * lit(1048576L) + col("i")
+      val owner = occ.groupBy("w")
+        .agg(count(lit(1)).as("n_occ"), min(occKey).as("own"))
+        .filter(col("n_occ") >= 2)
+        .select(col("w"), col("own"))
+      val cuts = occ.join(owner, "w")
+        .filter(occKey =!= col("own"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (span - 1))).as("p"))
+        .distinct()
+      val kept = ledger.join(cuts, Seq("doc_id", "p"), "left_anti")
+      kept.groupBy("doc_id")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok")))).as("rewritten_md5"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - col("n_kept")).as("n_cut"),
+          col("rewritten_md5"))
+  }
+
+  val q202SpanRewrite = Q(
+    "q202_span_rewrite",
+    (s, dir) => spanRewrite(t(s, dir)("documents")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           tk -> len(tk) > 0) AS tk
+        FROM documents),
+      hs AS (
+        SELECT doc_id, tk,
+               [CAST(('0x' || substr(md5(t), 18, 15)) AS BIGINT) % 1000000007
+                for t in tk] AS hs
+        FROM toks),
+      occ AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+15]),
+                           (acc, h) -> (acc * 1000003 + h) % 2147483647) AS w
+        FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 15)) AS i
+              FROM hs WHERE len(hs) >= 16)),
+      own AS (
+        SELECT w, min(doc_id * 1048576 + i) AS own
+        FROM occ GROUP BY w HAVING count(*) >= 2),
+      cuts AS (
+        SELECT DISTINCT o.doc_id, o.i + off.off AS p
+        FROM occ o JOIN own ON own.w = o.w
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS off) off
+        WHERE o.doc_id * 1048576 + o.i <> own.own),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(tk))) AS p,
+               unnest(tk) AS tok
+        FROM toks WHERE len(tk) >= 1),
+      nt AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens FROM toks
+             WHERE len(tk) >= 1),
+      kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN cuts ON cuts.doc_id = pos.doc_id
+                               AND cuts.p = pos.p
+        WHERE cuts.p IS NULL)
+      SELECT k.doc_id, nt.n_tokens,
+             CAST(nt.n_tokens - count(*) AS BIGINT) AS n_cut,
+             md5(string_agg(k.tok, ' ' ORDER BY k.p)) AS rewritten_md5
+      FROM kept k JOIN nt ON nt.doc_id = k.doc_id
+      GROUP BY k.doc_id, nt.n_tokens"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1498,5 +1610,6 @@ object TextOps {
     q111SequencePack, q131Tfidf, q132ChunkOverlap, q133BpePairs,
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
-    q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk)
+    q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk,
+    q202SpanRewrite)
 }
