@@ -301,12 +301,20 @@ object TextMacroBench {
     def pmi(d: DataFrame): DataFrame =
       graft.queries.CorpusStats.pmiCollocations(d)
 
+    // q202 shape: exact-substring rewrite — window-hash occurrences →
+    // ownership groupBy → cut explode → anti-join rebuild (mostly
+    // duplicate-free on this corpus, so the cost is the scan + the
+    // compact-key shuffles, the floor any corpus pays)
+    def spanRewrite(d: DataFrame): DataFrame =
+      graft.queries.TextOps.spanRewrite(d)
+
     val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
+      "span_rewrite" -> spanRewrite,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and
