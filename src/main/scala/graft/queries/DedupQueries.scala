@@ -963,7 +963,12 @@ object DedupQueries {
     val nf = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select("fp")
-    val exr = ex.join(rare, "fp")
+    // `rare` (fp cardinality) and `nf` (doc cardinality) are UNBOUNDED
+    // in corpus scale — shuffle-hash hints keep the optimizer from
+    // gambling a broadcast on their pre-runtime size estimates (a 1M-doc
+    // WinnowMacroBench run OOM'd the driver exactly that way; the q185
+    // lesson from the other direction)
+    val exr = ex.join(rare.hint("shuffle_hash"), "fp")
     val pairs = exr.as("a")
       .join(exr.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -971,8 +976,10 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
     pairs
-      .join(nf.select(col("doc_id").as("ai"), col("n").as("n_a")), "ai")
-      .join(nf.select(col("doc_id").as("bi"), col("n").as("n_b")), "bi")
+      .join(nf.select(col("doc_id").as("ai"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "ai")
+      .join(nf.select(col("doc_id").as("bi"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "bi")
       .select(col("ai"), col("bi"), col("n_shared"), col("n_a"), col("n_b"),
         (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("containment"))
