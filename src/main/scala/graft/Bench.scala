@@ -180,8 +180,10 @@ object Bench {
     // 15 (r7–r12 headline set, hashes stable since r7/r10) vs the LLM
     // flagships added in r13 — split by query number (every r13+
     // addition is >= q144), so the sets track the registry automatically
+    // toIntOption: a future headline whose name is not q<digits> must
+    // land in the "new" bucket, not kill the whole bench report
     def qNum(name: String): Int =
-      name.drop(1).takeWhile(_.isDigit).toInt
+      name.drop(1).takeWhile(_.isDigit).toIntOption.getOrElse(Int.MaxValue)
     val legacySubtotal =
       results.filter(r => qNum(r._1) < 144).map(_._2).sum
     val new5Subtotal =

@@ -85,7 +85,7 @@ object GraftExtensions {
       WkbRingCoords(args(0), args(1))
     })
 
-  /** gopher_stats(tokens): all seven Gopher repetition-rule outputs
+  /** gopher_stats(tokens): all six Gopher repetition-rule outputs
     * (total/top-n/dup-n char coverage) as one struct, in a single
     * unboxed pass over a token array.
     */

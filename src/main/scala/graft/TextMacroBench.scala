@@ -362,6 +362,15 @@ object TextMacroBench {
         val he = materialize(deconExact(d))
         val hb = materialize(deconBloom(d))
         require(he == hb, s"bloom decon mismatch: exact=$he bloom=$hb")
+        // the synthesized corpus plants no 16-token duplicate span
+        // (all-hot windows are ~3e-6 of positions and draw from a 16^16
+        // space), so ANY cut is a fingerprint false positive — with the
+        // 43-bit fold + exact content verify this must be exactly 0
+        // (the round-14 31-bit fold would birthday-collide here at 10×)
+        val cutRow = spanRewrite(d).agg(sum(col("n_cut"))).collect()(0)
+        val nCut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0)
+        require(nCut == 0L,
+          s"span_rewrite cut $nCut tokens on the duplicate-free corpus")
       }
       d.unpersist()
       times

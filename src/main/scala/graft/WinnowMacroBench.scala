@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * length ≥ 11 yields ≥ 1 common selected fingerprint) applied to 5
   * disjoint 11-char stretches of the chunk forces ≥ 5 shared
   * fingerprints per planted pair — strictly above q201's n_shared >= 3
-  * reporting threshold REGARDLESS of the surrounding text, so planted
-  * recall must be EXACTLY 1.0 (a require, not a hope). Incidental
-  * pairs from random char-8-gram overlap are counted and reported but
-  * not gated (the df <= 50 stop-fingerprint cap bounds them).
+  * reporting threshold REGARDLESS of the surrounding text; the shared
+  * chunk (" copy " + 59-char segs) is ≥ 24 chars contiguous, so the
+  * round-15 exact 24-gram verification keeps every planted pair too —
+  * recall must be EXACTLY 1.0 (a require, not a hope). PRECISION is
+  * now gated as well (>= 0.95): the r14 run found 149.5k incidental
+  * hot-substring pairs vs 5k planted (~3% precision) at the
+  * fingerprint-count stage; the exact-verify stage must reject any
+  * candidate without a true >= 24-char common substring, and identical
+  * 7+-token hot runs (the only incidental source that long) are
+  * birthday-rare (~16^7 sequence space).
   *
   * Usage: WinnowMacroBench [nDocs] (default 1M → ~5k planted pairs)
   */
@@ -77,9 +83,13 @@ object WinnowMacroBench {
     require(missed.isEmpty,
       s"${missed.size} planted partial-copy pairs missed, e.g. " +
         s"${missed.take(3)}")
+    val precision = planted.size.toDouble / pairs.size
+    require(precision >= 0.95,
+      f"precision $precision%.3f < 0.95: ${pairs.size - planted.size} " +
+        "incidental pairs survived the exact 24-char verification")
     println(f"winnow_pairs_macro: docs=$n planted=${planted.size} " +
       f"found=${pairs.size} (incidental=${pairs.size - planted.size}) " +
-      f"$secs%.1f s recall=1.0 EXACT")
+      f"$secs%.1f s recall=1.0 EXACT precision=$precision%.3f")
     spark.stop()
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** All seven Gopher repetition-rule outputs (Rae et al. 2021 §A1.1) in
+/** All six Gopher repetition-rule outputs (Rae et al. 2021 §A1.1) in
   * ONE unboxed pass over a document's token array — the fused kernel
   * that replaced q184's 4–5-shuffle explode/groupBy/distinct/join plan
   * (the round-13 verdict's top item: every output is a per-document

@@ -47,8 +47,15 @@ object KCore {
         .localCheckpoint(true)
       val m = next.count()
       if (m == nEdges) {
+        // fixpoint confirmed: keep `edges`, drop the redundant twin
+        graft.core.Checkpoints.release(next)
         done = true
       } else {
+        // release the superseded round's checkpoint blocks — an
+        // adversarial graph (a long path peels in O(n) rounds) would
+        // otherwise accrue O(sum of round sizes) storage (r14 advice);
+        // Dataset.unpersist can't reach them, Checkpoints.release can
+        graft.core.Checkpoints.release(edges)
         edges = next
         nEdges = m
         rounds += 1

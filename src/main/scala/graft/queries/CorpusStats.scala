@@ -77,7 +77,7 @@ object CorpusStats {
   /** The q184 plan over any (doc_id, text) frame — shared with
     * TextMacroBench's `gopher` scale arm. Since round 14 this is ONE
     * scan + the fused per-document [[graft.functions.GopherStats]]
-    * kernel (all seven outputs in a single unboxed pass): the previous
+    * kernel (all six outputs in a single unboxed pass): the previous
     * explode → groupBy(doc,n,gram) → coverage explode → global distinct
     * → join-back → pivot plan shipped ~5 exploded copies of the corpus
     * through the shuffle for a purely per-document statistic (the r13

@@ -957,8 +957,23 @@ object DedupQueries {
     * contributes a common fp even under edits elsewhere (the winnowing
     * guarantee) — the robustness fixed-stride q57 whole-doc fingerprints
     * provably lack (WinnowingPairsSpec plants exactly that case).
+    *
+    * PRECISION stage (round-15; the r14 macro measured ~3% precision at
+    * 1M docs — 149.5k incidental hot-substring pairs vs 5k planted):
+    * fingerprint-count candidates are EXACT-VERIFIED the way MOSS
+    * verifies its candidates (and q37/q39 verify LSH candidates) — a
+    * pair is reported only if the two docs additionally share a char
+    * 24-gram (md5Hash64 of the literal 24-char window, the q34/q84
+    * proven space), i.e. an exact common substring ≥ 24 chars. The
+    * verify grams are computed ONLY for docs that appear in a candidate
+    * pair (a semi-join — corpus-size-independent), carry their own
+    * df ≤ 50 stop-gram cap (same boilerplate rule as the fps, and the
+    * same ≤ 50²/2 per-bucket pair bound), and recall on any true copy
+    * of ≥ 24 chars is unharmed by construction — every contiguous copy
+    * that long contains a full shared 24-gram in both docs.
     */
   def winnowingPairs(docsIn: DataFrame): DataFrame = {
+    val L = 24 // verified-copy threshold (chars of exact shared text)
     val ex = winnowFps(docsIn)
     val nf = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -975,12 +990,38 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
+    // exact verification: distinct char-24-gram hashes of CANDIDATE
+    // docs only (`candDocs` is bounded by 2× the candidate-pair count,
+    // never the corpus), df-capped, self-joined on the compact gram key
+    val candDocs = pairs.select(col("ai").as("doc_id"))
+      .union(pairs.select(col("bi").as("doc_id")))
+      .distinct()
+    val grams = docsIn
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .join(candDocs.hint("shuffle_hash"), "doc_id")
+      .select(col("doc_id"), explode_outer(expr(
+        s"array_distinct(transform(" +
+          s"slice(sequence(1, greatest(length(t) - ${L - 1}, 1)), 1," +
+          s" greatest(length(t) - ${L - 1}, 0))," +
+          s" i -> cast(conv(substring(md5(substring(t, i, $L)), 18, 15)," +
+          " 16, 10) as bigint)))")).as("g"))
+      .filter(col("g").isNotNull)
+    val rareG = grams.groupBy("g").agg(count(lit(1)).as("dfg"))
+      .filter(col("dfg") <= 50).select("g")
+    val gr = grams.join(rareG.hint("shuffle_hash"), "g")
+    val verified = gr.as("x")
+      .join(gr.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("ai"), col("y.doc_id").as("bi"))
+      .agg(count(lit(1)).as("n_long"))
     pairs
+      .join(verified, Seq("ai", "bi"))
       .join(nf.select(col("doc_id").as("ai"), col("n").as("n_a"))
         .hint("shuffle_hash"), "ai")
       .join(nf.select(col("doc_id").as("bi"), col("n").as("n_b"))
         .hint("shuffle_hash"), "bi")
-      .select(col("ai"), col("bi"), col("n_shared"), col("n_a"), col("n_b"),
+      .select(col("ai"), col("bi"), col("n_shared"), col("n_long"),
+        col("n_a"), col("n_b"),
         (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("containment"))
   }
@@ -1007,15 +1048,35 @@ object DedupQueries {
       rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 50),
       exr AS MATERIALIZED (
         SELECT e.doc_id, e.fp FROM ex e JOIN rare r USING (fp)),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS n_shared
         FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-        HAVING count(*) >= 3)
+        HAVING count(*) >= 3),
+      cd AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT ai AS doc_id FROM pairs
+          UNION ALL SELECT bi AS doc_id FROM pairs)),
+      lg AS MATERIALIZED (
+        SELECT g0.doc_id, unnest(g0.gs) AS g FROM (
+          SELECT t0.doc_id,
+                 list_distinct(
+                   [CAST('0x' || substr(md5(substr(t, i, 24)), 18, 15) AS BIGINT)
+                    for i in generate_series(1, len(t) - 23)]) AS gs
+          FROM t0 JOIN cd USING (doc_id)
+          WHERE len(t) >= 24) g0),
+      rg AS (SELECT g FROM lg GROUP BY g HAVING count(*) <= 50),
+      lgr AS MATERIALIZED (SELECT l.doc_id, l.g FROM lg l JOIN rg USING (g)),
+      ver AS (
+        SELECT x.doc_id AS ai, y.doc_id AS bi, count(*) AS n_long
+        FROM lgr x JOIN lgr y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
       SELECT p.ai, p.bi, CAST(p.n_shared AS BIGINT) AS n_shared,
+             CAST(v.n_long AS BIGINT) AS n_long,
              CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
              CAST(p.n_shared AS DOUBLE) / least(na.n, nb.n) AS containment
       FROM pairs p
+      JOIN ver v ON v.ai = p.ai AND v.bi = p.bi
       JOIN nf na ON na.doc_id = p.ai
       JOIN nf nb ON nb.doc_id = p.bi"""))
 

@@ -231,9 +231,10 @@ object TextOps {
 
   /** Rolling-hash document fingerprint (Karp-Rabin polynomial over the
     * token stream): order-SENSITIVE, complementing q35's order-invariant
-    * bag-of-words digest. Modulus keeps every intermediate < 2^51, so the
-    * fold is exact in both engines' 64-bit integers; token hashes come
-    * from the shared md5-derived hash.
+    * bag-of-words digest. The 43-bit modulus (WindowFingerprints
+    * .DefaultMod) keeps every intermediate < 2^63, so the fold is exact
+    * in both engines' 64-bit integers; token hashes come from the
+    * shared md5-derived hash.
     */
   val q57RollingFingerprint = Q(
     "q57_rolling_fingerprint",
@@ -244,7 +245,7 @@ object TextOps {
       t(s, dir)("documents").select(
         col("doc_id"),
         aggregate(hashes, lit(0L),
-          (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fingerprint"))
+          (acc, h) => (acc * 1000003L + h) % 8999999999993L).as("fingerprint"))
     },
     Some("""
       SELECT doc_id,
@@ -253,7 +254,7 @@ object TextOps {
                  [CAST(('0x' || substr(md5(tk), 18, 15)) AS BIGINT) % 1000000007
                   for tk in list_filter(string_split_regex(lower(text), '\s+'),
                                         tk -> len(tk) > 0)]),
-               (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+               (acc, h) -> (acc * 1000003 + h) % 8999999999993) AS fingerprint
       FROM documents"""))
 
   /** PII redaction (training-data scrubbing): emails and long digit runs
@@ -734,7 +735,7 @@ object TextOps {
         SELECT doc_id,
                unnest(list_distinct(
                  [list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+15]),
-                              (acc, h) -> (acc * 1000003 + h) % 2147483647)
+                              (acc, h) -> (acc * 1000003 + h) % 8999999999993)
                   for i in range(1, len(hs) - 14)])) AS w
         FROM toks WHERE len(hs) >= 16),
       sh AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2)
@@ -1502,23 +1503,42 @@ object TextOps {
     * the deterministic contract both engines replay.
     *
     * Scale shape: window occurrences (doc, i, fold-hash) never leave
-    * compact keys; ownership is ONE groupBy(w) with count + min(struct)
-    * (mergeable, no window function over the corpus); cut positions
-    * explode only from duplicated non-owner occurrences; the rebuild is
+    * compact keys; fold-duplicated windows are a tiny candidate set that
+    * is then EXACT-verified (md5Hash64 of the actual 16-token slice,
+    * joined back per candidate — the q37/q39 verify-the-candidates
+    * posture) so a fold collision can never cut non-duplicate text;
+    * ownership is ONE groupBy on the exact key with count + a scalar
+    * min (mergeable, no window function over the corpus); cut positions
+    * explode only from verified non-owner occurrences; the rebuild is
     * a left-anti join against the token ledger + one sort_array per doc
     * (the q146 no-single-reducer posture). Output carries md5 of the
     * rewritten text, not the text — dumps stay compact at any SF.
     */
   /** The q202 plan over any (doc_id, text) frame — SpanRewriteSpec
-    * feeds planted copies through it; `span` is the window width. */
-  def spanRewrite(docsIn: DataFrame, span: Int = 16): DataFrame = {
+    * feeds planted copies (and engineered fold collisions) through it;
+    * `span` is the window width, `foldMod` the prefilter fold modulus
+    * (tests shrink it to force prefilter collisions; the exact verify
+    * must still refuse to cut). */
+  def spanRewrite(docsIn: DataFrame, span: Int = 16,
+      foldMod: Long = graft.functions.WindowFingerprints.DefaultMod): DataFrame = {
       val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
       val hashes = transform(toks,
         t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
       val base = docsIn
         .select(col("doc_id"), toks.as("tk"), hashes.as("hs"))
+      // Ownership key = doc_id·2^20 + i (ONE BIGINT — identical
+      // comparison semantics in both engines; a struct min would not
+      // be). The key is only injective while every doc has < 2^20
+      // tokens, so the assumption FAILS LOUDLY instead of silently
+      // corrupting ownership (round-14 advice): n_tokens is computed
+      // through the guard and is load-bearing in the output.
+      val nTokGuarded = when(size(col("tk")) < lit(1048576),
+          size(col("tk")))
+        .otherwise(raise_error(concat(
+          lit("q202 span_rewrite: doc "), col("doc_id").cast("string"),
+          lit(" has >= 2^20 tokens - the doc_id*2^20+pos ownership key would collide"))))
       val ledger = base
-        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        .select(col("doc_id"), nTokGuarded.as("n_tokens"),
           posexplode(col("tk")).as(Seq("p0", "tok")))
         .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("p"),
           col("tok"))
@@ -1526,21 +1546,41 @@ object TextOps {
       // posexplode_OUTER + isNotNull: the non-outer form infers a
       // size()>0 guard that re-evaluates the whole fingerprint pass per
       // row (the r13 explode-tax lesson — WindowFingerprints is an
-      // expensive construction). Ownership key = doc_id·2^20 + i (one
-      // BIGINT, identical comparison semantics in both engines; token
-      // positions are < 2^20 at any realistic document size).
+      // expensive construction).
       val occ = base.filter(size(col("hs")) >= span)
         .select(col("doc_id"),
-          posexplode_outer(graft.functions.WindowFingerprints(col("hs"), span))
+          posexplode_outer(
+            graft.functions.WindowFingerprints(col("hs"), span, foldMod))
             .as(Seq("i0", "w")))
         .filter(col("w").isNotNull)
         .select(col("doc_id"), (col("i0") + 1).as("i"), col("w"))
       val occKey = col("doc_id") * lit(1048576L) + col("i")
-      val owner = occ.groupBy("w")
-        .agg(count(lit(1)).as("n_occ"), min(occKey).as("own"))
+      // Prefilter: fold values seen >= 2 times. 43-bit default fold →
+      // ~N²/9·10¹² expected FALSE candidates (≈10³ at 10⁸ windows) —
+      // they cost one verify join row each, nothing more.
+      val dupW = occ.groupBy("w")
+        .agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= 2)
-        .select(col("w"), col("own"))
-      val cuts = occ.join(owner, "w")
+        .select("w")
+      // EXACT verification: join the candidate positions back to the
+      // token arrays (ships tk only for docs that HAVE candidates) and
+      // key each candidate window on md5Hash64 of its literal token
+      // content (60-bit, the q34/q84 proven space; tokens are
+      // whitespace-split so the ' ' join is unambiguous). Two windows
+      // cut against each other only when their CONTENT keys match —
+      // equal content always shares the fold too, so the prefilter
+      // never splits a true duplicate group.
+      val candK = occ.join(dupW, "w")
+        .select(col("doc_id"), col("i"))
+        .join(base.select(col("doc_id"), col("tk")), "doc_id")
+        .select(col("doc_id"), col("i"),
+          graft.operators.Dedup.md5Hash64(
+            concat_ws(" ", slice(col("tk"), col("i"), lit(span)))).as("k"))
+      val owner = candK.groupBy("k")
+        .agg(count(lit(1)).as("n_true"), min(occKey).as("own"))
+        .filter(col("n_true") >= 2)
+        .select(col("k"), col("own"))
+      val cuts = candK.join(owner, "k")
         .filter(occKey =!= col("own"))
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + (span - 1))).as("p"))
@@ -1574,17 +1614,24 @@ object TextOps {
       occ AS (
         SELECT doc_id, i,
                list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i:i+15]),
-                           (acc, h) -> (acc * 1000003 + h) % 2147483647) AS w
+                           (acc, h) -> (acc * 1000003 + h) % 8999999999993) AS w
         FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 15)) AS i
               FROM hs WHERE len(hs) >= 16)),
+      dup AS (SELECT w FROM occ GROUP BY w HAVING count(*) >= 2),
+      cand AS (
+        SELECT o.doc_id, o.i,
+               CAST(('0x' || substr(md5(array_to_string(t.tk[o.i:o.i+15], ' ')),
+                                    18, 15)) AS BIGINT) AS k
+        FROM occ o JOIN dup USING (w)
+        JOIN toks t ON t.doc_id = o.doc_id),
       own AS (
-        SELECT w, min(doc_id * 1048576 + i) AS own
-        FROM occ GROUP BY w HAVING count(*) >= 2),
+        SELECT k, min(doc_id * 1048576 + i) AS own
+        FROM cand GROUP BY k HAVING count(*) >= 2),
       cuts AS (
-        SELECT DISTINCT o.doc_id, o.i + off.off AS p
-        FROM occ o JOIN own ON own.w = o.w
+        SELECT DISTINCT c.doc_id, c.i + off.off AS p
+        FROM cand c JOIN own ON own.k = c.k
         CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS off) off
-        WHERE o.doc_id * 1048576 + o.i <> own.own),
+        WHERE c.doc_id * 1048576 + c.i <> own.own),
       pos AS (
         SELECT doc_id, unnest(generate_series(1, len(tk))) AS p,
                unnest(tk) AS tok

@@ -80,16 +80,23 @@ class ScalaCheckSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val hashes = Gen.listOf(Gen.chooseNum(0L, 1000000006L))
     val spans = Gen.chooseNum(1, 40)
-    check(Prop.forAll(hashes, spans) { (hs: List[Long], span: Int) =>
-      val got = graft.functions.WindowFingerprints
-        .compute(new GenericArrayData(hs.toArray), span)
-        .toLongArray().toSeq
-      val nOut = math.max(hs.length - span + 1, 1)
-      val want = (0 until nOut).map { i =>
-        hs.slice(i, i + span)
-          .foldLeft(0L)((acc, h) => (acc * 1000003L + h) % 2147483647L)
-      }
-      got == want
+    // both the production 43-bit modulus and a small one (the testing
+    // hook SpanRewriteSpec uses to engineer prefilter collisions)
+    val mods = Gen.oneOf(graft.functions.WindowFingerprints.DefaultMod,
+      2147483647L, 97L)
+    check(Prop.forAll(hashes, spans, mods) {
+      (hs: List[Long], span: Int, mod: Long) =>
+        val got = graft.functions.WindowFingerprints
+          .compute(new GenericArrayData(hs.toArray), span, mod)
+          .toLongArray().toSeq
+        val nOut = math.max(hs.length - span + 1, 1)
+        val want = (0 until nOut).map { i =>
+          hs.slice(i, i + span)
+            .map(BigInt(_))
+            .foldLeft(BigInt(0))((acc, h) => (acc * 1000003 + h) % mod)
+            .toLong
+        }
+        got == want
     })
   }
 }

@@ -51,4 +51,19 @@ class KCoreFixpointSpec extends SparkSpec {
     val (core, rounds) = KCore.fixpoint(edges(), 2)
     assert(core.count() == 0L && rounds == 0)
   }
+
+  test("superseded rounds release their checkpoint blocks (r14 advice)") {
+    def persisted = spark.sparkContext.getPersistentRDDs.count {
+      case (_, r) => r.getStorageLevel.useMemory || r.getStorageLevel.useDisk
+    }
+    val before = persisted
+    // a 12-node path at k=2 peels over 6 rounds — 7 checkpointed frames
+    // total; all but the final survivor must be unpersisted by the loop
+    val e = edges((0L to 11L).sliding(2).map(p => (p(0), p(1))).toSeq: _*)
+    val (core, rounds) = KCore.fixpoint(e, k = 2)
+    assert(rounds == 6 && core.count() == 0L)
+    assert(persisted <= before + 1,
+      s"checkpoint blocks accrued: $before before, $persisted after")
+    graft.core.Checkpoints.release(core)
+  }
 }

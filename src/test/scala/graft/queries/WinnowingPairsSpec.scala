@@ -45,22 +45,51 @@ class WinnowingPairsSpec extends SparkSpec {
       t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
     val fps = d.select(col("doc_id"),
       aggregate(hashes, lit(0L),
-        (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fingerprint"))
+        (acc, h) => (acc * 1000003L + h) %
+          graft.functions.WindowFingerprints.DefaultMod).as("fingerprint"))
       .collect().map(_.getLong(1))
     assert(fps(0) != fps(1),
       "q57 fingerprints collide — fixture no longer demonstrates the delta")
   }
 
-  test("containment is n_shared over the smaller fingerprint set") {
+  test("containment is n_shared over the smaller fingerprint set; copy is long-verified") {
     val d = docs(
       1L -> s"report alpha: $shared and then the weather turned",
       2L -> s"completely different preamble text here $shared unrelated tail words")
     val r = DedupQueries.winnowingPairs(d).collect()
     assert(r.length == 1)
     val row = r(0)
-    val (nShared, nA, nB) =
-      (row.getLong(2), row.getLong(3), row.getLong(4))
+    val (nShared, nLong, nA, nB) =
+      (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
     assert(nShared >= 3 && nShared <= math.min(nA, nB))
-    assert(row.getDouble(5) == nShared.toDouble / math.min(nA, nB))
+    // the 69-char planted copy must carry 69-24+1 = 46 shared 24-grams
+    // at minimum (boundary spaces can add a couple more)
+    assert(nLong >= 46, s"n_long=$nLong")
+    assert(row.getDouble(6) == nShared.toDouble / math.min(nA, nB))
+  }
+
+  test("scattered short overlaps pass the fp prefilter but fail the 24-char verify") {
+    // three DISJOINT 16-char shared snippets: each shared region (with
+    // its boundary spaces, 18 chars) is >= 11, so the winnowing
+    // guarantee forces >= 3 shared fingerprints — a candidate pair —
+    // but the longest common substring is 18 < 24 chars, so exact
+    // verification must reject it (this is precisely the incidental
+    // class that drowned precision at 1M docs in the r14 macro)
+    val s1 = "cranberry fields"
+    val s2 = "winter snowstorm"
+    val s3 = "yellow submarine"
+    val d = docs(
+      1L -> s"aaa1 $s1 bbb2 $s2 ccc3 $s3 ddd4",
+      2L -> s"xxx5 $s1 yyy6 $s2 zzz7 $s3 www8")
+    // prefilter sanity: the pair really is a candidate (>= 3 shared fps)
+    val fps = DedupQueries.winnowFps(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sharedFps = fps.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert(sharedFps.size >= 3, s"fixture lost its candidate status: $sharedFps")
+    val pairs = DedupQueries.winnowingPairs(d).collect()
+    assert(pairs.isEmpty,
+      "short scattered overlaps must not be reported as a copy pair: " +
+        pairs.mkString(","))
   }
 }
