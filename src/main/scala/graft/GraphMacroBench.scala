@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Hits, KCore}
+import graft.operators.{Hits, KCore, LabelProp}
 
 /** Graph-family macro at 10M-edge scale with CLOSED-FORM gates —
   * completes the coverage PageRankMacroBench started (round-13 verdict
@@ -34,9 +34,21 @@ import graft.operators.{Hits, KCore}
   * triangle edges (count + node-id checksum + all degrees 2), and the
   * round count equals the depth.
   *
-  * Usage: GraphMacroBench [nLeaves] [treeDepth] [nTriangles]
+  * Label-prop convergence arm (round-15) — a chain of C bridged
+  * 4-cliques (ids 4i..4i+3 pairwise + bridge 4i+3 — 4i+4, symmetrized:
+  * 14·C−2 directed edges). Hand-derivable fixpoint REGARDLESS of C:
+  * round 1 gives every clique-i node label 4i except node 4i (which
+  * briefly carries the foreign bridge label 4i−1); round 2 settles the
+  * whole chain at label(v) = v − v%4 (intra-clique counts 2-3 always
+  * beat the single foreign bridge vote); round 3 changes nothing. The
+  * gate REQUIREs changedRounds == 2 and EVERY label exact — at 10M
+  * edges this exercises runConverged's per-round checkpoint/release
+  * loop and its changed-count action, with a closed form.
+  *
+  * Usage: GraphMacroBench [nLeaves] [treeDepth] [nTriangles] [nCliques]
   *        (defaults 5M star leaves → 10M HITS edges;
-  *         4-ary tree depth 11 → ~5.6M tree edges + 1M triangles)
+  *         4-ary tree depth 11 → ~5.6M tree edges + 1M triangles;
+  *         715k cliques → ~10M label-prop edges)
   */
 object GraphMacroBench {
   def main(args: Array[String]): Unit = {
@@ -136,6 +148,30 @@ object GraphMacroBench {
     println(f"kcore_fixpoint: tree_nodes=$nTree tri=$nTri " +
       f"edges=${nTree - 1 + 3 * nTri} rounds=$peelRounds $tCore%.1f s " +
       f"core=${expEdges} edges  EXACT")
+
+    // ---------------- label-prop convergence: bridged 4-clique chain ---
+    val nCliques = args.drop(3).headOption.map(_.toLong).getOrElse(715000L)
+    val cl = spark.range(0, nCliques)
+    val intra = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      .map { case (a, b) =>
+        cl.select((col("id") * 4 + a).as("src"), (col("id") * 4 + b).as("dst"))
+      }.reduce(_ union _)
+    val bridges = spark.range(0, nCliques - 1)
+      .select((col("id") * 4 + 3).as("src"), (col("id") * 4 + 4).as("dst"))
+    val und = intra.union(bridges)
+    val lpEdges = und.union(und.select(col("dst").as("src"),
+      col("src").as("dst")))
+
+    val t2 = System.nanoTime()
+    val (lpLabels, lpRounds) = LabelProp.runConverged(lpEdges, maxRounds = 10)
+    val lpBad = lpLabels
+      .filter(col("label") =!= col("node") - col("node") % 4).count()
+    val tLp = (System.nanoTime() - t2) / 1e9
+    require(lpRounds == 2, s"labelprop rounds $lpRounds != 2 (closed form)")
+    require(lpBad == 0L, s"$lpBad nodes off the closed-form community label")
+    println(f"labelprop_converged: cliques=$nCliques " +
+      f"edges=${14 * nCliques - 2} rounds=$lpRounds $tLp%.1f s " +
+      f"labels=v-v%%4 EXACT")
     spark.stop()
   }
 }

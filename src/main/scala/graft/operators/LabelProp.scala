@@ -63,6 +63,66 @@ object LabelProp {
     labels
   }
 
+  /** CONVERGENCE mode (the fixpoint twin k-core got in round 14 and
+    * label prop lacked): iterate [[run]]'s exact per-round update until
+    * no node changes its label, or `maxRounds` is hit — synchronous LPA
+    * can 2-cycle on bipartite structure, so an uncapped loop would hang
+    * there; the cap bounds it. Returns (labels, changedRounds) where
+    * changedRounds counts only rounds that moved ≥ 1 label (the
+    * fixpoint-proving no-change probe round is not counted — the
+    * KCore.fixpoint convention).
+    *
+    * Oracle equivalence: the update is a deterministic function f of
+    * the previous labels, so once labels_k = labels_{k-1} every later
+    * round is identical — `runConverged(e, M)` returns EXACTLY
+    * `run(e, M)`'s labels whether it stopped early (fixpoint reached,
+    * extra unrolled oracle rounds are no-ops) or hit the cap (both ran
+    * M rounds). Gated queries therefore pair it with `oracleRounds(M)`.
+    *
+    * Scale shape: per-round cost identical to [[run]]; the changed
+    * count rides the same action that materializes the round's eager
+    * localCheckpoint output, and superseded round checkpoints release
+    * their blocks ([[graft.core.Checkpoints.release]]) so storage stays
+    * O(current round), not O(sum of rounds).
+    */
+  def runConverged(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"labelprop: maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(parts, col("node"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+
+    var ck = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var labels = ck
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      val best = labels.join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+        .select(col("dst"), col("b.lbl").as("nl"))
+      val stepped = labels.join(best, col("node") === col("dst"), "left")
+        .select(col("node"), col("label").as("prev"),
+          coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = stepped.filter(col("label") =!= col("prev")).count()
+      graft.core.Checkpoints.release(ck)
+      ck = stepped
+      labels = stepped.select(col("node"), col("label"))
+      if (changed == 0L) converged = true else r += 1
+    }
+    (labels, r)
+  }
+
   /** Unrolled DuckDB oracle for [[run]] — generated from the SAME round
     * count. The caller must define `edges(src, dst)`; the final labels
     * are `l{rounds}`(node, label). The per-dst argmax replays the

@@ -342,7 +342,8 @@ object DedupQueries {
     "q80_png_decode",
     (s, _) => {
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/png/*.png")
+        .option("pathGlobFilter", "*.png")
+        .load("/root/repo/data/png")
         .select(
           regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
             .cast("long").as("media_id"),
@@ -368,7 +369,8 @@ object DedupQueries {
     "q92_wav_decode",
     (s, _) => {
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/wav/*.wav")
+        .option("pathGlobFilter", "*.wav")
+        .load("/root/repo/data/wav")
         .select(
           regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
             .cast("long").as("media_id"),
@@ -394,7 +396,8 @@ object DedupQueries {
     "q94_avi_decode",
     (s, _) => {
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/avi/*.avi")
+        .option("pathGlobFilter", "*.avi")
+        .load("/root/repo/data/avi")
         .select(
           regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
             .cast("long").as("media_id"),
@@ -420,7 +423,8 @@ object DedupQueries {
     "q102_avi_mjpeg",
     (s, _) => {
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/avi_mjpg/*.avi")
+        .option("pathGlobFilter", "*.avi")
+        .load("/root/repo/data/avi_mjpg")
         .select(
           regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
             .cast("long").as("media_id"),
@@ -447,16 +451,16 @@ object DedupQueries {
   val q101FeatureEmbedSim = Q(
     "q101_feature_embed_sim",
     (s, _) => {
-      def files(glob: String, re: String) =
-        s.read.format("binaryFile").load(glob)
+      def files(dir: String, pat: String, re: String) =
+        s.read.format("binaryFile").option("pathGlobFilter", pat).load(dir)
           .select(regexp_extract(col("path"), re, 1).cast("long").as("media_id"),
             col("content").as("payload"))
       val img = Multimodal.decodeImages(
-          files("/root/repo/data/png/*.png", "img_(\\d+)\\.png$"))
+          files("/root/repo/data/png", "*.png", "img_(\\d+)\\.png$"))
         .select(col("media_id"),
           array(col("p00"), col("p01"), col("p10"), col("p11")).as("emb"))
       val aud = Multimodal.decodeWav(
-          files("/root/repo/data/wav/*.wav", "clip_(\\d+)\\.wav$"))
+          files("/root/repo/data/wav", "*.wav", "clip_(\\d+)\\.wav$"))
         .select((col("media_id") + 1000).as("media_id"),
           array(col("b0"), col("b1"), col("b2"), col("b3")).as("emb"))
       val all = img.unionByName(aud)
@@ -503,8 +507,8 @@ object DedupQueries {
   val q146MultimodalPack = Q(
     "q146_multimodal_pack",
     (s, dir) => {
-      def files(glob: String, re: String) =
-        s.read.format("binaryFile").load(glob)
+      def files(dir: String, pat: String, re: String) =
+        s.read.format("binaryFile").option("pathGlobFilter", pat).load(dir)
           .select(regexp_extract(col("path"), re, 1).cast("long").as("media_id"),
             col("content").as("payload"))
       val W = 512
@@ -514,13 +518,13 @@ object DedupQueries {
         size(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).cast("long").as("cost"))
       val img = Multimodal.decodeImages(
-          files("/root/repo/data/png/*.png", "img_(\\d+)\\.png$"))
+          files("/root/repo/data/png", "*.png", "img_(\\d+)\\.png$"))
         .select(lit("image").as("kind"),
           (col("media_id") + 1000000L).as("item_id"),
           (expr("(width + 15) div 16") * expr("(height + 15) div 16"))
             .cast("long").as("cost"))
       val aud = Multimodal.decodeWav(
-          files("/root/repo/data/wav/*.wav", "clip_(\\d+)\\.wav$"))
+          files("/root/repo/data/wav", "*.wav", "clip_(\\d+)\\.wav$"))
         .select(lit("audio").as("kind"),
           (col("media_id") + 2000000L).as("item_id"),
           expr("(n_frames * 25 + sample_rate - 1) div sample_rate")
@@ -643,7 +647,8 @@ object DedupQueries {
   val q161ImageDhash = Q(
     "q161_image_dhash",
     (s, _) => {
-      val files = s.read.format("binaryFile").load("/root/repo/data/png/*.png")
+      val files = s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+        .load("/root/repo/data/png")
         .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
           .cast("long").as("media_id"),
           col("content").as("payload"))
@@ -678,7 +683,8 @@ object DedupQueries {
     "q170_audio_fingerprint",
     (s, _) => {
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/wav/*.wav")
+        .option("pathGlobFilter", "*.wav")
+        .load("/root/repo/data/wav")
         .select(
           regexp_extract(col("path"), "clip_(\\d+)\\.wav$", 1)
             .cast("long").as("media_id"),
@@ -704,7 +710,8 @@ object DedupQueries {
     (s, _) => {
       import org.apache.spark.sql.expressions.Window
       val media = s.read.format("binaryFile")
-        .load("/root/repo/data/avi/*.avi")
+        .option("pathGlobFilter", "*.avi")
+        .load("/root/repo/data/avi")
         .select(
           regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
             .cast("long").as("media_id"),

@@ -122,7 +122,12 @@ object GraphQueries {
           SELECT doc_id % 1499, (doc_id * 17 + 3) % 2003 FROM documents)
         WHERE src <> dst),""" +
       graft.operators.PageRank.oracleRoundsRedistributed(6, 1000000000L) + """
-      SELECT node, rank FROM r6"""))
+      SELECT node, rank FROM r6"""),
+    // headline since round 15 (verdict item 6): the 20-query set had
+    // zero graph representation; this is the production PageRank shape
+    // (iterative join+agg with dangling-mass redistribution), so a
+    // graph-plan regression now breaks the bench, not just the gate
+    headline = true)
 
   // -------------------------------------------------------------------
   // q200: greedy k-center (k=8) over floor(x·64)-quantized embeddings.
@@ -146,6 +151,43 @@ object GraphQueries {
       graft.operators.KCenter.oracleRounds(8) + """
       SELECT id, center_id, mind AS dist FROM st7"""))
 
+  // -------------------------------------------------------------------
+  // q203: label propagation run to CONVERGENCE (round-15; k-core got
+  // its fixpoint twin in r14, label prop now has one too). The oracle
+  // unrolls exactly maxRounds=20 rounds and is ALWAYS equal: if the
+  // graph converges earlier, the update is a fixpoint and the extra
+  // unrolled rounds are no-ops; if it 2-cycles (sync LPA on bipartite
+  // structure), both sides run exactly 20 rounds. Different modulus
+  // than q197 so the two gates exercise different graphs.
+  // -------------------------------------------------------------------
+  val q203LabelPropConverged = Q(
+    "q203_labelprop_converged",
+    (s, dir) => {
+      val docs = t(s, dir)("documents")
+      val fwd = docs.select((col("doc_id") % 1201).as("src"),
+        ((col("doc_id") * 31 + 7) % 1201).as("dst"))
+        .union(docs.select((col("doc_id") % 1201).as("src"),
+          ((col("doc_id") * 17 + 3) % 1201).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      graft.operators.LabelProp.runConverged(edges, maxRounds = 20)._1
+    },
+    Some("""
+      WITH fwd AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % 1201 AS src, (doc_id * 31 + 7) % 1201 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 1201, (doc_id * 17 + 3) % 1201 FROM documents)
+        WHERE src <> dst),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM fwd
+          UNION ALL SELECT dst, src FROM fwd)),""" +
+      graft.operators.LabelProp.oracleRounds(20) + """
+      SELECT node, label FROM l20"""))
+
   val qs: Seq[Q] = Seq(q197LabelProp, q198PagerankSeeded,
-    q199PagerankRedistributed, q200KcenterCoreset)
+    q199PagerankRedistributed, q200KcenterCoreset, q203LabelPropConverged)
 }
