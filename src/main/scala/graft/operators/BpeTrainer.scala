@@ -85,9 +85,14 @@ object BpeTrainer {
       val (a, b, cnt) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       steps += MergeStep(step, a, b, cnt)
-      cur = cur.withColumn("repr",
+      val stepped = cur.withColumn("repr",
         call_function("replace",
           col("repr"), lit(M + a + M + b), lit(M + a + b))).localCheckpoint()
+      // release the superseded round's blocks (r14-advice pattern —
+      // Dataset.unpersist can't reach localCheckpoint storage); a
+      // 30k-merge run otherwise accrues O(rounds)·vocab-table storage
+      graft.core.Checkpoints.release(cur)
+      cur = stepped
     }
     (steps.result(), cur)
   }
@@ -176,10 +181,12 @@ object BpeTrainer {
         steps += MergeStep(done, a, b, cnt)
         vocab += a + b
       }
-      cur = cur.withColumn("repr",
+      val stepped = cur.withColumn("repr",
         sel.foldLeft(col("repr")) { case (c, (a, b, _)) =>
           call_function("replace", c, lit(M + a + M + b), lit(M + a + b))
         }).localCheckpoint()
+      graft.core.Checkpoints.release(cur) // see train()
+      cur = stepped
       rounds += 1
     }
     (steps.result(), cur, rounds)

@@ -67,10 +67,130 @@ object KCenter {
         .select(col("id"), col("vq")).collect()(0)
       val (cid, cvec) = (next.getLong(0), next.getSeq[Long](1))
       centers :+= ((cid, cvec))
-      state = fold(state, cid, cvec).localCheckpoint(true)
+      val stepped = fold(state, cid, cvec).localCheckpoint(true)
+      graft.core.Checkpoints.release(state) // no O(k) block accrual
+      state = stepped
       r += 1
     }
     state.select(col("id"), col("center_id"), col("mind").as("dist"))
+  }
+
+  /** BATCHED selection, PROVABLY equal to [[run]] (the BpeTrainer
+    * ranked-prefix batching argument applied to Gonzalez): k sequential
+    * TakeOrdered(1) jobs are barrier-latency-bound at production
+    * coreset sizes (k ≥ 10³ = 10³ job launches over the full corpus),
+    * so each round instead fetches the TOP-m spread candidates in ONE
+    * TakeOrdered(m) and accepts them greedily on the driver while the
+    * next acceptance is provable:
+    *
+    *  - candidate 1 of a fresh batch IS the sequential argmax (same
+    *    (mind DESC, id ASC) order, same frame);
+    *  - after accepting a center, the remaining candidates' running
+    *    minds are re-folded ON THE DRIVER with the identical Long
+    *    Σ(p−c)² arithmetic (their vectors are in hand);
+    *  - every point OUTSIDE the batch has old mind ≤ b (the m-th
+    *    candidate's old mind — TakeOrdered order) and updated mind ≤
+    *    old, so the best remaining in-batch candidate is accepted iff
+    *    its updated mind > b, or == b with id < the m-th candidate's id
+    *    (out-of-batch ties all carry LARGER ids than the m-th row, by
+    *    the same ordering) — otherwise the batch stops and the state
+    *    re-folds distributively. Ties and strict-< semantics are
+    *    bit-identical to the sequential loop, so outputs are EQUAL,
+    *    never approximate (KCenterBatchedSpec + the macro subsample
+    *    gate pin it; q204 gates it against q200's sequential oracle).
+    *
+    * Distributed work per outer round: one TakeOrdered(m) + one fold
+    * select of all accepted centers + one localCheckpoint — spread-out
+    * data accepts many centers per batch (far-apart candidates rarely
+    * invalidate each other); adversarial clustered data degrades to
+    * ≥ 1 per batch, never worse than sequential.
+    */
+  def runBatched(points: DataFrame, k: Int, m: Int = 64): DataFrame =
+    runBatchedStats(points, k, m)._1
+
+  /** [[runBatched]] plus (outerRounds, centersChosen) — the macro gates
+    * that batching actually amortizes the TakeOrdered job count. */
+  def runBatchedStats(points: DataFrame, k: Int,
+      m: Int = 64): (DataFrame, Int, Int) = {
+    require(k >= 1, "kcenter: k >= 1")
+    require(m >= 1, "kcenter: m >= 1")
+    val sqd = (a: Column, b: Column) => SqDistLong(a, b)
+    def distL(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    val first = points.orderBy(col("id").asc).limit(1)
+      .select(col("id"), col("vq")).collect()(0)
+    var nCenters = 1
+
+    def fold(df: DataFrame, cid: Long, cvec: Seq[Long]): DataFrame = {
+      val d = sqd(col("vq"), typedlit(cvec))
+      df.select(col("id"), col("vq"),
+        when(d < col("mind"), d).otherwise(col("mind")).as("mind"),
+        when(d < col("mind"), lit(cid)).otherwise(col("center_id"))
+          .as("center_id"))
+    }
+
+    var state = points.select(col("id"), col("vq"),
+        sqd(col("vq"), typedlit(first.getSeq[Long](1))).as("mind"),
+        lit(first.getLong(0)).as("center_id"))
+      .localCheckpoint(true)
+
+    var outer = 0
+    var exhausted = false
+    while (nCenters < k && !exhausted) {
+      val cand = state.orderBy(col("mind").desc, col("id").asc).limit(m)
+        .select(col("id"), col("vq"), col("mind")).collect()
+      if (cand.isEmpty) exhausted = true // fewer points than centers
+      else {
+        outer += 1
+      val full = cand.length == m
+      val bMind = if (full) cand.last.getLong(2) else Long.MinValue
+      val bId = if (full) cand.last.getLong(0) else Long.MaxValue
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Array[Long], Long)]
+      cand.foreach(r => buf += ((r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getLong(2))))
+      var accepted = Vector.empty[(Long, Array[Long])]
+      var stop = false
+      while (!stop && nCenters + accepted.size < k && buf.nonEmpty) {
+        // argmax (mind desc, id asc) among remaining candidates
+        var bi = 0
+        var i = 1
+        while (i < buf.length) {
+          if (buf(i)._3 > buf(bi)._3 ||
+            (buf(i)._3 == buf(bi)._3 && buf(i)._1 < buf(bi)._1)) bi = i
+          i += 1
+        }
+        val best = buf(bi)
+        val provable = accepted.isEmpty || // fresh-batch head = argmax
+          best._3 > bMind || (best._3 == bMind && best._1 < bId)
+        if (!provable) stop = true
+        else {
+          accepted :+= ((best._1, best._2))
+          buf.remove(bi)
+          var j = 0
+          while (j < buf.length) {
+            val d = distL(buf(j)._2, best._2)
+            if (d < buf(j)._3) buf(j) = (buf(j)._1, buf(j)._2, d)
+            j += 1
+          }
+        }
+      }
+      var st = state
+      accepted.foreach { case (cid, cvec) =>
+        st = fold(st, cid, cvec.toSeq)
+      }
+      val stepped = st.localCheckpoint(true)
+      graft.core.Checkpoints.release(state)
+      state = stepped
+      nCenters += accepted.size
+      }
+    }
+    (state.select(col("id"), col("center_id"), col("mind").as("dist")),
+      outer, nCenters)
   }
 
   /** Unrolled DuckDB oracle for [[run]] — generated from the SAME k so

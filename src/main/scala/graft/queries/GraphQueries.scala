@@ -188,6 +188,32 @@ object GraphQueries {
       graft.operators.LabelProp.oracleRounds(20) + """
       SELECT node, label FROM l20"""))
 
+  // -------------------------------------------------------------------
+  // q204: BATCHED k-center (round-15) — provably equal to the
+  // sequential Gonzalez loop, so it gates against the SAME unrolled
+  // sequential oracle as q200 (equality is the contract; m=3 forces
+  // multiple batch rounds with early stops at gate scale).
+  // -------------------------------------------------------------------
+  val q204KcenterBatched = Q(
+    "q204_kcenter_batched",
+    (s, dir) => {
+      val pts = t(s, dir)("embeddings").select(
+        col("vec_id").as("id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))").as("vq"))
+      graft.operators.KCenter.runBatched(pts, k = 8, m = 3)
+        .select(col("id"), col("center_id"), col("dist"))
+    },
+    Some("""
+      WITH pts AS MATERIALIZED (
+        SELECT vec_id AS id,
+               [CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)
+                for x in embedding] AS vq
+        FROM embeddings),""" +
+      graft.operators.KCenter.oracleRounds(8) + """
+      SELECT id, center_id, mind AS dist FROM st7"""))
+
   val qs: Seq[Q] = Seq(q197LabelProp, q198PagerankSeeded,
-    q199PagerankRedistributed, q200KcenterCoreset, q203LabelPropConverged)
+    q199PagerankRedistributed, q200KcenterCoreset, q203LabelPropConverged,
+    q204KcenterBatched)
 }

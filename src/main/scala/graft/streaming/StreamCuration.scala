@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Dedup
-import graft.streaming.StreamDedup.Member
 
 /** CONTINUOUS-INGEST corpus curation: the q147 batch pipeline's three
   * scale stages — quality classification (q163), fuzzy dedup against a
@@ -99,15 +98,27 @@ object StreamCuration {
       n: Int = 3, k: Int = 64, bands: Int = 16): Dataset[CurRow] = {
     val s = docs.sparkSession
     import s.implicits._
-    // set-bit POSITIONS as a sorted literal: membership ⇔ bit set, the
-    // exact semantics of q162's packed 65536-bit array (whose per-gram
-    // bit index is data-dependent — Spark's shiftright only takes a
-    // literal count, so the stream tests the position set instead)
-    val posLit = typedLit(bloomPositions.sorted.toSeq)
+    require(m % 64 == 0, s"bloom m must be a multiple of 64, got $m")
+    // the positions packed into an m-bit word array literal — identical
+    // membership semantics to q162's packed bit array, tested in O(1)
+    // per probe (element_at + shiftleft mask). The original position-
+    // set array_contains was a LINEAR scan over every set position per
+    // probe — ~3 probes × ~290 grams × |positions| comparisons per doc,
+    // the dominant stateless-front cost of the 3M-doc macro.
+    val words = new Array[Long]((m / 64).toInt)
+    bloomPositions.foreach { p =>
+      require(p >= 0 && p < m, s"bloom position $p out of [0, $m)")
+      words(p.toInt >>> 6) |= 1L << (p.toInt & 63)
+    }
+    val wordsLit = typedLit(words.toSeq)
     val evalLit = typedLit(evalKeys.toSeq)
     def pos(gk: Column, j: Int): Column =
       pmod(Dedup.md5Hash64(concat(gk.cast("string"), lit("_" + j))), lit(m))
-    def bitSet(p: Column): Column = array_contains(posLit, p)
+    // word index is exact in double arithmetic (p < m <= 2^53)
+    def bitSet(p: Column): Column =
+      (element_at(wordsLit, floor(p / lit(64L)).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int")))) =!= lit(0L)
 
     docs
       .filter(qualityScore(col(textCol)) > 0)
@@ -137,33 +148,32 @@ object StreamCuration {
   /** The stateful dedup core — q156's band-bucket state function with
     * the contamination flag passed through. Arrivals verify (ascending
     * id) against corpus members and smaller-id earlier arrivals, then
-    * join the bucket whether or not they matched.
+    * join the bucket whether or not they matched. State is the packed
+    * long-block layout (see [[StreamDedup]] — the nested-encoder cost
+    * was the macro's dominant term).
     */
   def curationStream(stream: Dataset[CurRow],
-      initial: KeyValueGroupedDataset[Long, Seq[Member]],
+      initial: KeyValueGroupedDataset[Long, Array[Long]],
       threshold: Double = 0.8): Dataset[CurVerdict] = {
     val s = stream.sparkSession
     import s.implicits._
     stream
       .groupByKey(_.bandHash)
-      .flatMapGroupsWithState[Seq[Member], CurVerdict](
+      .flatMapGroupsWithState[Array[Long], CurVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
-        (_: Long, rows: Iterator[CurRow], state: GroupState[Seq[Member]]) =>
-          var members = state.getOption.getOrElse(Seq.empty[Member])
+        (_: Long, rows: Iterator[CurRow], state: GroupState[Array[Long]]) =>
+          var packed = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[CurVerdict]
           rows.toSeq.sortBy(_.docId).foreach { r =>
-            val a = r.shh.toSet
-            val hit = members.exists { m =>
-              (m.corpus || m.docId < r.docId) && {
-                val inter = m.shh.count(a.contains)
-                val union = a.size + m.shh.length - inter
-                union > 0 && inter.toDouble / union >= threshold
-              }
-            }
+            val sortedA = r.shh.clone()
+            java.util.Arrays.sort(sortedA)
+            val hit = StreamDedup.packedHit(packed, sortedA, r.docId,
+              threshold)
             out += CurVerdict(r.docId, hit, r.contaminated)
-            members = members :+ Member(r.docId, corpus = false, r.shh)
+            packed = StreamDedup.appendBlock(packed, r.docId,
+              corpus = false, r.shh)
           }
-          state.update(members)
+          state.update(packed)
           out.iterator
       }
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, KeyValueGroupedDataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, KeyValueGroupedDataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
@@ -27,18 +27,83 @@ import graft.operators.Dedup
   * so the DuckDB oracle replays the identical arithmetic — a hash
   * collision would be replicated bit-for-bit on both sides rather than
   * diverging.
+  *
+  * State LAYOUT (round-15): one flat Array[Long] per band bucket,
+  * member blocks `[docId, corpusFlag, nHashes, h1..hn]` back to back.
+  * The original Seq[Member] state paid the nested case-class encoder on
+  * every get/put — measured ~136 µs per initial-state PUT during the
+  * 9M-bucket index ingest of the 3M-doc macro (1232 s aggregate update
+  * time in batch 0 alone) — while a primitive long array hits the
+  * UnsafeArrayData memcpy fast path and the block scan is an unboxed
+  * loop. Semantics are bit-identical: same members, same order, same
+  * exact integer Jaccard (membership via binary search over the
+  * arrival's sorted hash set).
   */
 object StreamDedup {
 
   /** One (band bucket, document) occurrence flowing through the stream. */
   case class BandRow(bandHash: Long, docId: Long, shh: Array[Long])
 
-  /** One indexed document under one band bucket. `corpus` members match
-    * every arrival; delta members only match LATER (larger-id) arrivals.
+  /** One indexed document under one band bucket (the logical member the
+    * packed long blocks encode). `corpus` members match every arrival;
+    * delta members only match LATER (larger-id) arrivals.
     */
   case class Member(docId: Long, corpus: Boolean, shh: Array[Long])
 
   case class Verdict(docId: Long, matched: Boolean)
+
+  /** Column form packing array<struct<docId,corpus,shh>> members into
+    * the flat long-block layout — pure Catalyst (flatten ∘ transform),
+    * no UDF. */
+  def packMembersCol(members: Column): Column =
+    flatten(transform(members, m =>
+      concat(
+        array(m.getField("docId"),
+          when(m.getField("corpus"), lit(1L)).otherwise(lit(0L)),
+          size(m.getField("shh")).cast("long")),
+        m.getField("shh"))))
+
+  /** Append one member block to a packed bucket array (driver/executor
+    * side, used by the state function). */
+  private[streaming] def appendBlock(packed: Array[Long], docId: Long,
+      corpus: Boolean, shh: Array[Long]): Array[Long] = {
+    val out = new Array[Long](packed.length + 3 + shh.length)
+    System.arraycopy(packed, 0, out, 0, packed.length)
+    var i = packed.length
+    out(i) = docId; i += 1
+    out(i) = if (corpus) 1L else 0L; i += 1
+    out(i) = shh.length.toLong; i += 1
+    System.arraycopy(shh, 0, out, i, shh.length)
+    out
+  }
+
+  /** Scan a packed bucket for a verifying member: returns true iff some
+    * block with (corpus || docId < arrivalId) has exact set-Jaccard >=
+    * threshold against the SORTED arrival hash array. The division is
+    * the same inter.toDouble / union both engines compare.
+    */
+  private[streaming] def packedHit(packed: Array[Long], sortedA: Array[Long],
+      arrivalId: Long, threshold: Double): Boolean = {
+    var p = 0
+    while (p < packed.length) {
+      val mid = packed(p)
+      val corpus = packed(p + 1) == 1L
+      val n = packed(p + 2).toInt
+      if (corpus || mid < arrivalId) {
+        var inter = 0
+        var j = 0
+        while (j < n) {
+          if (java.util.Arrays.binarySearch(sortedA, packed(p + 3 + j)) >= 0)
+            inter += 1
+          j += 1
+        }
+        val union = sortedA.length + n - inter
+        if (union > 0 && inter.toDouble / union >= threshold) return true
+      }
+      p += 3 + n
+    }
+    false
+  }
 
   /** Project (id, text) to one row per (band_hash, doc) with the
     * md5-hashed shingle verification set attached. The typed
@@ -72,20 +137,22 @@ object StreamDedup {
       .as[BandRow]
   }
 
-  /** Build the initial per-band state from a STATIC corpus: one state row
-    * per band_hash holding that bucket's members (compact ids + hash
-    * sets only — the same rows q116 persists as the bucketed index).
+  /** Build the initial per-band state from a STATIC corpus: one state
+    * row per band_hash holding that bucket's members as a packed long
+    * array (the same rows q116 persists as the bucketed index, in the
+    * fast-encoder layout).
     */
   def corpusIndexState(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16)
-      : KeyValueGroupedDataset[Long, Seq[Member]] = {
+      : KeyValueGroupedDataset[Long, Array[Long]] = {
     val s = corpus.sparkSession
     import s.implicits._
     bandRows(corpus, idCol, textCol, n, k, bands)
       .groupBy("bandHash")
       .agg(collect_list(struct(col("docId"), lit(true).as("corpus"),
         col("shh"))).as("members"))
-      .as[(Long, Seq[Member])]
+      .select(col("bandHash"), packMembersCol(col("members")).as("packed"))
+      .as[(Long, Array[Long])]
       .groupByKey(_._1)
       .mapValues(_._2)
   }
@@ -98,30 +165,25 @@ object StreamDedup {
     * verdicts downstream.
     */
   def dedupStream(stream: Dataset[BandRow],
-      initial: KeyValueGroupedDataset[Long, Seq[Member]],
+      initial: KeyValueGroupedDataset[Long, Array[Long]],
       threshold: Double = 0.8): Dataset[Verdict] = {
     val s = stream.sparkSession
     import s.implicits._
     stream
       .groupByKey(_.bandHash)
-      .flatMapGroupsWithState[Seq[Member], Verdict](
+      .flatMapGroupsWithState[Array[Long], Verdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
-        (_: Long, rows: Iterator[BandRow], state: GroupState[Seq[Member]]) =>
-          var members = state.getOption.getOrElse(Seq.empty[Member])
+        (_: Long, rows: Iterator[BandRow], state: GroupState[Array[Long]]) =>
+          var packed = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
           rows.toSeq.sortBy(_.docId).foreach { r =>
-            val a = r.shh.toSet
-            val hit = members.exists { m =>
-              (m.corpus || m.docId < r.docId) && {
-                val inter = m.shh.count(a.contains)
-                val union = a.size + m.shh.length - inter
-                union > 0 && inter.toDouble / union >= threshold
-              }
-            }
+            val sortedA = r.shh.clone()
+            java.util.Arrays.sort(sortedA)
+            val hit = packedHit(packed, sortedA, r.docId, threshold)
             out += Verdict(r.docId, hit)
-            members = members :+ Member(r.docId, corpus = false, r.shh)
+            packed = appendBlock(packed, r.docId, corpus = false, r.shh)
           }
-          state.update(members)
+          state.update(packed)
           out.iterator
       }
   }
