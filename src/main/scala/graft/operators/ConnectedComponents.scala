@@ -85,6 +85,9 @@ object ConnectedComponents {
       val cur = labelSum(jumped)
       converged = cur.compareTo(prev) == 0
       prev = cur
+      // free the superseded round's local-checkpoint blocks (no-op for
+      // reliable checkpoints — their rdd holds no block-manager storage)
+      graft.core.Checkpoints.release(labels)
       labels = jumped
       iter += 1
     }

@@ -61,7 +61,9 @@ object Hits {
       .localCheckpoint(true)
     require(nodes.count() > 0, "hits: empty graph")
 
-    def renorm(raw0: DataFrame, c: String): DataFrame = {
+    // returns (renormed select, the raw checkpoint to release once the
+    // caller has checkpointed the select)
+    def renorm(raw0: DataFrame, c: String): (DataFrame, DataFrame) = {
       // materialize the raw aggregate ONCE: the driver-side max action
       // and the renorm select would otherwise each recompute the
       // scores-join+groupBy (round-13 advice)
@@ -70,10 +72,10 @@ object Hits {
       // identical max over the identical pre-coalesce relation
       val mx = raw.agg(max(abs(col(c)))).head().getLong(0)
       val dv = math.max(1L, mx / Target)
-      nodes.join(raw.withColumnRenamed(c, "raw"),
+      (nodes.join(raw.withColumnRenamed(c, "raw"),
           col("node") === col("n"), "left")
         .select(col("node"),
-          expr(s"coalesce(raw, 0L) div ${dv}L").as(c))
+          expr(s"coalesce(raw, 0L) div ${dv}L").as(c)), raw)
     }
 
     var hub = nodes.withColumn("hub", lit(Target))
@@ -82,10 +84,21 @@ object Hits {
     while (r < rounds) {
       val rawAuth = hub.join(e, col("node") === col("src"))
         .groupBy(col("dst").as("n")).agg(sum(col("hub")).as("auth"))
-      auth = renorm(rawAuth, "auth").localCheckpoint(true)
+      val (authSel, rawA) = renorm(rawAuth, "auth")
+      val newAuth = authSel.localCheckpoint(true)
+      // superseded blocks: the half-round raw aggregate and last
+      // round's auth (round-0 null / projections no-op) — r14-advice
+      // pattern, Dataset.unpersist cannot reach localCheckpoint storage
+      graft.core.Checkpoints.release(rawA)
+      if (auth != null) graft.core.Checkpoints.release(auth)
+      auth = newAuth
       val rawHub = auth.join(e, col("node") === col("dst"))
         .groupBy(col("src").as("n")).agg(sum(col("auth")).as("hub"))
-      hub = renorm(rawHub, "hub").localCheckpoint(true)
+      val (hubSel, rawH) = renorm(rawHub, "hub")
+      val newHub = hubSel.localCheckpoint(true)
+      graft.core.Checkpoints.release(rawH)
+      graft.core.Checkpoints.release(hub)
+      hub = newHub
       r += 1
     }
     hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))

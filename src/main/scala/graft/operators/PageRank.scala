@@ -85,11 +85,14 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"${base}L + ($damping * coalesce(m, 0L)) div 100")
             .as("rank"))
         .localCheckpoint(true)
+      // release the superseded round (no-op on the round-0 projection)
+      graft.core.Checkpoints.release(ranks)
+      ranks = stepped
       r += 1
     }
     ranks
@@ -151,11 +154,13 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"${base}L + ($damping * (coalesce(m, 0L) + ${share}L))" +
             " div 100").as("rank"))
         .localCheckpoint(true)
+      graft.core.Checkpoints.release(ranks)
+      ranks = stepped
       r += 1
     }
     ranks
@@ -254,11 +259,13 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"is_seed * ${base}L + ($damping * coalesce(m, 0L)) div 100")
             .as("rank"))
         .localCheckpoint(true)
+      graft.core.Checkpoints.release(ranks)
+      ranks = stepped
       r += 1
     }
     ranks
