@@ -519,6 +519,81 @@ object PipelineQueries {
              coalesce(t.tokens_taken, 0) AS tokens_taken
       FROM alloc a LEFT JOIN takenagg t USING (source)"""))
 
+  /** Temperature-flattened training mixture (τ = 1/2) with
+    * data-constrained epoch counts — the sampling-weight scheme the
+    * Gopher/Pile recipes use to keep huge sources from drowning small
+    * ones: source weights are tokens^τ rather than tokens. τ = 1/2 is
+    * chosen because it is EXACT cross-engine: w_s = floor(sqrt(T_s)) —
+    * IEEE-754 requires sqrt to be correctly rounded, so both engines
+    * compute the identical double and the identical floor (T_s ≪ 2^52).
+    * The budget (half the corpus) then apportions over the flattened
+    * weights by the same largest-remainder method as q168, and each
+    * source reports its repeat factor epochs_milli = alloc·1000 div T_s
+    * (>1000 ⇔ the source must be repeated — the data-constrained-
+    * scaling signal; Muennighoff et al. 2023). Exactness bound: B·w
+    * must stay below 2^63 — the τ = 1/2 flattening widens q168's own
+    * B·T_s bound by the sqrt, to ~10¹² source tokens at a half-corpus
+    * budget. Scale shape: ONE per-source aggregate drives everything;
+    * the apportionment runs on that tiny table.
+    */
+  val q205TemperatureMix = Q(
+    "q205_temperature_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(lower(col("text")), "\\s+"),
+            tk => length(tk) > 0)).cast("long").as("n_tokens"))
+      val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
+      val tot = bySrc.agg(sum("t_s").as("t"))
+      val wts = bySrc
+        .withColumn("w", floor(sqrt(col("t_s").cast("double"))).cast("long"))
+      val wtot = wts.agg(sum("w").as("wsum"))
+      val withTot = wts.crossJoin(broadcast(tot)).crossJoin(broadcast(wtot))
+        .withColumn("b", expr("t div 2"))
+        .withColumn("base", expr("(b * w) div wsum"))
+        .withColumn("rem", expr("b * w - ((b * w) div wsum) * wsum"))
+      val lft = withTot.agg((max("b") - sum("base")).as("l"))
+      withTot.crossJoin(broadcast(lft))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("t_s").as("n_tokens"),
+          col("w").as("weight"),
+          (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+        .withColumn("epochs_milli", expr("(alloc_tokens * 1000) div n_tokens"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    tk -> len(tk) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      bysrc AS (SELECT source, sum(n_tokens) AS t_s FROM d GROUP BY 1),
+      tot AS (SELECT sum(t_s) AS t FROM bysrc),
+      wts AS (
+        SELECT source, t_s,
+               CAST(floor(sqrt(CAST(t_s AS DOUBLE))) AS BIGINT) AS w
+        FROM bysrc),
+      wtot AS (SELECT sum(w) AS wsum FROM wts),
+      wt AS (
+        SELECT source, t_s, w, t // 2 AS b,
+               ((t // 2) * w) // wsum AS base,
+               (t // 2) * w - (((t // 2) * w) // wsum) * wsum AS rem
+        FROM wts, tot, wtot),
+      lft AS (SELECT max(b) - sum(base) AS l FROM wt),
+      ranked AS (
+        SELECT source, t_s, w, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM wt)
+      SELECT r.source, CAST(r.t_s AS BIGINT) AS n_tokens,
+             CAST(r.w AS BIGINT) AS weight,
+             CAST(r.base + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_tokens,
+             CAST(((r.base + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END) * 1000)
+                  // r.t_s AS BIGINT) AS epochs_milli
+      FROM ranked r, lft l"""))
+
   /** Corpus snapshot diff — the dataset-versioning audit between two
     * corpus releases: per-source counts of added / removed / changed /
     * unchanged documents from a digest-keyed FULL OUTER join. The
@@ -853,5 +928,5 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits)
+    q195Hits, q205TemperatureMix)
 }
