@@ -19,13 +19,22 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the storage behind a localCheckpointed frame. No-op for
-    * frames that are not checkpoint results (plan is not a bare
-    * LogicalRDD leaf). `blocking = false`: removal is async, the next
-    * round's work proceeds immediately.
+    * frames that are not LOCAL checkpoint results: the plan must be a
+    * bare [[LogicalRDD]] leaf AND the rdd must actually carry local-
+    * checkpoint data (r15 advice — a caller-supplied
+    * `createDataFrame(rdd)` over an rdd the CALLER persisted is a bare
+    * LogicalRDD too, and releasing it would silently drop the caller's
+    * persistence; reliable `checkpoint()` results hold no executor
+    * blocks, so their unpersist is a harmless no-op). `isCheckpointed`
+    * is the public discriminator: true only for materialized checkpoint
+    * results, false for a raw caller-persisted RDD wrapped in a frame.
+    * `blocking = false`: removal is async, the next round's work
+    * proceeds immediately.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD if lr.rdd.isCheckpointed =>
+        lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 }

@@ -38,7 +38,7 @@ case class WindowFingerprints(child: Expression, span: Int,
     extends UnaryExpression {
   require(span >= 1, s"WindowFingerprints needs span >= 1, got $span")
   require(mod >= 2 && mod <= WindowFingerprints.MaxMod,
-    s"WindowFingerprints modulus $mod outside (2, ${WindowFingerprints.MaxMod}]" +
+    s"WindowFingerprints modulus $mod outside [2, ${WindowFingerprints.MaxMod}]" +
       " — the int64 overflow bound for the fold")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -309,6 +309,56 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Banded dHash near-dup pairing — the SCALE shape for image dedup
+    * (r15 verdict: the registered query must be this, not all-pairs).
+    * The 64-bit dhash is sliced into 4 disjoint 16-bit bands; candidate
+    * pairs come from an equi-self-join on (band index, band value) over
+    * COMPACT (id, band) keys only, distinct-ed BEFORE the hashes join
+    * back (the LSH join-back lesson); survivors are hamming-verified.
+    *
+    * Pigeonhole completeness: `maxHamming <= 3` differing bits cannot
+    * touch all 4 disjoint bands, so every true pair shares at least one
+    * exact band — the banded output is provably IDENTICAL to the
+    * all-pairs threshold scan. Candidate cardinality at n images is
+    * ~4·n²/2¹⁷ incidental pairs (uniform bands) + the true near-dups:
+    * linear-ish up to millions of images, vs the always-quadratic
+    * crossJoin. MediaDedupMacroBench measures this at ≥100k real PNGs.
+    *
+    * Input: (media_id, dhash) — e.g. [[imageDhash]] output, which the
+    * caller should cache (it is consumed three times: bands + two hash
+    * join-backs).
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is only recall-complete for hamming <= 3, got $maxHamming")
+    val h = hashes.select("media_id", "dhash")
+    dhashBandCandidates(h)
+      .join(h.select(col("media_id").as("id_a"), col("dhash").as("dhash_a")),
+        "id_a")
+      .join(h.select(col("media_id").as("id_b"), col("dhash").as("dhash_b")),
+        "id_b")
+      .withColumn("hamming", bit_count(expr("dhash_a ^ dhash_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
+  }
+
+  /** The candidate stage of [[dhashNearDupPairs]]: distinct (id_a, id_b)
+    * pairs sharing at least one exact 16-bit band — exposed so
+    * MediaDedupMacroBench can gate candidate CARDINALITY (the lever that
+    * keeps the pairing linear-ish) separately from verified recall.
+    */
+  def dhashBandCandidates(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("media_id"),
+      posexplode(array((0 until 4).map(j =>
+        expr(s"shiftright(dhash, ${16 * j}) & 65535")): _*))
+        .as(Seq("bj", "bv")))
+    bands.as("a").join(bands.as("b"),
+        col("a.bj") === col("b.bj") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+  }
+
   final case class WavDecoded(
       media_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
       abs_sum: Long, peak: Int, b0: Double, b1: Double, b2: Double, b3: Double)

@@ -633,31 +633,35 @@ object DedupQueries {
       WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
       GROUP BY 1"""))
 
-  /** Image near-dup fingerprinting via perceptual dHash (q38's hamming
-    * machinery applied to the MULTIMODAL column): the real byte-level
-    * PNG decode feeds Multimodal.imageDhash (9×8 integer pooling →
-    * 64-bit difference hash, offset-invariant), and every image pair
-    * reports its hamming distance. The oracle reads the INDEPENDENT
-    * formula-computed expected parquet (tools/dhash_fixture.py — same
-    * cross-validation posture as q80: an engine-side decode or hash
-    * deviation breaks the value compare). At corpus scale the pair
-    * stage is q38's 4×16-bit pigeonhole banding, not this all-pairs
-    * join — the fixture has 4 images, the banding is spec-pinned.
+  /** Image near-dup pairing via perceptual dHash with BANDED candidate
+    * generation (the registered shape IS the scale shape since r16): the
+    * real byte-level PNG decode feeds Multimodal.imageDhash (9×8 integer
+    * pooling → 64-bit difference hash, offset-invariant), the hash is
+    * sliced into 4 disjoint 16-bit bands, candidates come from a bucket
+    * self-join on (band index, band value) over COMPACT keys only (the
+    * LSH join-back lesson), and survivors are hamming-verified at ≤ 3.
+    * Pigeonhole equivalence: ≤ 3 differing bits cannot touch all 4
+    * disjoint bands, so every true pair shares at least one exact band —
+    * banded candidates ⊇ the truth, the verify filter trims the rest,
+    * and the output is provably IDENTICAL to the all-pairs threshold
+    * scan the oracle runs. Never a cartesian product (PlanSpec pins it).
+    * Fixture: data/png_dedup (tools/dhash_fixture.py) plants an exact
+    * copy (1,5 — hamming 0) and a one-bit perturbation (2,6 — hamming 1)
+    * among base images that are pairwise ≥ 17 bits apart; the oracle
+    * reads the INDEPENDENT formula-computed expected parquet, so an
+    * engine-side decode or hash deviation still breaks the compare.
+    * MediaDedupMacroBench runs this exact pipeline at ≥100k images.
     */
   val q161ImageDhash = Q(
     "q161_image_dhash",
     (s, _) => {
       val files = s.read.format("binaryFile").option("pathGlobFilter", "*.png")
-        .load("/root/repo/data/png")
+        .load("/root/repo/data/png_dedup")
         .select(regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
           .cast("long").as("media_id"),
           col("content").as("payload"))
-      val h = Multimodal.imageDhash(files).select("media_id", "dhash")
-      val a = h.select(col("media_id").as("id_a"), col("dhash").as("dhash_a"))
-      val b = h.select(col("media_id").as("id_b"), col("dhash").as("dhash_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("dhash_a"), col("dhash_b"),
-          bit_count(expr("dhash_a ^ dhash_b")).cast("long").as("hamming"))
+      val h = Multimodal.imageDhash(files).select("media_id", "dhash").cache()
+      Multimodal.dhashNearDupPairs(h, maxHamming = 3)
     },
     Some("""
       WITH h AS (SELECT media_id, dhash
@@ -665,7 +669,8 @@ object DedupQueries {
       SELECT a.media_id AS id_a, b.media_id AS id_b,
              a.dhash AS dhash_a, b.dhash AS dhash_b,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-      FROM h a JOIN h b ON a.media_id < b.media_id"""))
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""))
 
   /** Perceptual AUDIO near-dup fingerprint: 256-sample windows → integer
     * Haar cascade → 32 sign bits of the coarsest coefficients

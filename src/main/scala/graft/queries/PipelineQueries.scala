@@ -561,7 +561,12 @@ object PipelineQueries {
           col("w").as("weight"),
           (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
             .as("alloc_tokens"))
-        .withColumn("epochs_milli", expr("(alloc_tokens * 1000) div n_tokens"))
+        // nullif guards the all-empty-documents source (t_s = 0, weight
+        // 0): NULL epochs instead of an ANSI divide-by-zero crash on
+        // Spark / `// 0` error on DuckDB (r15 advice) — data-dependent
+        // totality, not a fixture assumption
+        .withColumn("epochs_milli",
+          expr("(alloc_tokens * 1000) div nullif(n_tokens, 0)"))
     },
     Some("""
       WITH d AS (
@@ -591,7 +596,7 @@ object PipelineQueries {
              CAST(r.base + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END AS BIGINT)
                AS alloc_tokens,
              CAST(((r.base + CASE WHEN r.rk <= l.l THEN 1 ELSE 0 END) * 1000)
-                  // r.t_s AS BIGINT) AS epochs_milli
+                  // nullif(r.t_s, 0) AS BIGINT) AS epochs_milli
       FROM ranked r, lft l"""))
 
   /** Corpus snapshot diff — the dataset-versioning audit between two

@@ -77,10 +77,29 @@ object StreamDedup {
     out
   }
 
+  /** Sort + compact duplicates in one linear pass: the set form
+    * packedHit's union arithmetic needs on the probe side.
+    */
+  private[streaming] def distinctSorted(a: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return a
+    val s = a.clone()
+    java.util.Arrays.sort(s)
+    var w = 0
+    var i = 1
+    while (i < s.length) {
+      if (s(i) != s(w)) { w += 1; s(w) = s(i) }
+      i += 1
+    }
+    if (w + 1 == s.length) s else java.util.Arrays.copyOf(s, w + 1)
+  }
+
   /** Scan a packed bucket for a verifying member: returns true iff some
     * block with (corpus || docId < arrivalId) has exact set-Jaccard >=
-    * threshold against the SORTED arrival hash array. The division is
-    * the same inter.toDouble / union both engines compare.
+    * threshold against the SORTED, DISTINCT arrival hash array (stored
+    * member arrays must likewise be distinct — appendBlock callers build
+    * them via array_distinct; the union formula |A| + n - inter is set
+    * arithmetic on both sides). The division is the same
+    * inter.toDouble / union both engines compare.
     */
   private[streaming] def packedHit(packed: Array[Long], sortedA: Array[Long],
       arrivalId: Long, threshold: Double): Boolean = {
@@ -177,8 +196,12 @@ object StreamDedup {
           var packed = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[Verdict]
           rows.toSeq.sortBy(_.docId).foreach { r =>
-            val sortedA = r.shh.clone()
-            java.util.Arrays.sort(sortedA)
+            // sort THEN dedup (one linear pass): packedHit's union formula
+            // (|A| + n - inter) assumes both sides are SETS. bandRows
+            // builds shh via array_distinct, but deduping here keeps the
+            // Jaccard correct for any caller (r15 advice) instead of
+            // silently deflating on a non-distinct hash array.
+            val sortedA = distinctSorted(r.shh)
             val hit = packedHit(packed, sortedA, r.docId, threshold)
             out += Verdict(r.docId, hit)
             packed = appendBlock(packed, r.docId, corpus = false, r.shh)

@@ -61,6 +61,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q161: banded dHash pairing never degenerates to a cross join") {
+    // the r15 weak item: the registered lambda must BE the banded scale
+    // shape — an equi-join on (band index, band value), never all-pairs
+    val p = plan("q161_image_dhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+
   test("q47: KMV sketch never sorts globally (per-group window only)") {
     val p = plan("q47_kmv_sketch")
     assert(!p.contains("rangepartitioning"), p)
@@ -312,20 +322,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
-  test("q162: literal bloom prefilter + broadcast eval verify, no train shuffle") {
+  test("q162: distributed bloom build + broadcast prefilter + broadcast verify") {
     val p = plan("q162_bloom_decontaminate")
-    // the bloom bit array is a build-time LITERAL folded into the scan
-    // filter (no join at all for the prefilter — better than the previous
-    // crossJoin(broadcast(agg)) shape); the exact verify must stay a BHJ.
-    // The train grams may never be shuffled before the prefilter.
+    // the r15 weak item, closed: the bloom bit array is built IN-PLAN by
+    // the mergeable BloomBits aggregator (partial per partition, OR
+    // merge) — no driver-side collect — and reaches the train filter as
+    // a SCALAR SUBQUERY (executed once, embedded as a runtime literal in
+    // codegen; a crossJoin(broadcast) attach would copy the m/8-byte
+    // array into every train gram row — measured +1 s at sf0.1).
+    assert(p.toLowerCase.contains("bloombits"),
+      s"bloom build left the plan (driver-side collect regression):\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom attach is no longer a scalar subquery:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"bloom prefilter regressed to a join:\n$p")
+      s"bloom attach regressed to a per-row join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"exact verify join stopped broadcasting the eval set:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
-    // exactly ONE exchange: the final per-doc aggregation
-    assert("Exchange".r.findAllIn(p).size <= 2,
-      s"train gram scan gained extra shuffles:\n$p")
+    // the TRAIN gram side still reaches the prefilter unshuffled: the
+    // only hash exchanges are the eval-key distinct (gk — rendered twice
+    // because the cached evalGk subtree feeds both the bloom build and
+    // the verify join) and the final per-doc aggregation (doc_id);
+    // everything else is the bounded round-robin bloom repartition or a
+    // broadcast. Pin by distinct exchange KEY, not line count.
+    val exKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exKeys.size <= 2, s"train gram scan gained extra shuffles ($exKeys):\n$p")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("q163: classifier weights join is a broadcast, never a shuffle of features") {
