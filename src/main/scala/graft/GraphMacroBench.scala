@@ -172,6 +172,31 @@ object GraphMacroBench {
     println(f"labelprop_converged: cliques=$nCliques " +
       f"edges=${14 * nCliques - 2} rounds=$lpRounds $tLp%.1f s " +
       f"labels=v-v%%4 EXACT")
+
+    // ------------- reliable-checkpoint parity arm (--reliable) ---------
+    // the r15 verdict item-3 evidence: the same 10M-edge labelprop
+    // convergence run through reliable checkpoint() must return the
+    // identical closed form at single-node parity with the local arm
+    // (the r8 CC result: 97.4 vs 103.4 s — reliable costs replication
+    // bandwidth on a cluster, not time here)
+    if (args.contains("--reliable")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-graph-rel").toString
+      val t3 = System.nanoTime()
+      val (relLabels, relRounds) =
+        LabelProp.runConverged(lpEdges, maxRounds = 10,
+          checkpointDir = Some(dir))
+      val relBad = relLabels
+        .filter(col("label") =!= col("node") - col("node") % 4).count()
+      val tRel = (System.nanoTime() - t3) / 1e9
+      require(relRounds == 2 && relBad == 0L,
+        s"reliable arm diverged: rounds=$relRounds bad=$relBad")
+      require(tRel <= 2.5 * tLp + 30,
+        f"reliable arm lost parity: $tRel%.1f s vs local $tLp%.1f s")
+      println(f"labelprop_reliable: $tRel%.1f s vs local $tLp%.1f s " +
+        f"(ratio ${tRel / tLp}%.2f)  EXACT")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     spark.stop()
   }
 }

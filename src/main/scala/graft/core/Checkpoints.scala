@@ -37,4 +37,25 @@ object Checkpoints {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Per-round checkpoint saver for iterative loops — the
+    * ConnectedComponents durability pattern, generalized (r15 verdict):
+    * with `checkpointDir` set, EVERY round goes through reliable
+    * `checkpoint()` (an HDFS/object-store path at cluster scale — a
+    * lost executor re-reads its partitions instead of killing the job);
+    * without it, `localCheckpoint` (executor blocks, truncated lineage,
+    * single-node default). Mixing the two would be pointless: any round
+    * downstream of a lost LOCAL checkpoint is unrecoverable, so
+    * reliable mode must cover every round including the static sides.
+    * Single-node overhead of the reliable arm is ~zero (CcMacroBench
+    * r8: 97.4 vs 103.4 s; its real cluster cost is replication
+    * bandwidth). [[release]] stays correct for both: reliable results
+    * hold no executor blocks, so their unpersist is a no-op.
+    */
+  def saver(df: DataFrame, checkpointDir: Option[String])
+      : DataFrame => DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    d => if (checkpointDir.isDefined) d.checkpoint(eager = true)
+         else d.localCheckpoint(eager = true)
+  }
 }

@@ -46,19 +46,19 @@ object Hits {
   /** Run `rounds` exact-integer HITS rounds over a directed edge list.
     * Returns (node, hub, auth) for every node appearing as src or dst.
     */
-  def run(edges: DataFrame, rounds: Int = 8): DataFrame = {
+  def run(edges: DataFrame, rounds: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val e = ck(edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src")))
+    val nodes = ck(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
     require(nodes.count() > 0, "hits: empty graph")
 
     // returns (renormed select, the raw checkpoint to release once the
@@ -67,7 +67,7 @@ object Hits {
       // materialize the raw aggregate ONCE: the driver-side max action
       // and the renorm select would otherwise each recompute the
       // scores-join+groupBy (round-13 advice)
-      val raw = raw0.localCheckpoint(true)
+      val raw = ck(raw0)
       // one Long to the driver per half-round — the oracle computes the
       // identical max over the identical pre-coalesce relation
       val mx = raw.agg(max(abs(col(c)))).head().getLong(0)
@@ -85,7 +85,7 @@ object Hits {
       val rawAuth = hub.join(e, col("node") === col("src"))
         .groupBy(col("dst").as("n")).agg(sum(col("hub")).as("auth"))
       val (authSel, rawA) = renorm(rawAuth, "auth")
-      val newAuth = authSel.localCheckpoint(true)
+      val newAuth = ck(authSel)
       // superseded blocks: the half-round raw aggregate and last
       // round's auth (round-0 null / projections no-op) — r14-advice
       // pattern, Dataset.unpersist cannot reach localCheckpoint storage
@@ -95,7 +95,7 @@ object Hits {
       val rawHub = auth.join(e, col("node") === col("dst"))
         .groupBy(col("src").as("n")).agg(sum(col("auth")).as("hub"))
       val (hubSel, rawH) = renorm(rawHub, "hub")
-      val newHub = hubSel.localCheckpoint(true)
+      val newHub = ck(hubSel)
       graft.core.Checkpoints.release(rawH)
       graft.core.Checkpoints.release(hub)
       hub = newHub

@@ -37,8 +37,10 @@ object KCenter {
     * chosen center wins, matching the incremental fold: a later center
     * replaces the running nearest only on a STRICT improvement).
     */
-  def run(points: DataFrame, k: Int): DataFrame = {
+  def run(points: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "kcenter: k >= 1")
+    val ck = graft.core.Checkpoints.saver(points, checkpointDir)
     val sqd = (a: Column, b: Column) => SqDistLong(a, b)
 
     val first = points.orderBy(col("id").asc).limit(1)
@@ -56,10 +58,9 @@ object KCenter {
           .as("center_id"))
     }
 
-    var state = points.select(col("id"), col("vq"),
+    var state = ck(points.select(col("id"), col("vq"),
         sqd(col("vq"), typedlit(centers.head._2)).as("mind"),
-        lit(centers.head._1).as("center_id"))
-      .localCheckpoint(true)
+        lit(centers.head._1).as("center_id")))
 
     var r = 1
     while (r < k) {
@@ -67,7 +68,7 @@ object KCenter {
         .select(col("id"), col("vq")).collect()(0)
       val (cid, cvec) = (next.getLong(0), next.getSeq[Long](1))
       centers :+= ((cid, cvec))
-      val stepped = fold(state, cid, cvec).localCheckpoint(true)
+      val stepped = ck(fold(state, cid, cvec))
       graft.core.Checkpoints.release(state) // no O(k) block accrual
       state = stepped
       r += 1
@@ -105,15 +106,18 @@ object KCenter {
     * invalidate each other); adversarial clustered data degrades to
     * ≥ 1 per batch, never worse than sequential.
     */
-  def runBatched(points: DataFrame, k: Int, m: Int = 64): DataFrame =
-    runBatchedStats(points, k, m)._1
+  def runBatched(points: DataFrame, k: Int, m: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame =
+    runBatchedStats(points, k, m, checkpointDir)._1
 
   /** [[runBatched]] plus (outerRounds, centersChosen) — the macro gates
     * that batching actually amortizes the TakeOrdered job count. */
   def runBatchedStats(points: DataFrame, k: Int,
-      m: Int = 64): (DataFrame, Int, Int) = {
+      m: Int = 64,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Int) = {
     require(k >= 1, "kcenter: k >= 1")
     require(m >= 1, "kcenter: m >= 1")
+    val ck = graft.core.Checkpoints.saver(points, checkpointDir)
     val sqd = (a: Column, b: Column) => SqDistLong(a, b)
     def distL(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
@@ -133,10 +137,9 @@ object KCenter {
           .as("center_id"))
     }
 
-    var state = points.select(col("id"), col("vq"),
+    var state = ck(points.select(col("id"), col("vq"),
         sqd(col("vq"), typedlit(first.getSeq[Long](1))).as("mind"),
-        lit(first.getLong(0)).as("center_id"))
-      .localCheckpoint(true)
+        lit(first.getLong(0)).as("center_id")))
 
     var outer = 0
     var exhausted = false
@@ -183,7 +186,7 @@ object KCenter {
       accepted.foreach { case (cid, cvec) =>
         st = fold(st, cid, cvec.toSeq)
       }
-      val stepped = st.localCheckpoint(true)
+      val stepped = ck(st)
       graft.core.Checkpoints.release(state)
       state = stepped
       nCenters += accepted.size

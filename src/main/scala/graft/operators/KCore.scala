@@ -29,9 +29,11 @@ object KCore {
     * rounds counts PEELING rounds that removed something; the final
     * no-change round that proves the fixpoint is not counted.
     */
-  def fixpoint(edges0: DataFrame, k: Int): (DataFrame, Int) = {
+  def fixpoint(edges0: DataFrame, k: Int,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     require(k >= 1, s"kcore: k must be >= 1, got $k")
-    var edges = edges0.localCheckpoint(true)
+    val ck = graft.core.Checkpoints.saver(edges0, checkpointDir)
+    var edges = ck(edges0)
     var nEdges = edges.count()
     var rounds = 0
     var done = nEdges == 0L
@@ -40,11 +42,10 @@ object KCore {
         .select(explode(array(col("a"), col("b"))).as("nd"))
         .groupBy("nd").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("nd")
-      val next = edges
+      val next = ck(edges
         .join(alive.withColumnRenamed("nd", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("nd", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b")) // joins rotate the key column first
-        .localCheckpoint(true)
+        .select(col("a"), col("b"))) // joins rotate the key column first
       val m = next.count()
       if (m == nEdges) {
         // fixpoint confirmed: keep `edges`, drop the redundant twin

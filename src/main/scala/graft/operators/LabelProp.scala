@@ -31,18 +31,18 @@ object LabelProp {
   /** Run `rounds` synchronous LPA rounds over long `src`/`dst` edges.
     * Returns (node, label) for every node appearing as src or dst.
     */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+  def run(edges: DataFrame, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = ck(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
+    val e = ck(edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src")))
 
     var labels = nodes.withColumn("label", col("node"))
     var r = 0
@@ -55,9 +55,8 @@ object LabelProp {
         // a mergeable aggregate instead of a window over the counts
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
         .select(col("dst"), col("b.lbl").as("nl"))
-      labels = labels.join(best, col("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint(true)
+      labels = ck(labels.join(best, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label")))
       r += 1
     }
     labels
@@ -85,21 +84,21 @@ object LabelProp {
     * their blocks ([[graft.core.Checkpoints.release]]) so storage stays
     * O(current round), not O(sum of rounds).
     */
-  def runConverged(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+  def runConverged(edges: DataFrame, maxRounds: Int,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, s"labelprop: maxRounds must be >= 1, got $maxRounds")
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val save = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = save(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
+    val e = save(edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src")))
 
-    var ck = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var ck = save(nodes.withColumn("label", col("node")))
     var labels = ck
     var r = 0
     var converged = false
@@ -110,10 +109,9 @@ object LabelProp {
         .groupBy(col("dst"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
         .select(col("dst"), col("b.lbl").as("nl"))
-      val stepped = labels.join(best, col("node") === col("dst"), "left")
+      val stepped = save(labels.join(best, col("node") === col("dst"), "left")
         .select(col("node"), col("label").as("prev"),
-          coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint(true)
+          coalesce(col("nl"), col("label")).as("label")))
       val changed = stepped.filter(col("label") =!= col("prev")).count()
       graft.core.Checkpoints.release(ck)
       ck = stepped

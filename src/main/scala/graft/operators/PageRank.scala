@@ -55,25 +55,25 @@ object PageRank {
       edges: DataFrame,
       scale: Long = 1000000000L,
       rounds: Int = 8,
-      damping: Int = 85): DataFrame = {
+      damping: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = ck(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
     val nNodes = nodes.count()
     require(nNodes > 0, "pagerank: empty graph")
     require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
       s"pagerank: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val linked = edges.join(outdeg, "src")
+    val linked = ck(edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("src")))
 
     val base = scale * (100 - damping) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
@@ -85,11 +85,10 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = ck(nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"${base}L + ($damping * coalesce(m, 0L)) div 100")
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
       // release the superseded round (no-op on the round-0 projection)
       graft.core.Checkpoints.release(ranks)
       ranks = stepped
@@ -120,29 +119,28 @@ object PageRank {
       edges: DataFrame,
       scale: Long = 1000000000L,
       rounds: Int = 8,
-      damping: Int = 85): DataFrame = {
+      damping: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = ck(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
     val nNodes = nodes.count()
     require(nNodes > 0, "pagerank: empty graph")
     require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
       s"pagerank: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val linked = edges.join(outdeg, "src")
+    val linked = ck(edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("src")))
     // the static dangling set: nodes that never appear as src
-    val dangling = nodes.join(outdeg.select(col("src").as("node")),
-        Seq("node"), "left_anti")
-      .localCheckpoint(true)
+    val dangling = ck(nodes.join(outdeg.select(col("src").as("node")),
+        Seq("node"), "left_anti"))
 
     val base = scale * (100 - damping) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
@@ -154,11 +152,10 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = ck(nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"${base}L + ($damping * (coalesce(m, 0L) + ${share}L))" +
-            " div 100").as("rank"))
-        .localCheckpoint(true)
+            " div 100").as("rank")))
       graft.core.Checkpoints.release(ranks)
       ranks = stepped
       r += 1
@@ -228,28 +225,28 @@ object PageRank {
       seeds: DataFrame,
       scale: Long = 1000000000L,
       rounds: Int = 8,
-      damping: Int = 85): DataFrame = {
+      damping: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val ck = graft.core.Checkpoints.saver(edges, checkpointDir)
 
-    val nodes = edges.select(col("src").as("node"))
+    val nodes = ck(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .join(broadcast(seeds.select(col("node"), lit(1L).as("is_seed"))),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .repartition(parts, col("node"))
-      .localCheckpoint(true)
+      .repartition(parts, col("node")))
     val nNodes = nodes.count()
     require(nNodes > 0, "ppr: empty graph")
     require(scale > 0 && nNodes <= Long.MaxValue / 100 / scale,
       s"ppr: n*scale*$damping overflows Long (n=$nNodes scale=$scale)")
 
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val linked = edges.join(outdeg, "src")
+    val linked = ck(edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("src")))
 
     val base = scale * (100 - damping) / 100
     var ranks = nodes.withColumn("rank", col("is_seed") * lit(scale))
@@ -259,11 +256,10 @@ object PageRank {
       val sums = ranks.join(linked, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      val stepped = nodes.join(sums, col("node") === col("dst"), "left")
+      val stepped = ck(nodes.join(sums, col("node") === col("dst"), "left")
         .select(col("node"),
           expr(s"is_seed * ${base}L + ($damping * coalesce(m, 0L)) div 100")
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
       graft.core.Checkpoints.release(ranks)
       ranks = stepped
       r += 1

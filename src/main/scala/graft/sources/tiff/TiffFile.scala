@@ -181,8 +181,8 @@ object TiffFile {
       }
 
       require(width > 0 && height > 0, s"$path: missing dimensions")
-      require(compression == 1 || compression == 8,
-        s"$path: compression $compression unsupported (need none/deflate)")
+      require(compression == 1 || compression == 7 || compression == 8,
+        s"$path: compression $compression unsupported (need none/jpeg/deflate)")
       require(bits == 8 || bits == 16 || bits == 32,
         s"$path: $bits bits per sample unsupported")
       val (originX, originY, scaleX, scaleY) =
@@ -238,6 +238,16 @@ object TiffFile {
       r.readAt(b.offset, b.byteCount.toInt).get(raw0)
       val bytesPer = info.bits / 8
       val need = b.width * b.height * bytesPer
+      if (info.compression == 7) {
+        // each JPEG tile is a complete standalone baseline stream (the
+        // TiffWriter contract); decode through the JDK's independent
+        // baseline decoder and clip/verify dims against the block
+        val (jw, jh, px) = JpegCodec.decodeGray(raw0)
+        require(jw == b.width && jh == b.height,
+          s"jpeg tile ${jw}x$jh != block ${b.width}x${b.height}")
+        require(info.bits == 8, s"$path: jpeg tiles must be 8-bit")
+        return px
+      }
       val raw: Array[Byte] =
         if (info.compression == 1) raw0
         else {

@@ -98,10 +98,19 @@ object TiffWriter {
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int = 16, nodata: Int = 0, deflateLevel: Int = 6,
       forceBigTiff: Boolean = false, overviews: Seq[Int] = Seq.empty,
-      resampling: String = "mean"): Unit = {
+      resampling: String = "mean", compression: String = "deflate",
+      jpegQuality: Int = 100): Unit = {
     require(bits == 8 || bits == 16 || bits == 32, s"bits $bits")
     require(tileW % 16 == 0 && tileH % 16 == 0,
       "TIFF tiles must be multiples of 16") // TIFF 6.0 §15
+    require(compression == "deflate" || compression == "jpeg",
+      s"compression must be deflate|jpeg, got $compression")
+    // JPEG tiles are complete 8-bit baseline streams (compression 7 —
+    // the reference's serving-pyramid codec, postprocessing.py:69);
+    // quality 100 = the all-ones quant table, under which 8x8-uniform
+    // content round-trips EXACTLY (JpegCodec scaladoc)
+    require(compression == "deflate" || bits == 8,
+      s"JPEG compression is 8-bit only, got bits=$bits")
     require(overviews.forall(_ >= 2) && overviews == overviews.sorted &&
       overviews.distinct == overviews,
       s"overview factors must be distinct, ascending, >= 2: $overviews")
@@ -164,7 +173,9 @@ object TiffWriter {
           var cur = -1
           var buf: Array[Int] = null
           def flush(): Unit = if (cur >= 0) {
-            val bytes = encodeTile(buf, bits, deflateLevel)
+            val bytes =
+              if (compression == "jpeg") JpegCodec.encodeGray(buf, tw, th, jpegQuality)
+              else encodeTile(buf, bits, deflateLevel)
             val p = new Path(s"$stagingStr/L$lvl-tile-%05d".format(cur))
             val out = p.getFileSystem(conf).create(p, true)
             try out.write(bytes) finally out.close()
@@ -223,7 +234,8 @@ object TiffWriter {
     val emptyTile = {
       val buf = new Array[Int](tileW * tileH)
       java.util.Arrays.fill(buf, nodata)
-      encodeTile(buf, bits, deflateLevel)
+      if (compression == "jpeg") JpegCodec.encodeGray(buf, tileW, tileH, jpegQuality)
+      else encodeTile(buf, bits, deflateLevel)
     }
     // ONE listing of the staging dir (not nTiles existence probes)
     val staged: Map[String, Long] = fs.listStatus(staging)
@@ -290,7 +302,7 @@ object TiffWriter {
         entry(256, 4, 1, lv.w.toLong)
         entry(257, 4, 1, lv.h.toLong)
         shortEntry(258, bits)
-        shortEntry(259, 8) // deflate
+        shortEntry(259, if (compression == "jpeg") 7 else 8) // 7=JPEG/8=deflate
         shortEntry(262, 1) // BlackIsZero
         shortEntry(277, 1) // one sample per pixel
         shortEntry(322, tileW)
