@@ -584,7 +584,58 @@ object SpatialQueries {
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
     q127CompactedScan, q128CogOverview, q145Reproject, q149MosaicRetile,
-    q155CubicOverview)
+    q155CubicOverview, q206JpegCogSink)
+
+  /** S5 depth: the JPEG-compressed tiled write (compression 7) — the
+    * reference's SERVING-PYRAMID codec (`gdal_retile.py ... -co
+    * 'COMPRESS=JPEG'`, sentinel/postprocessing.py:69), the one write
+    * codec missing until round 16. A dense 88×56 grid of 8×8-UNIFORM
+    * blocks (value = f(block coords) ∈ [1, 255]) is written by the
+    * distributed TiffWriter as 32×32 JPEG tiles at quality 100 — the
+    * all-ones-quant regime where uniform blocks encode as exact DC-only
+    * units (sources/tiff/JpegCodec) — then read back through the
+    * graft-cog DSv2 source. Decode crosses an INDEPENDENT codebase
+    * (javax.imageio), the padded right/bottom tiles carry nodata
+    * blocks, and tools/jpeg_tile_check.py re-derives every pixel with a
+    * pure-python T.81 Huffman decoder (JpegTiffSpec). The oracle
+    * replays the block formula over a generated series, so the hash
+    * match proves write∘decode is the identity. Lossy-quality JPEG
+    * (arbitrary content) is exercised in JpegTiffSpec — it cannot be
+    * hash-gated, as JPEG is lossy by design.
+    */
+  lazy val q206JpegCogSink = Q(
+    "q206_jpeg_cog_sink",
+    (s, dir) => {
+      val (ox, oy, sx, sy) = (100000.0, 900000.0, 10.0, 10.0)
+      val (w, h) = (88, 56)
+      val grid = s.range(w.toLong * h).select(
+          (col("id") % w).as("pc"), (col("id") / w).cast("long").as("pr"))
+        .select(
+          (lit(ox) + (col("pc") + 0.5) * sx).as("x"),
+          (lit(oy) - (col("pr") + 0.5) * sy).as("y"),
+          (((col("pc") / 8).cast("long") * 29 +
+            (col("pr") / 8).cast("long") * 53) % 255 + 1)
+            .cast("int").as("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jpeg_cog_" + Integer.toHexString(dir.hashCode) + ".tif")
+        .getAbsolutePath
+      graft.sources.tiff.TiffWriter.writeGrid(grid, path, "x", "y", "value",
+        ox, oy, sx, sy, width = w, height = h,
+        tileW = 32, tileH = 32, bits = 8, compression = "jpeg",
+        jpegQuality = 100)
+      s.read.format("graft-cog")
+        .option("path", path).option("nodata", "0").load()
+        .select(col("x"), col("y"), col("value").cast("int").as("value"))
+    },
+    Some("""
+      WITH px AS (
+        SELECT i % 88 AS pc, i // 88 AS pr
+        FROM (SELECT unnest(generate_series(0, 88 * 56 - 1)) AS i))
+      SELECT 100000.0 + (pc + 0.5) * 10.0 AS x,
+             900000.0 - (pr + 0.5) * 10.0 AS y,
+             CAST(((pc // 8) * 29 + (pr // 8) * 53) % 255 + 1 AS INTEGER)
+               AS value
+      FROM px"""))
 
   /** COG OVERVIEWS under the gate: the `cog_translate` reduced-resolution
     * IFD chain (io_managers.py:103-110 writes overviews by default). The
