@@ -308,13 +308,22 @@ object TextMacroBench {
     def spanRewrite(d: DataFrame): DataFrame =
       graft.queries.TextOps.spanRewrite(d)
 
+    // q205 shape: temperature-flattened mixture — ONE per-source token
+    // aggregate drives everything, the apportionment runs on the tiny
+    // per-source table (12 synthesized sources here); cost ≈ the
+    // tokenize scan, the cheapest arm by design
+    def temperatureMix(d: DataFrame): DataFrame =
+      graft.queries.PipelineQueries.temperatureMix(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(12)))))
+
     val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
       "bigram_familiarity" -> bigramFamiliarity, "bpe_train3" -> bpeTrain,
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
-      "span_rewrite" -> spanRewrite,
+      "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sql, Tables}
@@ -536,38 +537,44 @@ object PipelineQueries {
     * budget. Scale shape: ONE per-source aggregate drives everything;
     * the apportionment runs on that tiny table.
     */
+  /** The q205 plan over any (source, text) frame — shared with
+    * TextMacroBench's temperature_mix arm so the macro exercises the
+    * REGISTERED pipeline at 3M docs.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("source"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          tk => length(tk) > 0)).cast("long").as("n_tokens"))
+    val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
+    val tot = bySrc.agg(sum("t_s").as("t"))
+    val wts = bySrc
+      .withColumn("w", floor(sqrt(col("t_s").cast("double"))).cast("long"))
+    val wtot = wts.agg(sum("w").as("wsum"))
+    val withTot = wts.crossJoin(broadcast(tot)).crossJoin(broadcast(wtot))
+      .withColumn("b", expr("t div 2"))
+      .withColumn("base", expr("(b * w) div wsum"))
+      .withColumn("rem", expr("b * w - ((b * w) div wsum) * wsum"))
+    val lft = withTot.agg((max("b") - sum("base")).as("l"))
+    withTot.crossJoin(broadcast(lft))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      // nullif guards the all-empty-documents source (t_s = 0, weight
+      // 0): NULL epochs instead of an ANSI divide-by-zero crash on
+      // Spark / `// 0` error on DuckDB (r15 advice) — data-dependent
+      // totality, not a fixture assumption
+      .withColumn("epochs_milli",
+        expr("(alloc_tokens * 1000) div nullif(n_tokens, 0)"))
+  }
+
   val q205TemperatureMix = Q(
     "q205_temperature_mix",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
-        .select(col("source"),
-          size(filter(split(lower(col("text")), "\\s+"),
-            tk => length(tk) > 0)).cast("long").as("n_tokens"))
-      val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
-      val tot = bySrc.agg(sum("t_s").as("t"))
-      val wts = bySrc
-        .withColumn("w", floor(sqrt(col("t_s").cast("double"))).cast("long"))
-      val wtot = wts.agg(sum("w").as("wsum"))
-      val withTot = wts.crossJoin(broadcast(tot)).crossJoin(broadcast(wtot))
-        .withColumn("b", expr("t div 2"))
-        .withColumn("base", expr("(b * w) div wsum"))
-        .withColumn("rem", expr("b * w - ((b * w) div wsum) * wsum"))
-      val lft = withTot.agg((max("b") - sum("base")).as("l"))
-      withTot.crossJoin(broadcast(lft))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem").desc, col("source"))))
-        .select(col("source"), col("t_s").as("n_tokens"),
-          col("w").as("weight"),
-          (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
-            .as("alloc_tokens"))
-        // nullif guards the all-empty-documents source (t_s = 0, weight
-        // 0): NULL epochs instead of an ANSI divide-by-zero crash on
-        // Spark / `// 0` error on DuckDB (r15 advice) — data-dependent
-        // totality, not a fixture assumption
-        .withColumn("epochs_milli",
-          expr("(alloc_tokens * 1000) div nullif(n_tokens, 0)"))
-    },
+    (s, dir) => temperatureMix(Tables.load(s, dir, "documents")),
     Some("""
       WITH d AS (
         SELECT source,
