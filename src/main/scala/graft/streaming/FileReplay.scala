@@ -67,8 +67,12 @@ object FileReplay {
     * doc_id order by construction.
     */
   def stageOrderedReplay(sel: DataFrame, orderCol: String,
-      srcDir: java.io.File, nBuckets: Int = 5): Unit = {
-    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+      srcDir: java.io.File, nBuckets: Int = 5,
+      clear: Boolean = true): Unit = {
+    // clear = false appends to an already-staged dir (the bootstrap-
+    // checkpoint pattern: a sentinel file is staged and consumed before
+    // the real replay files land); staged names b00.. never collide
+    if (clear && srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
     val stage = new java.io.File(srcDir.getParentFile,
       srcDir.getName + "_stage").getAbsolutePath
