@@ -1,8 +1,7 @@
 package graft.sources.grib
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
-import java.nio.file.{Paths, StandardOpenOption}
+import graft.sources.SeekableInput
 
 /** Minimal pure-JVM GRIB2 reader for the subset ECMWF ensemble output
   * uses (format: the public WMO FM 92 GRIB edition 2 specification):
@@ -60,17 +59,8 @@ object Grib2File {
     if ((v & 0x80000000L) != 0) -(v & 0x7FFFFFFFL) else v
   }
 
-  private def readAt(ch: FileChannel, off: Long, len: Int): ByteBuffer = {
-    val buf = ByteBuffer.allocate(len).order(ByteOrder.BIG_ENDIAN)
-    var pos = 0
-    while (pos < len) {
-      val n = ch.read(buf, off + pos)
-      require(n > 0, s"unexpected EOF at ${off + pos}")
-      pos += n
-    }
-    buf.flip()
-    buf
-  }
+  private def readAt(ch: SeekableInput, off: Long, len: Int): ByteBuffer =
+    ch.readAt(off, len).order(ByteOrder.BIG_ENDIAN)
 
   /** Offsets + header metadata of every message in the file. Touches
     * only section headers (a few hundred bytes per message), never the
@@ -78,9 +68,9 @@ object Grib2File {
     * fanning decode tasks out.
     */
   def index(path: String): Seq[MessageInfo] = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = SeekableInput.open(path)
     try {
-      val size = ch.size()
+      val size = ch.size
       val out = Seq.newBuilder[MessageInfo]
       var off = 0L
       while (off + 16 <= size) {
@@ -102,7 +92,7 @@ object Grib2File {
   /** Walk sections 1..5 of the message at `off`, collecting the grid,
     * ensemble, and packing metadata.
     */
-  private def parseHeaders(ch: FileChannel, off: Long, msgLen: Long): MessageInfo = {
+  private def parseHeaders(ch: SeekableInput, off: Long, msgLen: Long): MessageInfo = {
     var cur = off + 16
     var ni = 0; var nj = 0
     var la1 = 0.0; var lo1 = 0.0; var di = 0.0; var dj = 0.0
@@ -404,7 +394,7 @@ object Grib2File {
     * one-message-per-task parallel read unit.
     */
   def read(path: String, info: MessageInfo): Message = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = SeekableInput.open(path)
     try {
       var cur = info.offset + 16
       val end = info.offset + info.length

@@ -43,9 +43,17 @@ object Grib2Writer {
     val lo1 = lons.head
     val dj = if (nj > 1) (lats.head - lats.last) / (nj - 1) else 1.0
     val di = if (ni > 1) (lons.last - lons.head) / (ni - 1) else 1.0
-    val stageDir = new java.io.File(path + "_stage")
-    if (stageDir.exists()) stageDir.listFiles().foreach(_.delete())
-    stageDir.mkdirs()
+    // staging + final write through the Hadoop FS API (the TiffWriter /
+    // Hdf5Writer shape): executors stage message files, the driver
+    // stream-concats them — works identically on local fs and s3a
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(path + "_stage")
+    val fs = stagePath.getFileSystem(hconf)
+    fs.delete(stagePath, true)
+    fs.mkdirs(stagePath)
+    val bConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val stageStr = stagePath.toString
 
     val bLat = spark.sparkContext.broadcast(lats.zipWithIndex.toMap)
     val bLon = spark.sparkContext.broadcast(lons.zipWithIndex.toMap)
@@ -67,13 +75,15 @@ object Grib2Writer {
       .repartition(math.min(n, 64), col("s"), col("m"))
       .sortWithinPartitions("s", "m", "cell")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = bConf.value.value
         var curS = -1
         var curM = -1
         var buf: Array[Double] = null
         def flush(): Unit = if (curM >= 0) {
           val msg = encodeMessage(curM, curS, buf, ni, nj, la1, lo1, di, dj)
-          val out = new java.io.FileOutputStream(
-            new java.io.File(stageDir, f"s$curS%05d_m$curM%05d.part"))
+          val pp = new org.apache.hadoop.fs.Path(
+            f"$stageStr/s$curS%05d_m$curM%05d.part")
+          val out = pp.getFileSystem(conf).create(pp, true)
           try out.write(msg) finally out.close()
         }
         rows.foreach { r =>
@@ -89,15 +99,18 @@ object Grib2Writer {
       }
 
     // driver: stream-concat staged messages in member order
-    val parts = Option(stageDir.listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".part")).sortBy(_.getName)
+    val parts = fs.listStatus(stagePath)
+      .filter(_.getPath.getName.endsWith(".part"))
+      .sortBy(_.getPath.getName)
     require(parts.nonEmpty, s"$path: no members staged")
-    val out = new java.io.FileOutputStream(path)
-    try parts.foreach { p =>
-      val in = new java.io.FileInputStream(p)
-      try in.transferTo(out) finally in.close()
+    val outP = new org.apache.hadoop.fs.Path(path)
+    val out = outP.getFileSystem(hconf).create(outP, true)
+    try parts.foreach { st =>
+      val in = fs.open(st.getPath)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256 * 1024, false)
+      finally in.close()
     } finally out.close()
-    parts.foreach(_.delete()); stageDir.delete()
+    fs.delete(stagePath, true)
   }
 
   /** One complete edition-2 message (sections 0–8) for member `m` at

@@ -1,8 +1,7 @@
 package graft.sources.nc
 
 import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
-import java.nio.file.{Paths, StandardOpenOption}
+import graft.sources.SeekableInput
 
 /** NetCDF CLASSIC format reader (CDF-1 32-bit and CDF-2 64-bit offset
   * variants) — the pre-HDF5 container older GloFAS-era and many archive
@@ -29,19 +28,11 @@ import java.nio.file.{Paths, StandardOpenOption}
   */
 final class Cdf3File(path: String) extends AutoCloseable {
 
-  private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+  private val ch = SeekableInput.open(path)
   override def close(): Unit = ch.close()
 
-  private def readAt(off: Long, len: Int): ByteBuffer = {
-    val b = ByteBuffer.allocate(len) // big-endian by default
-    var total = 0
-    while (total < len) {
-      val n = ch.read(b, off + total)
-      require(n > 0, s"$path: EOF at ${off + total} (wanted $len bytes)")
-      total += n
-    }
-    b.flip(); b
-  }
+  private def readAt(off: Long, len: Int): ByteBuffer =
+    ch.readAt(off, len) // big-endian by default
 
   case class Var(name: String, dimIds: Seq[Int], ncType: Int, begin: Long) {
     def elemSize: Int = Cdf3File.typeSize(ncType)
@@ -56,7 +47,7 @@ final class Cdf3File(path: String) extends AutoCloseable {
 
   // ---- header parse (one buffered read of the header region) ----
   private val header: ByteBuffer = {
-    val sz = math.min(ch.size(), 1 << 20).toInt // headers are tiny
+    val sz = math.min(ch.size, 1 << 20).toInt // headers are tiny
     readAt(0L, sz)
   }
   require(header.get() == 'C' && header.get() == 'D' && header.get() == 'F',
@@ -142,7 +133,7 @@ final class Cdf3File(path: String) extends AutoCloseable {
   val numRecs: Long =
     if (recordVars.isEmpty) 0L
     else if (numRecsRaw != -1) numRecsRaw.toLong & 0xFFFFFFFFL
-    else (ch.size() - recordVars.map(_.begin).min) / recSize
+    else (ch.size - recordVars.map(_.begin).min) / recSize
 
   /** Whole 1-D variable as doubles (coordinate axes; fixed or record). */
   def readDoubles(nm: String): Array[Double] = {

@@ -1,8 +1,7 @@
 package graft.sources.nc
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
-import java.nio.file.{Paths, StandardOpenOption}
+import graft.sources.SeekableInput
 import java.util.zip.Inflater
 
 import scala.collection.mutable
@@ -31,28 +30,21 @@ import scala.collection.mutable
   * on the real threshold files means masking is the identity) are applied
   * by the caller.
   *
-  * All reads are positional (`FileChannel.read(dst, pos)`), so one
-  * instance is safe to share across Spark task threads.
+  * All reads are positional through the SeekableInput seam (local
+  * FileChannel fast path; Hadoop FS ranged reads for object-store
+  * URIs), so one instance is safe to share across Spark task threads.
   */
 final class Hdf5File(val path: String) extends AutoCloseable {
   import Hdf5File._
 
-  private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+  private val ch = SeekableInput.open(path)
 
   def close(): Unit = ch.close()
 
   /** Positional ranged read returning a little-endian buffer. */
   private def readAt(off: Long, len: Int): ByteBuffer = {
     require(len >= 0 && off >= 0, s"bad read $off+$len")
-    val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
-    var pos = off
-    while (buf.hasRemaining) {
-      val n = ch.read(buf, pos)
-      require(n > 0, s"EOF at $pos reading $path")
-      pos += n
-    }
-    buf.flip()
-    buf
+    ch.readAt(off, len).order(ByteOrder.LITTLE_ENDIAN)
   }
 
   private def u8(b: ByteBuffer): Int = b.get() & 0xFF

@@ -42,10 +42,11 @@ object NcFormat {
   }
 
   def open(path: String): Reader = {
-    val in = new java.io.FileInputStream(path)
+    // magic sniff through the SeekableInput seam (object-store capable)
+    val sin = graft.sources.SeekableInput.open(path)
     val magic = new Array[Byte](4)
-    try { require(in.read(magic) == 4, s"$path: shorter than 4 bytes") }
-    finally in.close()
+    try sin.readFully(0L, magic, 0, 4)
+    finally sin.close()
     if (magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F')
       new CdfAdapter(path)
     else if ((magic(0) & 0xFF) == 0x89 && magic(1) == 'H')

@@ -1,8 +1,7 @@
 package graft.sources.tiff
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
-import java.nio.file.{Paths, StandardOpenOption}
+import graft.sources.SeekableInput
 import java.util.zip.Inflater
 
 /** Minimal pure-JVM reader for the GeoTIFF subset cloud-optimized
@@ -30,25 +29,14 @@ object TiffFile {
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       blocks: Seq[BlockInfo])
 
-  private class Reader(ch: FileChannel, val order: ByteOrder) {
-    def readAt(off: Long, len: Int): ByteBuffer = {
-      val buf = ByteBuffer.allocate(len).order(order)
-      var pos = 0
-      while (pos < len) {
-        val n = ch.read(buf, off + pos)
-        require(n > 0, s"unexpected EOF at ${off + pos}")
-        pos += n
-      }
-      buf.flip()
-      buf
-    }
+  private class Reader(ch: SeekableInput, val order: ByteOrder) {
+    def readAt(off: Long, len: Int): ByteBuffer =
+      ch.readAt(off, len).order(order)
   }
 
-  private def open(path: String): (FileChannel, Reader) = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
-    val hdr = ByteBuffer.allocate(8)
-    ch.read(hdr, 0)
-    hdr.flip()
+  private def open(path: String): (SeekableInput, Reader) = {
+    val ch = SeekableInput.open(path)
+    val hdr = ch.readAt(0, 8)
     val order = (hdr.get(0).toChar, hdr.get(1).toChar) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN

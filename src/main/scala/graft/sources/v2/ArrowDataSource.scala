@@ -67,9 +67,9 @@ object ArrowDataSource {
 
   def withReader[A](path: String)(f: ArrowFileReader => A): A = {
     val alloc = new RootAllocator()
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(path),
-      java.nio.file.StandardOpenOption.READ)
+    // SeekableInput seam: local FileChannel fast path, Hadoop FS ranged
+    // reads for object-store URIs (r15 verdict item 6)
+    val ch = graft.sources.SeekableInput.open(path).asByteChannel
     // CommonsCompressionFactory makes lz4/zstd-compressed IPC buffers
     // (pyarrow ipc compression options) decode transparently
     val reader = new ArrowFileReader(ch, alloc,
@@ -159,9 +159,7 @@ class ArrowReaderFactory(allNames: Array[String],
     val ArrowBatchPartition(path, idx) = p.asInstanceOf[ArrowBatchPartition]
     new PartitionReader[InternalRow] {
       private val alloc = new RootAllocator()
-      private val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(path),
-        java.nio.file.StandardOpenOption.READ)
+      private val ch = graft.sources.SeekableInput.open(path).asByteChannel
       private val reader = new ArrowFileReader(ch, alloc,
         new org.apache.arrow.compression.CommonsCompressionFactory())
       // seek straight to this task's batch; nothing else is loaded
