@@ -56,6 +56,29 @@ class PackedStateSpec extends AnyFunSuite {
     })
   }
 
+  test("NON-distinct arrival arrays: distinctSorted restores set Jaccard") {
+    // the r15 advice gap: packedHit's union formula assumes SETS, and
+    // the old generator only produced distinct arrays. The call-site
+    // fix (sort + one-pass dedup) must make a duplicated arrival hash
+    // array behave exactly like its set.
+    val dupGen = Gen.listOf(hashGen).map(_.toArray) // duplicates allowed
+    check(Prop.forAll(Gen.listOf(memberGen), dupGen,
+      Gen.chooseNum(0L, 30L), Gen.oneOf(0.3, 0.5, 0.8, 1.0)) {
+      (members: List[M], arrival: Array[Long], arrivalId: Long,
+          thr: Double) =>
+        var packed = Array.empty[Long]
+        members.foreach { m =>
+          packed = StreamDedup.appendBlock(packed, m.docId, m.corpus, m.shh)
+        }
+        val sortedA = StreamDedup.distinctSorted(arrival)
+        // strictly increasing == sorted + distinct
+        val strict = sortedA.indices.drop(1)
+          .forall(i => sortedA(i - 1) < sortedA(i))
+        strict && (StreamDedup.packedHit(packed, sortedA, arrivalId, thr) ==
+          referenceHit(members, arrival.distinct, arrivalId, thr))
+    })
+  }
+
   test("appendBlock layout round-trips every member block") {
     check(Prop.forAll(Gen.listOf(memberGen)) { (members: List[M]) =>
       var packed = Array.empty[Long]
