@@ -584,7 +584,31 @@ object SpatialQueries {
     q113PolygonMetrics, q114ArrowScan, q115ArrowSink, q117WkbZonal,
     q120Zarr3Sharded, q121Zarr3Sink, q123Zarr3d, q124Zarr3dQuantiles,
     q127CompactedScan, q128CogOverview, q145Reproject, q149MosaicRetile,
-    q155CubicOverview, q206JpegCogSink)
+    q155CubicOverview, q206JpegCogSink, q207JpegTablesCog)
+
+  /** S5 compat depth: the SHARED-JPEGTables layout (TIFF TechNote 2,
+    * tag 347) that `gdal_retile -co COMPRESS=JPEG` actually writes —
+    * DQT/DHT live once in the tag, tiles are ABBREVIATED streams the
+    * reader must splice the tables into before decoding. The fixture is
+    * written by an INDEPENDENT pure-python implementation of the layout
+    * (tools/jpeg_tables_fixture.py, DC-only uniform blocks under the
+    * all-ones quant table = the exact-decode regime) and the oracle
+    * reads the formula-computed expected parquet, so the hash match
+    * cross-validates the tag parse, the splice, and the decode. q206
+    * covers the standalone-stream layout our own writer emits; together
+    * they close both halves of the JPEG-tiled read surface.
+    */
+  lazy val q207JpegTablesCog = Q(
+    "q207_jpeg_tables_cog",
+    (s, _) =>
+      s.read.format("graft-cog")
+        .option("path", "/root/repo/data/jpeg_tables.tif")
+        .option("nodata", "0")
+        .load()
+        .select(col("x"), col("y"), col("value").cast("int").as("value")),
+    Some("""
+      SELECT x, y, value
+      FROM '/root/repo/data/jpeg_tables_expected.parquet'"""))
 
   /** S5 depth: the JPEG-compressed tiled write (compression 7) — the
     * reference's SERVING-PYRAMID codec (`gdal_retile.py ... -co

@@ -27,7 +27,12 @@ object TiffFile {
   case class TiffInfo(
       width: Int, height: Int, bits: Int, compression: Int,
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
-      blocks: Seq[BlockInfo])
+      blocks: Seq[BlockInfo],
+      // TIFF TechNote 2 shared JPEG tables (tag 347): SOI + DQT/DHT
+      // segments + EOI, spliced ahead of each ABBREVIATED tile stream —
+      // the layout GDAL writes for COMPRESS=JPEG pyramids. null = tiles
+      // are standalone full streams (our writer's layout).
+      jpegTables: Array[Byte] = null)
 
   private class Reader(ch: SeekableInput, val order: ByteOrder) {
     def readAt(off: Long, len: Int): ByteBuffer =
@@ -107,6 +112,7 @@ object TiffFile {
       var offsets: Array[Long] = null; var counts: Array[Long] = null
       var stripOffsets: Array[Long] = null; var stripCounts: Array[Long] = null
       var scale: Array[Double] = null; var tiepoint: Array[Double] = null
+      var jpegTables: Array[Byte] = null
 
       def typeSize(t: Int): Int = t match {
         case 1 | 2 | 6 | 7 => 1 // byte/ascii
@@ -162,6 +168,9 @@ object TiffFile {
           case 323 => tileH = num(0).toInt
           case 324 => offsets = nums()
           case 325 => counts = nums()
+          case 347 =>
+            jpegTables = new Array[Byte](cnt.toInt)
+            valBuf.get(jpegTables)
           case 33550 => scale = doubles()
           case 33922 => tiepoint = doubles()
           case _ => () // photometric etc: irrelevant to decoding
@@ -211,7 +220,7 @@ object TiffFile {
           }
         }
       (TiffInfo(width, height, bits, compression, originX, originY,
-        scaleX, scaleY, blocks), nextOff)
+        scaleX, scaleY, blocks, jpegTables), nextOff)
     }
   }
 
@@ -227,10 +236,28 @@ object TiffFile {
       val bytesPer = info.bits / 8
       val need = b.width * b.height * bytesPer
       if (info.compression == 7) {
-        // each JPEG tile is a complete standalone baseline stream (the
-        // TiffWriter contract); decode through the JDK's independent
-        // baseline decoder and clip/verify dims against the block
-        val (jw, jh, px) = JpegCodec.decodeGray(raw0)
+        // standalone full streams (our writer), or GDAL's shared-tables
+        // layout: JPEGTables (tag 347) = SOI + tables + EOI, tiles =
+        // ABBREVIATED streams (SOI + frame/scan). Splice tables between
+        // the tile's SOI and its remaining segments (TechNote 2), then
+        // decode through the JDK's independent baseline decoder.
+        val stream =
+          if (info.jpegTables == null) raw0
+          else {
+            val t = info.jpegTables
+            require(t.length >= 4 && (t(0) & 0xFF) == 0xFF &&
+              (t(1) & 0xFF) == 0xD8 && (t(t.length - 2) & 0xFF) == 0xFF &&
+              (t(t.length - 1) & 0xFF) == 0xD9,
+              s"$path: malformed JPEGTables (${t.length} bytes)")
+            require((raw0(0) & 0xFF) == 0xFF && (raw0(1) & 0xFF) == 0xD8,
+              s"$path: jpeg tile missing SOI")
+            val out = new Array[Byte](t.length - 4 + raw0.length)
+            out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+            System.arraycopy(t, 2, out, 2, t.length - 4)
+            System.arraycopy(raw0, 2, out, t.length - 2, raw0.length - 2)
+            out
+          }
+        val (jw, jh, px) = JpegCodec.decodeGray(stream)
         require(jw == b.width && jh == b.height,
           s"jpeg tile ${jw}x$jh != block ${b.width}x${b.height}")
         require(info.bits == 8, s"$path: jpeg tiles must be 8-bit")

@@ -124,6 +124,24 @@ class JpegTiffSpec extends SparkSpec {
     assert(lvl1.count() == ((W + 1) / 2) * ((H + 1) / 2))
   }
 
+  test("GDAL-style shared JPEGTables (tag 347) tiles splice and decode") {
+    // fixture written by the independent pure-python layout
+    // implementation (tools/jpeg_tables_fixture.py): DQT/DHT live in
+    // the tag, tiles are abbreviated streams
+    val info = TiffFile.info("/root/repo/data/jpeg_tables.tif")
+    assert(info.compression == 7 && info.jpegTables != null)
+    assert(info.jpegTables.length == 285)
+    for (b <- info.blocks) {
+      val samples = TiffFile.readBlock("/root/repo/data/jpeg_tables.tif",
+        info, b)
+      for (lr <- 0 until b.height; lc <- 0 until b.width) {
+        val (c, r) = (b.colLo + lc, b.rowLo + lr)
+        val expected = ((c / 8) * 29 + (r / 8) * 53) % 255 + 1
+        assert(samples(lr * b.width + lc) == expected, s"($c,$r)")
+      }
+    }
+  }
+
   test("independent python walker re-derives every pixel from the bytes") {
     import scala.sys.process._
     val script = new java.io.File("tools/jpeg_tile_check.py").getAbsolutePath
