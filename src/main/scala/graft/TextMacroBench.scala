@@ -317,6 +317,18 @@ object TextMacroBench {
         d.withColumn("source",
           concat(lit("s"), pmod(col("doc_id"), lit(12)))))
 
+    // q208 shape: production BPE tokenization — 26 merges (incl.
+    // second-level h1x chains) applied as codegen'd string replaces in
+    // one scan; the whole corpus re-tokenizes with zero shuffle
+    def bpeEncode(d: DataFrame): DataFrame = {
+      val merges = ((0 to 9).map(i => ("h", i.toString)) ++
+        (0 to 9).map(i => ("w", i.toString)) ++
+        (0 to 5).map(i => ("h1", i.toString))).zipWithIndex
+        .map { case ((a, b), i) =>
+          graft.operators.BpeTrainer.MergeStep(i, a, b, 0L) }
+      graft.operators.BpeTrainer.encode(d, "doc_id", "text", merges)
+    }
+
     val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
@@ -324,6 +336,7 @@ object TextMacroBench {
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
       "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
+      "bpe_encode" -> bpeEncode,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and

@@ -200,4 +200,48 @@ object BpeTrainer {
       (repr, m) =>
         call_function("replace", repr, lit(M + m.a + M + m.b), lit(M + m.a + m.b))
     }
+
+  /** Corpus-level BPE ENCODE — the production tokenization pass that
+    * APPLIES a trained merge table to every document (the inference
+    * twin of [[train]]; HF tokenizers call this `encode`). Per doc:
+    * whitespace-split, [[segment]] each word under the merge list (a
+    * pure chain of codegen'd string replaces — zero shuffle, zero UDF,
+    * the whole pass lives inside the scan's WholeStageCodegen), rejoin
+    * with spaces, and report
+    *   n_tokens  = the BPE token count (one  marker per symbol),
+    *   enc_md5   = md5 of the full marked encoding (compact equality
+    *               witness for the entire token stream).
+    * Cross-engine exact: regexp char-marking, literal replace (both
+    * engines are left-to-right non-overlapping — BPE's greedy order),
+    * chr(1) markers and md5 agree byte-for-byte; [[encodeOracleSql]]
+    * generates the DuckDB replay from the SAME merge list so the two
+    * sides can never drift.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[MergeStep]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"),
+      tk => length(tk) > 0)
+    val enc = concat_ws(" ",
+      transform(words, tk => segment(tk, merges)))
+    docs.select(col(idCol), enc.as("enc"))
+      .select(col(idCol),
+        ((length(col("enc")) -
+          length(call_function("replace", col("enc"), lit(M), lit("")))))
+          .cast("long").as("n_tokens"),
+        md5(col("enc").cast("binary")).as("enc_md5"))
+  }
+
+  /** The DuckDB replay of [[encode]]'s per-token chain, generated from
+    * the same merge list (the "generate unrolled SQL, never hand-copy"
+    * rule). `tk` is the free variable naming the token expression.
+    */
+  def encodeOracleSql(merges: Seq[MergeStep]): String = {
+    def q(s: String): String =
+      s.flatMap(c => if (c == '\'') "''" else c.toString)
+    val base = "regexp_replace(tk, '(.)', chr(1) || '\\1', 'g')"
+    merges.foldLeft(base) { (acc, m) =>
+      s"replace($acc, chr(1) || '${q(m.a)}' || chr(1) || '${q(m.b)}'," +
+        s" chr(1) || '${q(m.a + m.b)}')"
+    }
+  }
 }

@@ -1657,6 +1657,51 @@ object TextOps {
       FROM kept k JOIN nt ON nt.doc_id = k.doc_id
       GROUP BY k.doc_id, nt.n_tokens"""))
 
+  /** The merge table q208 applies — ordered, with two MULTI-LEVEL
+    * chains ((t,h)→(th,e) and (s,c)→(sc,a)→(sca,n)) so the gate
+    * exercises merges whose operands are earlier merge outputs. In
+    * production this table is the trained artifact (q142/q154's
+    * output); a fixed list keeps the gate deterministic and the oracle
+    * text generated from the SAME Scala value.
+    */
+  private val bpeEncodeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "r"), ("or", "d"), ("w", "i")).zipWithIndex
+    .map { case ((a, b), i) => graft.operators.BpeTrainer.MergeStep(i, a, b, 0L) }
+
+  /** Production BPE tokenization (ENCODE): apply a trained merge table
+    * to every document — the inference twin of the q142/q154 trainer
+    * family and the pass every token-budget/packing stage upstream
+    * depends on. One scan, zero shuffle, zero UDF: the whole per-word
+    * merge chain is codegen'd string replaces
+    * ([[graft.operators.BpeTrainer.encode]]); per doc it reports the
+    * BPE token count and an md5 witness of the full token stream, so
+    * the hash gate pins every merge application on every word. The
+    * DuckDB oracle's replace chain is GENERATED from the same merge
+    * list (BpeTrainer.encodeOracleSql) — the two sides cannot drift.
+    */
+  val q208BpeEncode = Q(
+    "q208_bpe_encode",
+    (s, dir) => graft.operators.BpeTrainer.encode(
+      t(s, dir)("documents"), "doc_id", "text", bpeEncodeMerges),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           tk -> len(tk) > 0) AS w
+        FROM documents),
+      enc AS (
+        SELECT doc_id,
+               array_to_string(list_transform(w,
+                 tk -> ${graft.operators.BpeTrainer.encodeOracleSql(bpeEncodeMerges)}),
+                 ' ') AS e
+        FROM toks)
+      SELECT doc_id,
+             CAST(length(e) - length(replace(e, chr(1), '')) AS BIGINT)
+               AS n_tokens,
+             md5(e) AS enc_md5
+      FROM enc"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1666,5 +1711,5 @@ object TextOps {
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
     q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk,
-    q202SpanRewrite)
+    q202SpanRewrite, q208BpeEncode)
 }
