@@ -549,6 +549,167 @@ object Multimodal {
     * contract as `decodeImages` (MJPEG pools run over the decoded
     * raster's bands — 1 for grayscale).
     */
+  /** RIFF/AVI container walk shared by the decode legs: returns
+    * (width, height, isMjpeg, frame chunk (offset, size) list). Fails
+    * loudly on corrupt/hostile chunk sizes — never a non-advancing
+    * loop.
+    */
+  private def aviWalk(mediaId: Long, payload: Array[Byte])
+      : (Int, Int, Boolean, IndexedSeq[(Int, Int)]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x20495641,
+      s"media_id=$mediaId: not a RIFF/AVI file")
+    var w = 0
+    var h = 0
+    var mjpeg = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = bb.getInt(off)
+        val size = bb.getInt(off + 4)
+        // compare in Long — off + 8 + size can wrap Int
+        require(size >= 0 && off.toLong + 8 + size <= to,
+          s"media_id=$mediaId: corrupt RIFF chunk size $size at offset $off")
+        if (id == 0x5453494C) walk(off + 12, off + 8 + size) // LIST
+        else if (id == 0x66727473) { // "strf" = BITMAPINFOHEADER
+          w = bb.getInt(off + 12)
+          h = bb.getInt(off + 16)
+          bb.getInt(off + 24) match {
+            case 0 => // uncompressed DIB
+              require((bb.getShort(off + 22) & 0xFFFF) == 24,
+                s"media_id=$mediaId: only 24-bit DIB supported")
+            case 0x47504A4D => mjpeg = true // 'MJPG'
+            case c => sys.error(
+              s"media_id=$mediaId: unsupported AVI compression 0x${c.toHexString}")
+          }
+        } else if (id == 0x62643030 || id == 0x63643030) // 00db | 00dc
+          frames += ((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, payload.length)
+    require(w > 0 && h > 0 && frames.nonEmpty,
+      s"media_id=$mediaId: missing strf/frames")
+    (w, h, mjpeg, frames.toIndexedSeq)
+  }
+
+  final case class FrameDhash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-FRAME perceptual dHash over the real decoded AVI frames — the
+    * video leg of the image dHash family: grayscale = channel sum,
+    * pooled to the same 9×8 grid as [[imageDhash]] (identical bit
+    * formula, so an independent implementation of the pixel formula
+    * reproduces every hash bit-for-bit). Sampled every `everyNth`
+    * frame; emits compact (media_id, frame_idx, dhash) rows — payloads
+    * never reach a shuffle.
+    */
+  def aviFrameDhash(media: DataFrame, everyNth: Int = 3,
+      batchSize: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cols = 9; val rows = 8
+    media.select("media_id", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { m =>
+            val (w, h, mjpeg, frames) = aviWalk(m.media_id, m.payload)
+            val rowLen = (w * 3 + 3) / 4 * 4
+            (0 until frames.length by everyNth).map { f =>
+              val (base, fsize) = frames(f)
+              val cellSum = new Array[Long](cols * rows)
+              val cellN = new Array[Long](cols * rows)
+              if (mjpeg) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload, base, fsize))
+                require(img != null,
+                  s"media_id=${m.media_id}: undecodable MJPEG frame $f")
+                val raster = img.getRaster
+                val c = raster.getNumBands
+                var y = 0
+                while (y < h) {
+                  val cy = y * rows / h
+                  var x = 0
+                  while (x < w) {
+                    val cell = cy * cols + x * cols / w
+                    var b = 0
+                    while (b < c) {
+                      cellSum(cell) += raster.getSample(x, y, b)
+                      b += 1
+                    }
+                    cellN(cell) += c
+                    x += 1
+                  }
+                  y += 1
+                }
+              } else {
+                var y = 0
+                while (y < h) {
+                  val rowOff = base + (h - 1 - y) * rowLen // bottom-up rows
+                  val cy = y * rows / h
+                  var x = 0
+                  while (x < w) {
+                    val cell = cy * cols + x * cols / w
+                    var ch = 0
+                    while (ch < 3) {
+                      cellSum(cell) += m.payload(rowOff + x * 3 + ch) & 0xFF
+                      ch += 1
+                    }
+                    cellN(cell) += 3
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              def cellV(i: Int): Long =
+                if (cellN(i) == 0) 0L else cellSum(i) / cellN(i)
+              var hash = 0L
+              var r = 0
+              while (r < rows) {
+                var c0 = 0
+                while (c0 < cols - 1) {
+                  if (cellV(r * cols + c0) < cellV(r * cols + c0 + 1))
+                    hash |= 1L << (r * (cols - 1) + c0)
+                  c0 += 1
+                }
+                r += 1
+              }
+              FrameDhash(m.media_id, f, hash)
+            }
+          }
+        }
+      }.toDF()
+  }
+
+  /** Video near-dup pairing over per-frame dHash sets — the standard
+    * frame-fingerprint inverted index: candidates are video pairs
+    * sharing at least one EXACT frame hash (join on the compact dhash
+    * key — a shared perceptual frame hash is the strong signal for
+    * duplicated footage), verified by set-Jaccard over each video's
+    * DISTINCT frame-hash set at >= 1/2, expressed in exact integers
+    * (2·shared >= union). Output: (id_a, id_b, n_shared, n_a, n_b).
+    * Scale shape: the inverted index is |distinct frame hashes| rows;
+    * pairs are generated per-hash-bucket, never video × video.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame): DataFrame = {
+    val hs = frameHashes
+      .select(col("media_id"), col("dhash")).distinct()
+    val sizes = hs.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val cand = hs.as("a").join(hs.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    cand
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("n_a")),
+        "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("n_b")),
+        "id_b")
+      .filter(col("n_shared") * 2 >= col("n_a") + col("n_b") - col("n_shared"))
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+  }
+
   def decodeAviFrames(media: DataFrame, everyNth: Int = 3,
       batchSize: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -558,47 +719,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { m =>
-            val bb = java.nio.ByteBuffer.wrap(m.payload)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            require(bb.getInt(0) == 0x46464952 && bb.getInt(8) == 0x20495641,
-              s"media_id=${m.media_id}: not a RIFF/AVI file")
-            var w = 0
-            var h = 0
-            var mjpeg = false
-            // (offset, size) of each frame chunk's payload
-            val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-            // walk chunks, descending into LIST payloads
-            def walk(from: Int, to: Int): Unit = {
-              var off = from
-              while (off + 8 <= to) {
-                val id = bb.getInt(off)
-                val size = bb.getInt(off + 4)
-                // a hostile/corrupt size (negative, or past the end of the
-                // enclosing list) must fail loudly, not wedge the walk in a
-                // non-advancing loop; compare in Long — off + 8 + size can
-                // wrap Int
-                require(size >= 0 && off.toLong + 8 + size <= to,
-                  s"media_id=${m.media_id}: corrupt RIFF chunk size $size at offset $off")
-                if (id == 0x5453494C) walk(off + 12, off + 8 + size) // LIST
-                else if (id == 0x66727473) { // "strf" = BITMAPINFOHEADER
-                  w = bb.getInt(off + 12)
-                  h = bb.getInt(off + 16)
-                  bb.getInt(off + 24) match {
-                    case 0 => // uncompressed DIB
-                      require((bb.getShort(off + 22) & 0xFFFF) == 24,
-                        s"media_id=${m.media_id}: only 24-bit DIB supported")
-                    case 0x47504A4D => mjpeg = true // 'MJPG'
-                    case c => sys.error(
-                      s"media_id=${m.media_id}: unsupported AVI compression 0x${c.toHexString}")
-                  }
-                } else if (id == 0x62643030 || id == 0x63643030) // 00db | 00dc
-                  frames += ((off + 8, size))
-                off += 8 + size + (size & 1)
-              }
-            }
-            walk(12, m.payload.length)
-            require(w > 0 && h > 0 && frames.nonEmpty,
-              s"media_id=${m.media_id}: missing strf/frames")
+            val (w, h, mjpeg, frames) = aviWalk(m.media_id, m.payload)
             val rowLen = (w * 3 + 3) / 4 * 4
             (0 until frames.length by everyNth).map { f =>
               val (base, fsize) = frames(f)

@@ -1092,11 +1092,55 @@ object DedupQueries {
       JOIN nf na ON na.doc_id = p.ai
       JOIN nf nb ON nb.doc_id = p.bi"""))
 
+  /** VIDEO near-dup pairing — duplicated-footage detection, the video
+    * leg of the dedup family (image q161, audio q170): every 3rd frame
+    * of each real AVI decodes to the SAME 9×8 dHash as q161's images
+    * (Multimodal.aviFrameDhash — the container walk and row decode are
+    * the q94 path), then videos pair through the frame-fingerprint
+    * inverted index: a hash bucket joins videos sharing an EXACT frame
+    * hash, and survivors verify by set-Jaccard ≥ 1/2 over each video's
+    * distinct frame-hash set — all exact integers (2·shared ≥ union).
+    * Never video × video: pairs are generated per hash bucket, the
+    * scale shape of frame-fingerprint video dedup. Fixture
+    * (tools/video_dedup_fixture.py): clip_4 replays clip_1's pixel
+    * formula with 3 extra frames — byte-identical shared footage — so
+    * the closed form is exactly one pair (1, 4) sharing 3 of {3, 4}
+    * sampled hashes, base clips fully disjoint (script-asserted). The
+    * expected parquet's dhashes come from the INDEPENDENT formula
+    * implementation, so the oracle also pins the decode.
+    */
+  val q209VideoNearDup = Q(
+    "q209_video_near_dup",
+    (s, _) => {
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .load("/root/repo/data/avi_dedup")
+        .select(
+          regexp_extract(col("path"), "clip_(\\d+)\\.avi$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      Multimodal.videoNearDupPairs(
+        Multimodal.aviFrameDhash(media, everyNth = 3))
+    },
+    Some("""
+      WITH h AS (SELECT DISTINCT media_id, dhash
+                 FROM '/root/repo/data/video_dhash_expected.parquet'),
+      sizes AS (SELECT media_id, count(*) AS n FROM h GROUP BY 1),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
+        FROM h a JOIN h b ON a.dhash = b.dhash AND a.media_id < b.media_id
+        GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b, CAST(c.n_shared AS BIGINT) AS n_shared,
+             CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+      FROM cand c JOIN sizes sa ON sa.media_id = c.id_a
+      JOIN sizes sb ON sb.media_id = c.id_b
+      WHERE c.n_shared * 2 >= sa.n + sb.n - c.n_shared"""))
+
   val qs: Seq[Q] =
     Seq(q37MinhashDedup, q38SimhashPairs, q55BlobMeta, q56MediaEmbedSim,
       q80PngDecode, q92WavDecode, q94AviDecode, q101FeatureEmbedSim,
       q102AviMjpeg, q112ClusterDedup, q116IncrementalDedup,
       q146MultimodalPack, q156StreamDedup, q161ImageDhash,
       q170AudioFingerprint, q171SceneCuts, q183StreamCuration,
-      q196Winnowing, q201WinnowingPairs)
+      q196Winnowing, q201WinnowingPairs, q209VideoNearDup)
 }

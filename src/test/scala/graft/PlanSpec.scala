@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q208: BPE encode is one shuffle-free codegen'd scan") {
+    // the production tokenization pass must live entirely inside the
+    // scan stage: no exchange of any kind, whole-stage codegen'd
+    val p = plan("q208_bpe_encode")
+    assert(!p.contains("Exchange"), s"bpe encode gained a shuffle:\n$p")
+    assert(p.contains("*("), s"bpe encode fell out of codegen:\n$p")
+  }
+
   test("q161: banded dHash pairing never degenerates to a cross join") {
     // the r15 weak item: the registered lambda must BE the banded scale
     // shape — an equi-join on (band index, band value), never all-pairs

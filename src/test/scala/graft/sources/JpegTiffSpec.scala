@@ -155,6 +155,23 @@ class JpegTiffSpec extends SparkSpec {
       sb.toString)
   }
 
+  test("header-truncated jpeg tile bytes fail loudly, never hang") {
+    // cuts inside the marker headers make ImageIO.read return null or
+    // throw — either way decodeGray raises. (Cuts inside the ENTROPY
+    // segment are tolerated by the JDK decoder — it completes with the
+    // bits it has — so wrong-bytes corruption there surfaces as a value
+    // mismatch in the hash gates, not an exception; the TIFF byteCount
+    // from the IFD is what bounds the read.)
+    val px = Array.tabulate(16 * 16)(i => blockVal((i % 16) / 8, (i / 16) / 8))
+    val full = JpegCodec.encodeGray(px, 16, 16, quality = 100)
+    for (cut <- Seq(2, 40, 120)) {
+      val e = intercept[Exception] {
+        JpegCodec.decodeGray(java.util.Arrays.copyOf(full, cut))
+      }
+      assert(e.getMessage != null, s"cut at $cut")
+    }
+  }
+
   test("jpeg + non-8-bit is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       TiffWriter.writeGrid(Seq((ox + 5.0, oy - 5.0, 1)).toDF("x", "y", "value"),
