@@ -42,11 +42,14 @@ object VideoDedupMacroBench {
   /** Minimal spec-conformant single-stream DIB AVI (the independent
     * python fixture writer's layout, re-expressed for executor-side
     * generation — the READ side under test stays the engine's parser).
+    * `universal` = frame 0 is the SAME in every clip (the black-frame /
+    * test-card adversary for the df cap).
     */
-  private def aviBytes(srcId: Long): Array[Byte] = {
+  private def aviBytes(srcId: Long, universal: Boolean): Array[Byte] = {
     val rowLen = (W * 3 + 3) / 4 * 4
     val fsize = rowLen * H
     def frame(f: Int): Array[Byte] = {
+      val fsrc = if (universal && f == 0) -1L else srcId
       val out = new Array[Byte](fsize)
       var y = H - 1
       var o = 0
@@ -55,7 +58,7 @@ object VideoDedupMacroBench {
         while (x < W) {
           var ch = 0
           while (ch < 3) {
-            out(o + x * 3 + ch) = pix(srcId, f, x, y, ch).toByte
+            out(o + x * 3 + ch) = pix(fsrc, f, x, y, ch).toByte
             ch += 1
           }
           x += 1
@@ -108,7 +111,13 @@ object VideoDedupMacroBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val n = args.filterNot(_.startsWith("--")).headOption
+      .map(_.toInt).getOrElse(20000)
+    // --universal: EVERY clip shares frame 0 — without the dfCap
+    // stop-fingerprint guard that one hash bucket alone would emit
+    // C(n, 2) candidate pairs (5e9 at 100k clips); with it the bucket
+    // is dropped and the planted pairs still verify on frames 3/6/9
+    val universal = args.contains("--universal")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -122,7 +131,7 @@ object VideoDedupMacroBench {
     val media = spark.range(n.toLong).as[Long]
       .mapPartitions(_.map { id =>
         val src = if (id % 50 == 49) id - 1 else id
-        (id, aviBytes(src))
+        (id, aviBytes(src, universal))
       })
       .toDF("media_id", "payload")
       .cache()
@@ -130,7 +139,12 @@ object VideoDedupMacroBench {
 
     val t0 = System.nanoTime()
     val fh = Multimodal.aviFrameDhash(media, everyNth = 3).cache()
-    val hs = fh.select("media_id", "dhash").distinct()
+    // candidate count mirrors the operator's internal df-capped buckets
+    val hs0 = fh.select("media_id", "dhash").distinct()
+    val rare = hs0.groupBy("dhash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("dhash")
+    val hs = hs0.join(rare, Seq("dhash"), "left_semi")
+      .select("media_id", "dhash")
     val nCand = hs.as("a").join(hs.as("b"),
         col("a.dhash") === col("b.dhash") &&
           col("a.media_id") < col("b.media_id")).count()
@@ -143,15 +157,17 @@ object VideoDedupMacroBench {
     require(found == planted,
       s"verified pairs != planted: missing=${(planted -- found).take(5)} " +
         s"extra=${(found -- planted).take(5)}")
-    // every planted pair shares ALL 4 sampled hashes (byte-identical)
-    require(pairs.forall(_.getLong(2) == (Frames + 2) / 3),
+    // every planted pair shares all sampled hashes (byte-identical);
+    // in universal mode the shared frame-0 hash is df-capped away
+    val expShared = (Frames + 2) / 3 - (if (universal) 1 else 0)
+    require(pairs.forall(_.getLong(2) == expShared),
       s"planted pair lost shared frames: ${pairs.take(3).mkString}")
     // bucket pairs ≈ planted shares + uniform 64-bit collisions (~0)
     require(nCand <= planted.size.toLong * ((Frames + 2) / 3) + 10 + n / 100,
       s"candidate blow-up: $nCand")
     fh.unpersist(); media.unpersist()
 
-    println(f"""{"metric":"video_dedup_macro","value":$sec%.2f,"unit":"sec","n_clips":$n,"frames_each":$Frames,"planted_pairs":${planted.size},"found_pairs":${found.size},"bucket_pairs":$nCand}""")
+    println(f"""{"metric":"video_dedup_macro","value":$sec%.2f,"unit":"sec","n_clips":$n,"universal":$universal,"frames_each":$Frames,"planted_pairs":${planted.size},"found_pairs":${found.size},"bucket_pairs":$nCand}""")
     spark.stop()
   }
 }

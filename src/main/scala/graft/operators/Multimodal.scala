@@ -689,12 +689,31 @@ object Multimodal {
     * duplicated footage), verified by set-Jaccard over each video's
     * DISTINCT frame-hash set at >= 1/2, expressed in exact integers
     * (2·shared >= union). Output: (id_a, id_b, n_shared, n_a, n_b).
+    *
+    * `dfCap` is the stop-fingerprint guard (the q201 winnowing lesson
+    * applied to video): a frame hash appearing in more than `dfCap`
+    * DISTINCT videos — black/intro/outro frames, test cards — is
+    * non-discriminative AND its bucket alone would produce O(df²)
+    * candidate pairs (a universal frame at n videos = C(n, 2) pairs =
+    * the quadratic scale-killer). Capped hashes are dropped from BOTH
+    * the candidate buckets and the per-video set sizes, so the Jaccard
+    * stays a consistent measure over discriminative hashes.
+    *
     * Scale shape: the inverted index is |distinct frame hashes| rows;
-    * pairs are generated per-hash-bucket, never video × video.
+    * pairs are generated per-hash-bucket with bucket size ≤ dfCap,
+    * never video × video (VideoDedupMacroBench's --universal arm pins
+    * the adversarial case).
     */
-  def videoNearDupPairs(frameHashes: DataFrame): DataFrame = {
-    val hs = frameHashes
+  def videoNearDupPairs(frameHashes: DataFrame, dfCap: Int = 50): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (got $dfCap)")
+    val hs0 = frameHashes
       .select(col("media_id"), col("dhash")).distinct()
+    // stop-fingerprint cap: compact (dhash, df) aggregate, semi-joined
+    val rare = hs0.groupBy("dhash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("dhash")
+    val hs = hs0.join(rare, Seq("dhash"), "left_semi")
+      // semi-joins rotate the key column first — pin output order
+      .select(col("media_id"), col("dhash"))
     val sizes = hs.groupBy("media_id").agg(count(lit(1)).as("n"))
     val cand = hs.as("a").join(hs.as("b"),
         col("a.dhash") === col("b.dhash") &&

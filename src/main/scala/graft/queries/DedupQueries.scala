@@ -1123,8 +1123,10 @@ object DedupQueries {
         Multimodal.aviFrameDhash(media, everyNth = 3))
     },
     Some("""
-      WITH h AS (SELECT DISTINCT media_id, dhash
-                 FROM '/root/repo/data/video_dhash_expected.parquet'),
+      WITH h0 AS (SELECT DISTINCT media_id, dhash
+                  FROM '/root/repo/data/video_dhash_expected.parquet'),
+      rare AS (SELECT dhash FROM h0 GROUP BY 1 HAVING count(*) <= 50),
+      h AS (SELECT h0.media_id, h0.dhash FROM h0 JOIN rare USING (dhash)),
       sizes AS (SELECT media_id, count(*) AS n FROM h GROUP BY 1),
       cand AS (
         SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
