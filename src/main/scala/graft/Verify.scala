@@ -45,6 +45,12 @@ object Verify {
         // the compare, not silently pass it
         graft.sources.FsOps.delete(spark, s"$outDir/$name")
       }
+      // queries run sequentially and the dump above is a full
+      // materialization, so nothing downstream still needs a cache a
+      // query registered for its own lazy plan (q162's eval-gram table
+      // + bloom view) — release it so a 200-query run never accumulates
+      // cached tables or temp views (the r16 advice item)
+      finally graft.core.ScopedCache.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

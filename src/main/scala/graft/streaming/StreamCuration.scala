@@ -165,13 +165,16 @@ object StreamCuration {
           var packed = state.getOption.getOrElse(Array.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[CurVerdict]
           rows.toSeq.sortBy(_.docId).foreach { r =>
-            val sortedA = r.shh.clone()
-            java.util.Arrays.sort(sortedA)
+            // sorted+distinct on BOTH the probe and the stored block —
+            // packedHit's union formula is set arithmetic on both sides
+            // (the r16 advice item; curationRows already array_distincts
+            // shh, so this is caller-robustness, not a semantics change)
+            val sortedA = StreamDedup.distinctSorted(r.shh)
             val hit = StreamDedup.packedHit(packed, sortedA, r.docId,
               threshold)
             out += CurVerdict(r.docId, hit, r.contaminated)
             packed = StreamDedup.appendBlock(packed, r.docId,
-              corpus = false, r.shh)
+              corpus = false, sortedA)
           }
           state.update(packed)
           out.iterator

@@ -204,7 +204,12 @@ object StreamDedup {
             val sortedA = distinctSorted(r.shh)
             val hit = packedHit(packed, sortedA, r.docId, threshold)
             out += Verdict(r.docId, hit)
-            packed = appendBlock(packed, r.docId, corpus = false, r.shh)
+            // store the SAME sorted+distinct array we probed with: a raw
+            // non-distinct r.shh would persist inflated block sizes that
+            // deflate Jaccard for every LATER arrival probing this block
+            // (the r16 advice item — stored order is irrelevant to
+            // packedHit's binarySearch-on-probe scan).
+            packed = appendBlock(packed, r.docId, corpus = false, sortedA)
           }
           state.update(packed)
           out.iterator

@@ -356,7 +356,7 @@ class PlanSpec extends SparkSpec {
     val exKeys = "Exchange hashpartitioning\\((\\w+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exKeys.size <= 2, s"train gram scan gained extra shuffles ($exKeys):\n$p")
-    spark.sharedState.cacheManager.clearCache()
+    graft.core.ScopedCache.releaseAll()
   }
 
   test("q163: classifier weights join is a broadcast, never a shuffle of features") {
