@@ -92,13 +92,13 @@ object StreamCurationMacroBench {
       .localCheckpoint(true)
 
     // tiny eval split (the bloom stage is a stateless rider here; its
-    // cost story is q162's — the macro stresses the dedup state path)
-    val m = 65536L
-    val evalGks = corpus.filter(col("doc_id") % 99991 === 0)
-      .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
-      .distinct().as[Long].collect()
-    val positions = (for (gk <- evalGks; j <- 0 to 2) yield Math.floorMod(
-      Dedup.md5Hash64Local(gk.toString + "_" + j), m)).distinct
+    // cost story is q162's — the macro stresses the dedup state path).
+    // Distributed build: only the one packed row reaches the driver.
+    val words = StreamCuration.packedEvalBloom(
+      corpus.filter(col("doc_id") % 99991 === 0)
+        .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
+        .distinct(),
+      m = 65536L)
 
     val corpusQ = corpus.filter(StreamCuration.qualityScore(col("text")) > 0)
     // corpus band rows computed ONCE and checkpointed: the initial
@@ -202,7 +202,7 @@ object StreamCurationMacroBench {
         .as[(Long, String)].map(identity).toDF("doc_id", "text")
       StreamCuration.curationStream(
           StreamCuration.curationRows(spread,
-            "doc_id", "text", positions, evalGks), init)
+            "doc_id", "text", words), init)
         .toDF()
         .writeStream
         .foreachBatch { (df: org.apache.spark.sql.Dataset[

@@ -775,13 +775,21 @@ object DedupQueries {
     (s, dir) => {
       import graft.streaming.{FileReplay, StreamCuration, StreamDedup}
       val docs = Tables.load(s, dir, "documents")
-      val m = 65536L
-      // build-time: eval gram keys + local bloom fold (the q162 shape)
-      val evalGks = docs.filter(col("doc_id") % 199 === 0)
+      // build-time: DISTRIBUTED eval gram table + bloom fold (the q162
+      // shape — the r16 verdict item: only the ONE packed m/64-long row
+      // ever reaches the driver, never the gram keys). m sized from the
+      // eval gram count at load ≈ 0.25; cap 2^27 bits (16 MB) because
+      // the words array becomes a LITERAL in the stream plan, serialized
+      // per task — past the cap FPR grows and the batch exact-verify
+      // absorbs it.
+      val evalGk = docs.filter(col("doc_id") % 199 === 0)
         .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
-        .distinct().as[Long](s.implicits.newLongEncoder).collect()
-      val positions = (for (gk <- evalGks; j <- 0 to 2) yield Math.floorMod(
-        Dedup.md5Hash64Local(gk.toString + "_" + j), m)).distinct
+        .distinct().cache()
+      graft.core.ScopedCache.put("q183_eval", evalGk)
+      val nEval = evalGk.count()
+      val m = math.max(65536L,
+        math.min(1L << 27, ((nEval * 12L + 63L) / 64L) * 64L))
+      val words = StreamCuration.packedEvalBloom(evalGk, m)
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         .filter(StreamCuration.qualityScore(col("text")) > 0)
       val init = StreamDedup.corpusIndexState(corpus, "doc_id", "text")
@@ -796,14 +804,26 @@ object DedupQueries {
           s"graft_stream_curation_$h") { stream =>
           StreamCuration.curationStream(
             StreamCuration.curationRows(stream, "doc_id", "text",
-              positions, evalGks), init).toDF()
+              words), init).toDF()
         }
-      // phase 2 (batch): OR the per-band verdicts, join back the funnel
+      // phase 2 (batch): OR the per-band verdicts, exact-verify the
+      // (rare) bloom candidates against the distributed eval gram table
+      // — the q201 verify-the-candidates posture. Bloom has no false
+      // negatives, so non-candidate docs are provably clean and never
+      // re-scan.
       val perDoc = verdicts.groupBy(col("docId").as("doc_id"))
         .agg(max(col("matched")).as("matched"),
-          max(col("contaminated")).as("contaminated"))
+          max(col("candidate")).as("candidate"))
+      val contam = delta
+        .join(perDoc.filter(col("candidate")).select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          explode(StreamCuration.gramKeys(col("text"))).as("gk"))
+        .join(broadcast(evalGk), Seq("gk"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
       val q = StreamCuration.qualityScore(col("text")) > 0
       delta.join(perDoc, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
         .select(col("lang"), q.as("quality"),
           coalesce(col("matched"), lit(false)).as("matched"),
           coalesce(col("contaminated"), lit(false)).as("contaminated"))

@@ -25,10 +25,14 @@ import graft.operators.Dedup
   *    weights make the lookup a pure expression, so the stage is
   *    stateless and arithmetically IDENTICAL to the batch form (exact
   *    long sums, any order). Rejected docs stop here and never index.
-  *  - decontamination: per-doc 3-gram keys tested against the broadcast
-  *    65536-bit bloom literal, survivors exact-verified against the
-  *    eval-key array — q162's two-phase semantics as a stateless
-  *    projection; the flag rides along to the verdict.
+  *  - decontamination: per-doc 3-gram keys tested against the packed
+  *    bloom-bit literal (built DISTRIBUTEDLY by the BloomBits
+  *    aggregator — only the ONE m/64-long row ever reaches the driver,
+  *    never the eval gram keys themselves, the r16 verdict item). The
+  *    stream emits the bloom CANDIDATE flag; exact verification of the
+  *    (rare) candidates is the caller's batch phase — the q201
+  *    verify-the-candidates posture. Bloom has no false negatives, so
+  *    non-candidates are provably clean.
   *  - dedup: the ONE stateful op — q156's per-band
   *    `flatMapGroupsWithState` with the corpus index as initial state,
   *    extended to carry the contamination flag through.
@@ -40,15 +44,17 @@ import graft.operators.Dedup
 object StreamCuration {
 
   /** One (band bucket, document) occurrence with the doc's verification
-    * hash set and its (stateless) contamination verdict attached.
+    * hash set and its (stateless) bloom-candidate flag attached.
     */
   case class CurRow(bandHash: Long, docId: Long, shh: Array[Long],
-      contaminated: Boolean)
+      candidate: Boolean)
 
   /** Final per-(band, doc) verdict; a doc is a duplicate iff ANY band
-    * matched (LSH OR-semantics — aggregate downstream).
+    * matched (LSH OR-semantics — aggregate downstream). `candidate` is
+    * the bloom prefilter flag: false ⇒ provably uncontaminated, true ⇒
+    * exact-verify in the caller's batch phase.
     */
-  case class CurVerdict(docId: Long, matched: Boolean, contaminated: Boolean)
+  case class CurVerdict(docId: Long, matched: Boolean, candidate: Boolean)
 
   /** q163's hashed linear quality score as one stateless expression:
     * tokens ++ bigrams, bucket = md5Hash64(f) mod 4096, weight =
@@ -86,32 +92,47 @@ object StreamCuration {
     transform(grams, g => Dedup.md5Hash64(g))
   }
 
+  /** Distributed bloom build over the (distributed) distinct eval gram
+    * keys: explode the 3 md5 positions per key, bound the single-reducer
+    * fan-in with a compact-long repartition (the r12 big-buffer merge
+    * lesson), OR-merge BloomBits partials, and collect ONLY the one
+    * packed m/64-long row. The eval key set itself never touches the
+    * driver — the r16 verdict item that q162 fixed and q183 still had:
+    * collecting every distinct gram key grows with eval-set cardinality;
+    * this collect is a fixed m/8 bytes.
+    */
+  def packedEvalBloom(evalGramKeys: DataFrame, m: Long): Array[Long] = {
+    require(m % 64 == 0 && m >= 64 && m <= (1L << 30),
+      s"bloom m must be a multiple of 64 in [64, 2^30], got $m")
+    def pos(j: Int): Column =
+      pmod(Dedup.md5Hash64(concat(col("gk").cast("string"), lit("_" + j))),
+        lit(m))
+    evalGramKeys
+      .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+      .repartition(8)
+      .agg(graft.functions.BloomBits(m.toInt)(col("p")).as("words"))
+      .head().getAs[Seq[Long]]("words").toArray
+  }
+
   /** Stateless front of the stream: quality-gate arrivals, attach the
-    * two-phase contamination flag (bloom literal prefilter + exact
-    * eval-key verify), then explode to per-band rows with the
-    * verification hash set — the typed `map(identity)` barrier stops
-    * projection collapse from re-inlining the k-hash signature per band
-    * (the q156 lesson).
+    * bloom-candidate contamination flag, then explode to per-band rows
+    * with the verification hash set — the typed `map(identity)` barrier
+    * stops projection collapse from re-inlining the k-hash signature per
+    * band (the q156 lesson). `bloomWords` is the packed m-bit filter
+    * from [[packedEvalBloom]] (m = 64 × words.length); it becomes a
+    * word-array literal in the stream plan, tested in O(1) per probe
+    * (element_at + shiftleft mask — the original position-set
+    * array_contains was a LINEAR scan per probe, the dominant
+    * stateless-front cost of the 3M-doc macro).
     */
   def curationRows(docs: DataFrame, idCol: String, textCol: String,
-      bloomPositions: Array[Long], evalKeys: Array[Long], m: Long = 65536L,
+      bloomWords: Array[Long],
       n: Int = 3, k: Int = 64, bands: Int = 16): Dataset[CurRow] = {
     val s = docs.sparkSession
     import s.implicits._
-    require(m % 64 == 0, s"bloom m must be a multiple of 64, got $m")
-    // the positions packed into an m-bit word array literal — identical
-    // membership semantics to q162's packed bit array, tested in O(1)
-    // per probe (element_at + shiftleft mask). The original position-
-    // set array_contains was a LINEAR scan over every set position per
-    // probe — ~3 probes × ~290 grams × |positions| comparisons per doc,
-    // the dominant stateless-front cost of the 3M-doc macro.
-    val words = new Array[Long]((m / 64).toInt)
-    bloomPositions.foreach { p =>
-      require(p >= 0 && p < m, s"bloom position $p out of [0, $m)")
-      words(p.toInt >>> 6) |= 1L << (p.toInt & 63)
-    }
-    val wordsLit = typedLit(words.toSeq)
-    val evalLit = typedLit(evalKeys.toSeq)
+    require(bloomWords.nonEmpty, "empty bloom filter")
+    val m = bloomWords.length.toLong * 64L
+    val wordsLit = typedLit(bloomWords.toSeq)
     def pos(gk: Column, j: Int): Column =
       pmod(Dedup.md5Hash64(concat(gk.cast("string"), lit("_" + j))), lit(m))
     // word index is exact in double arithmetic (p < m <= 2^53)
@@ -124,24 +145,23 @@ object StreamCuration {
       .filter(qualityScore(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("docId"),
         Dedup.shingles(col(textCol), n).as("sh"),
-        exists(
-          filter(gramKeys(col(textCol)), gk =>
-            bitSet(pos(gk, 0)) && bitSet(pos(gk, 1)) && bitSet(pos(gk, 2))),
-          gk => array_contains(evalLit, gk)).as("contaminated"))
+        exists(gramKeys(col(textCol)), gk =>
+          bitSet(pos(gk, 0)) && bitSet(pos(gk, 1)) && bitSet(pos(gk, 2)))
+          .as("candidate"))
       .filter(size(col("sh")) > 0)
       .withColumn("shx", transform(col("sh"), t => xxhash64(t)))
       .select(col("docId"),
         array_distinct(transform(col("sh"), t => Dedup.md5Hash64(t)))
           .as("shh"),
         Dedup.minhashSignatureFromHashes(col("shx"), k).as("sig"),
-        col("contaminated"))
+        col("candidate"))
       .as[(Long, Array[Long], Array[Long], Boolean)]
       .map(identity) // ser/deser barrier: signature materialized once
-      .toDF("docId", "shh", "sig", "contaminated")
-      .select(col("docId"), col("shh"), col("contaminated"),
+      .toDF("docId", "shh", "sig", "candidate")
+      .select(col("docId"), col("shh"), col("candidate"),
         explode(Dedup.bandedSignature(col("sig"), k, bands)).as("b"))
       .select(col("b.band_hash").as("bandHash"), col("docId"), col("shh"),
-        col("contaminated"))
+        col("candidate"))
       .as[CurRow]
   }
 
@@ -172,7 +192,7 @@ object StreamCuration {
             val sortedA = StreamDedup.distinctSorted(r.shh)
             val hit = StreamDedup.packedHit(packed, sortedA, r.docId,
               threshold)
-            out += CurVerdict(r.docId, hit, r.contaminated)
+            out += CurVerdict(r.docId, hit, r.candidate)
             packed = StreamDedup.appendBlock(packed, r.docId,
               corpus = false, sortedA)
           }

@@ -51,11 +51,24 @@ class StreamCurationRecoverySpec extends SparkSpec {
     val sel = delta.select(col("doc_id"), col("text"))
 
     val m = 65536L
-    val evalGks = Seq((0L, evalTxt)).toDF("doc_id", "text")
+    val evalGkDf = Seq((0L, evalTxt)).toDF("doc_id", "text")
       .select(explode(StreamCuration.gramKeys(col("text"))).as("gk"))
-      .distinct().as[Long].collect()
-    val positions = (for (gk <- evalGks; j <- 0 to 2) yield Math.floorMod(
-      Dedup.md5Hash64Local(gk.toString + "_" + j), m)).distinct
+      .distinct()
+    val evalGks = evalGkDf.as[Long].collect()
+    // distributed build (the registered q183 path) must equal the
+    // driver-side fold bit for bit — pins packedEvalBloom itself
+    val words = StreamCuration.packedEvalBloom(evalGkDf, m)
+    val localWords = new Array[Long]((m / 64).toInt)
+    for (gk <- evalGks; j <- 0 to 2) {
+      val p = Math.floorMod(Dedup.md5Hash64Local(gk.toString + "_" + j), m)
+      localWords(p.toInt >>> 6) |= 1L << (p.toInt & 63)
+    }
+    assert(words.toSeq === localWords.toSeq,
+      "distributed bloom build diverged from the driver fold")
+    def bloomHit(gk: Long): Boolean = (0 to 2).forall { j =>
+      val p = Math.floorMod(Dedup.md5Hash64Local(gk.toString + "_" + j), m)
+      (words(p.toInt >>> 6) & (1L << (p.toInt & 63))) != 0L
+    }
 
     val base = Files.createTempDirectory("graft_scur_rec").toFile
     val srcDir = new java.io.File(base, "src")
@@ -70,7 +83,7 @@ class StreamCurationRecoverySpec extends SparkSpec {
         .parquet(srcDir.getAbsolutePath)
       StreamCuration.curationStream(
         StreamCuration.curationRows(stream, "doc_id", "text",
-          positions, evalGks), init)
+          words), init)
         .toDF()
         .writeStream.format("parquet")
         .option("path", out)
@@ -98,7 +111,7 @@ class StreamCurationRecoverySpec extends SparkSpec {
     try sqr.processAllAvailable() finally sqr.stop()
 
     def verdicts(path: String) = s.read.parquet(path)
-      .groupBy("docId", "matched", "contaminated")
+      .groupBy("docId", "matched", "candidate")
       .agg(count(lit(1)).as("n"))
       .as[(Long, Boolean, Boolean, Long)].collect().toSet
     assert(verdicts(out1) === verdicts(out2))
@@ -125,20 +138,27 @@ class StreamCurationRecoverySpec extends SparkSpec {
     val evalSet = evalGks.toSet
     var seen = List.empty[Long] // corpus + earlier quality arrivals
     if (flags(1L)._2) seen ::= 1L
+    // the stream emits the bloom CANDIDATE flag (exact verify is the
+    // caller's batch phase — q183); replay the identical bloom-bit test
+    // locally so the expectation is deterministic, and pin no-false-
+    // negatives: every exactly-contaminated doc must be a candidate
     val expect = (10L to 29L).flatMap { i =>
       val (_, q, shh, gks) = flags(i)
       if (!q || shh.isEmpty) None
       else {
         val dup = seen.exists(j => jac(flags(j)._3, shh) >= 0.8)
         seen ::= i
-        Some((i, dup, gks.exists(evalSet.contains)))
+        val cand = gks.exists(bloomHit)
+        assert(!gks.exists(evalSet.contains) || cand,
+          s"bloom false negative on doc $i")
+        Some((i, dup, cand))
       }
     }.toSet
     val got = s.read.parquet(out2)
-      .groupBy("docId").agg(max("matched").as("m"), max("contaminated").as("c"))
+      .groupBy("docId").agg(max("matched").as("m"), max("candidate").as("c"))
       .as[(Long, Boolean, Boolean)].collect().toSet
     assert(got === expect)
-    // the composition is live: at least one dup and one contaminated doc
+    // the composition is live: at least one dup and one candidate doc
     assert(expect.exists(_._2) && expect.exists(_._3))
   }
 }
