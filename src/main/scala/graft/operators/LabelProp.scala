@@ -55,8 +55,13 @@ object LabelProp {
         // a mergeable aggregate instead of a window over the counts
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
         .select(col("dst"), col("b.lbl").as("nl"))
-      labels = ck(labels.join(best, col("node") === col("dst"), "left")
+      val stepped = ck(labels.join(best, col("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label")))
+      // release the superseded round (no-op on the round-0 projection)
+      // — the fixed-round loop was the ONE iterative loop missing this,
+      // caught by the counter-based ReliableCheckpointSpec rewrite
+      graft.core.Checkpoints.release(labels)
+      labels = stepped
       r += 1
     }
     labels

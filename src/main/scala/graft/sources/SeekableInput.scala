@@ -83,13 +83,63 @@ object SeekableInput {
     i > 0 && !path.startsWith("file:")
   }
 
+  /** Hadoop configuration for the default `open` path — the r16 MEDIUM
+    * advice item: a bare `new Configuration()` sees only core-site.xml,
+    * so s3a endpoints/credentials configured through Spark
+    * (`spark.hadoop.*` or session-level `spark.conf.set`) never reached
+    * the Hadoop arm. Derive it from the live Spark environment instead:
+    *
+    *  - on the DRIVER, `session.sessionState.newHadoopConf()` — carries
+    *    both SparkConf `spark.hadoop.*` entries and runtime
+    *    `spark.conf.set("spark.hadoop.…")` overrides;
+    *  - on an EXECUTOR (no active session), rebuild from
+    *    `SparkEnv.get.conf` — Spark ships every `spark.hadoop.*` key to
+    *    executors in the SparkConf, which is exactly how Spark's own
+    *    `SparkHadoopUtil.newConfiguration` populates Hadoop conf there.
+    *    Memoized: the executor's SparkConf is immutable for its
+    *    lifetime, and per-message parsers (GRIB2) open many times per
+    *    task.
+    *
+    * No Spark at all (plain-JVM tools/specs) → vanilla Configuration,
+    * the old behavior.
+    */
+  def defaultConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = s.sessionState.newHadoopConf()
+        // runtime spark.conf.set("spark.hadoop.x", …) lands in SQLConf
+        // under its FULL key and newHadoopConf applies it verbatim —
+        // strip the prefix like SparkHadoopUtil does for SparkConf
+        // entries so Hadoop code (which reads "x") actually sees it
+        s.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop."))
+            c.set(k.substring("spark.hadoop.".length), v)
+        }
+        c
+      case None =>
+        if (executorConf == null) executorConf = {
+          val c = new Configuration()
+          val env = org.apache.spark.SparkEnv.get
+          if (env != null) env.conf.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop."))
+              c.set(k.substring("spark.hadoop.".length), v)
+          }
+          c
+        }
+        executorConf
+    }
+  @volatile private var executorConf: Configuration = _
+  private[sources] def resetExecutorConfForTest(): Unit = executorConf = null
+
   /** Open `path` for positional reads. Bare paths and `file:` URIs use
     * a local FileChannel; any other scheme goes through Hadoop FS.
+    * `conf` is by-name and only evaluated on the Hadoop arm — local
+    * opens never pay for configuration construction.
     * `forceHadoop` exists for the spec: it pushes even local paths
     * through the Hadoop arm so the two implementations can be
     * byte-compared on real fixtures.
     */
-  def open(path: String, conf: Configuration = new Configuration(),
+  def open(path: String, conf: => Configuration = defaultConf(),
       forceHadoop: Boolean = false): SeekableInput =
     if (forceHadoop || isHadoopScheme(path)) hadoop(path, conf)
     else local(path)

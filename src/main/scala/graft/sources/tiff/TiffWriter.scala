@@ -91,6 +91,13 @@ object TiffWriter {
     * IFD. Each level is computed DISTRIBUTED — one groupBy per level on
     * the shared pixel frame, then the same one-shuffle tile staging as
     * the base image.
+    *
+    * WARNING — `compression = "jpeg"` with `overviews`: overview PIXEL
+    * VALUES are APPROXIMATE. Quality-100 JPEG round-trips exactly only
+    * for 8×8-block-uniform content; mean/cubic-resampled overview tiles
+    * are not block-uniform, so their re-encode is lossy (base tiles
+    * stay exact). Callers gating overview values (the q128 pattern)
+    * must use deflate. A WARN is logged at write time.
     */
   def writeGrid(df: DataFrame, path: String,
       xCol: String, yCol: String, valCol: String,
@@ -114,6 +121,17 @@ object TiffWriter {
     require(overviews.forall(_ >= 2) && overviews == overviews.sorted &&
       overviews.distinct == overviews,
       s"overview factors must be distinct, ascending, >= 2: $overviews")
+    // r16 advice, resolved by LOUD warning rather than rejection (GDAL's
+    // COMPRESS=JPEG serving pyramids are a real capability, spec-pinned):
+    // resampled overview tiles are no longer 8×8-block-uniform, so
+    // quality-100 JPEG re-encoding is LOSSY for them while base tiles
+    // stay exact — a caller gating overview VALUES (the q128 pattern)
+    // must use deflate. See the writeGrid scaladoc.
+    if (compression == "jpeg" && overviews.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "jpeg + overviews: overview pixels are APPROXIMATE (resampled " +
+          "tiles are not 8x8-uniform, their JPEG round-trip is lossy); " +
+          "base tiles stay exact. Gate overview values only with deflate.")
     require(resampling == "mean" || resampling == "cubic",
       s"resampling must be mean|cubic, got $resampling")
     require(resampling == "mean" ||

@@ -10,9 +10,13 @@ import graft.SparkSpec
   * executor loss on a real cluster. For each operator the reliable arm
   * must (a) return EXACTLY the localCheckpoint twin's result, and
   * (b) actually write one reliable RDD checkpoint PER ROUND — pinned by
-  * counting rdd-* directories against the known round structure, so a
-  * regression that silently drops back to localCheckpoint for some
-  * rounds (the unrecoverable mixed mode) fails here.
+  * the Checkpoints.reliableCreated counter against the known round
+  * structure, so a regression that silently drops back to
+  * localCheckpoint for some rounds (the unrecoverable mixed mode)
+  * fails here. release() now DELETES superseded rounds' rdd-N
+  * directories (r16 advice), so the spec additionally pins the on-disk
+  * dir count == created − deleted: the loop's footprint stays bounded
+  * instead of O(rounds × dataset).
   */
 class ReliableCheckpointSpec extends SparkSpec {
   import spark.implicits._
@@ -27,6 +31,25 @@ class ReliableCheckpointSpec extends SparkSpec {
   private def tmp(tag: String) =
     java.nio.file.Files.createTempDirectory(s"graft-rel-ckpt-$tag")
 
+  /** Run `body` with a fresh counter window; assert exactly `created`
+    * reliable checkpoints were written and that the rdd-* dirs left in
+    * `dir` equal created − deleted (superseded rounds physically gone).
+    */
+  private def pinned[T](dir: java.nio.file.Path, created: Int)(body: => T): T = {
+    val c0 = graft.core.Checkpoints.reliableCreated.get()
+    val d0 = graft.core.Checkpoints.reliableDeleted.get()
+    val out = body
+    val c = (graft.core.Checkpoints.reliableCreated.get() - c0).toInt
+    val d = (graft.core.Checkpoints.reliableDeleted.get() - d0).toInt
+    assert(c == created,
+      s"expected $created reliable checkpoints, counted $c — a round dropped to local?")
+    assert(ckptDirs(dir) == c - d,
+      s"on-disk rdd dirs ${ckptDirs(dir)} != created $c - deleted $d")
+    assert(d > 0 || created <= 3,
+      s"no superseded round was deleted across $created checkpoints")
+    out
+  }
+
   private val edges = Seq(
     (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
     (5L, 6L), (6L, 4L), (7L, 1L), (7L, 4L), (8L, 7L))
@@ -37,12 +60,12 @@ class ReliableCheckpointSpec extends SparkSpec {
     val local = PageRank.run(e, rounds = rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = tmp("pr")
-    val rel = PageRank.run(e, rounds = rounds, checkpointDir = Some(dir.toString))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rel == local)
     // static sides (nodes, linked) + one per round
-    assert(ckptDirs(dir) == 2 + rounds, s"expected ${2 + rounds} reliable " +
-      s"checkpoints, found ${ckptDirs(dir)} — a round dropped to local?")
+    val rel = pinned(dir, 2 + rounds) {
+      PageRank.run(e, rounds = rounds, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(rel == local)
   }
 
   test("PageRank.runRedistributed + runSeeded: reliable arms match local") {
@@ -50,22 +73,24 @@ class ReliableCheckpointSpec extends SparkSpec {
     val lr = PageRank.runRedistributed(e, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dirR = tmp("prr")
-    val rr = PageRank.runRedistributed(e, rounds = 3,
-        checkpointDir = Some(dirR.toString))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rr == lr)
     // nodes + linked + dangling statics, then one per round
-    assert(ckptDirs(dirR) == 3 + 3)
+    val rr = pinned(dirR, 3 + 3) {
+      PageRank.runRedistributed(e, rounds = 3,
+          checkpointDir = Some(dirR.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(rr == lr)
 
     val seeds = Seq(1L, 4L).toDF("node")
     val ls = PageRank.runSeeded(e, seeds, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dirS = tmp("prs")
-    val rs = PageRank.runSeeded(e, seeds, rounds = 3,
-        checkpointDir = Some(dirS.toString))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rs = pinned(dirS, 2 + 3) {
+      PageRank.runSeeded(e, seeds, rounds = 3,
+          checkpointDir = Some(dirS.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(rs == ls)
-    assert(ckptDirs(dirS) == 2 + 3)
   }
 
   test("Hits.run: reliable arm == local arm, three checkpoints per round") {
@@ -74,11 +99,12 @@ class ReliableCheckpointSpec extends SparkSpec {
     val local = Hits.run(e, rounds)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val dir = tmp("hits")
-    val rel = Hits.run(e, rounds, checkpointDir = Some(dir.toString))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rel == local)
     // statics (e, nodes) + per round: rawAuth, auth, rawHub, hub
-    assert(ckptDirs(dir) == 2 + 4 * rounds)
+    val rel = pinned(dir, 2 + 4 * rounds) {
+      Hits.run(e, rounds, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rel == local)
   }
 
   test("LabelProp run + runConverged: reliable arms match local") {
@@ -87,21 +113,25 @@ class ReliableCheckpointSpec extends SparkSpec {
     val local = LabelProp.run(sym, 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = tmp("lp")
-    val rel = LabelProp.run(sym, 4, checkpointDir = Some(dir.toString))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = pinned(dir, 2 + 4) { // nodes + e statics, one per round
+      LabelProp.run(sym, 4, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     assert(rel == local)
-    assert(ckptDirs(dir) == 2 + 4) // nodes + e statics, one per round
 
     val (lc, lrounds) = LabelProp.runConverged(sym, 10)
     val dirC = tmp("lpc")
-    val (rc, rrounds) = LabelProp.runConverged(sym, 10,
-      checkpointDir = Some(dirC.toString))
+    // statics (nodes, e) + label_0 + one per executed round INCLUDING
+    // the fixpoint-proving probe round
+    val (rc, rrounds) = pinned(dirC, 3 + lrounds + 1) {
+      val out = LabelProp.runConverged(sym, 10,
+        checkpointDir = Some(dirC.toString))
+      out._1.collect() // materialize inside the counter window
+      out
+    }
     assert(rrounds == lrounds)
     assert(rc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       lc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
-    // statics (nodes, e) + label_0 + one per executed round INCLUDING
-    // the fixpoint-proving probe round
-    assert(ckptDirs(dirC) == 3 + rrounds + 1)
   }
 
   test("KCore.fixpoint: reliable arm == local arm") {
@@ -110,12 +140,15 @@ class ReliableCheckpointSpec extends SparkSpec {
       .toDF("a", "b")
     val (localCore, lr) = KCore.fixpoint(es, 2)
     val dir = tmp("kcore")
-    val (relCore, rr) = KCore.fixpoint(es, 2, checkpointDir = Some(dir.toString))
+    // initial edges + one per peeling round + the no-change probe
+    val (relCore, rr) = pinned(dir, 1 + lr + 1) {
+      val out = KCore.fixpoint(es, 2, checkpointDir = Some(dir.toString))
+      out._1.collect()
+      out
+    }
     assert(rr == lr)
     assert(relCore.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       localCore.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
-    // initial edges + one per peeling round + the no-change probe
-    assert(ckptDirs(dir) == 1 + rr + 1)
   }
 
   test("KCenter run + runBatched: reliable arms match local") {
@@ -126,16 +159,20 @@ class ReliableCheckpointSpec extends SparkSpec {
     val local = KCenter.run(pts, k)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val dir = tmp("kc")
-    val rel = KCenter.run(pts, k, checkpointDir = Some(dir.toString))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rel = pinned(dir, k) { // state_0 + one per added center
+      KCenter.run(pts, k, checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
     assert(rel == local)
-    assert(ckptDirs(dir) == k) // state_0 + one per added center
 
     val dirB = tmp("kcb")
+    val c0 = graft.core.Checkpoints.reliableCreated.get()
     val relB = KCenter.runBatched(pts, k, m = 8,
         checkpointDir = Some(dirB.toString))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(relB == local) // batched ≡ sequential, reliable ≡ local
-    assert(ckptDirs(dirB) >= 2) // state_0 + >=1 outer round
+    // state_0 + >=1 outer round written; superseded rounds deleted
+    assert(graft.core.Checkpoints.reliableCreated.get() - c0 >= 2)
+    assert(ckptDirs(dirB) <= 2)
   }
 }

@@ -22,6 +22,32 @@ class SeekableInputSpec extends SparkSpec {
     assert(SeekableInput.isHadoopScheme("hdfs://nn:8020/x"))
   }
 
+  test("default conf threads Spark-level hadoop settings into the Hadoop arm") {
+    // the r16 MEDIUM advice item: parsers open with the DEFAULT conf, so
+    // s3a credentials configured through Spark (not core-site.xml) must
+    // reach it — pin both layers: session-runtime overrides …
+    spark.conf.set("spark.hadoop.graft.probe.runtime", "b2")
+    // … and SparkConf spark.hadoop.* (SparkContext.getConf returns a
+    // COPY — set on the live SparkEnv conf, the one the executor-side
+    // arm actually reads; SparkEnv exists only after the session above
+    // forced context startup)
+    org.apache.spark.SparkEnv.get.conf
+      .set("spark.hadoop.graft.probe.sparkconf", "a1")
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    SeekableInput.resetExecutorConfForTest()
+    val c = SeekableInput.defaultConf()
+    assert(c.get("graft.probe.runtime") == "b2",
+      "runtime spark.conf.set('spark.hadoop.…') did not reach defaultConf")
+    // executor-side arm (no active session): rebuilt from SparkEnv.conf
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val ec = SeekableInput.defaultConf()
+      assert(ec.get("graft.probe.sparkconf") == "a1",
+        "SparkConf spark.hadoop.* did not reach the executor-side conf")
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("Hadoop arm reads byte-identical to the FileChannel arm") {
     val local = SeekableInput.open(fixture)
     val hadoop = SeekableInput.open(fixture, forceHadoop = true)
