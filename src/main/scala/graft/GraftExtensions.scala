@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, GopherStats, HyperplaneBands, PandasFloatString, PointInPolygon, WkbRingCoords}
+import graft.functions.{CosineSim, GopherStats, HyperplaneBands, PandasFloatString, PointInPolygon, UnicodeTokens, WkbRingCoords}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.wkbRing)
     ext.injectFunction(GraftExtensions.gopherStats)
+    ext.injectFunction(GraftExtensions.unicodeTokens)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -32,7 +33,7 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim,
-      wkbRing, gopherStats).foreach {
+      wkbRing, gopherStats, unicodeTokens).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -95,6 +96,18 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "gopher_stats(tokens)")
       GopherStats(args.head)
+    })
+
+  /** unicode_tokens(text): script-aware tokenization — CJK/Thai
+    * codepoints as singleton tokens, whitespace-script runs split on
+    * \s + U+3000 (functions/UnicodeTokens).
+    */
+  val unicodeTokens: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_tokens"),
+    new ExpressionInfo(classOf[UnicodeTokens].getName, "unicode_tokens"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "unicode_tokens(text)")
+      UnicodeTokens(args.head)
     })
 
   /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH

@@ -228,6 +228,31 @@ object TextMacroBench {
       .filter(col("g").isNotNull)
       .select(col("doc_id"), xxhash64(col("g")).as("gk"))
 
+  /** q210 shape: script-aware tokenization of a mixed-script corpus
+    * (deterministic CJK/Thai suffixes over the synthetic docs) — the
+    * pure-scan cost of the UnicodeTokens kernel plus a corpus fold.
+    */
+  private val uniSnippets = Seq(
+    "深層学習モデルの訓練データ処理",
+    "数据管道在大规模集群上运行　测试",
+    "ひらがなとカタカナの混在テキスト",
+    "ข้อมูลภาษาไทยสำหรับทดสอบ",
+    "GPU加速で高速化した分散処理")
+
+  private def unicodeTokens(d: DataFrame): DataFrame = {
+    val sn = array(uniSnippets.map(lit): _*)
+    val tk = graft.functions.UnicodeTokens(
+      lower(concat(col("text"), lit(" "),
+        element_at(sn, (col("doc_id") % 5).cast("int") + 1))))
+    d.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        xxhash64(concat_ws("\u001f", col("tk"))).as("h"))
+      .agg(sum(col("n")).as("total_tokens"),
+        bit_xor(col("h")).as("sig"),
+        count(lit(1)).as("n_docs"))
+  }
+
   private def deconExact(d: DataFrame): DataFrame = {
     val grams = deconGrams(d)
     val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()
@@ -336,7 +361,7 @@ object TextMacroBench {
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
       "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
-      "bpe_encode" -> bpeEncode,
+      "bpe_encode" -> bpeEncode, "unicode_tokens" -> unicodeTokens,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and

@@ -77,8 +77,24 @@ object Dedup {
     * would emit (none exists past the size>=3 filter — this is belt
     * and braces, not semantics).
     */
-  def wordGramKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0)
+  def wordGramKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    wordGramKeysFrom(docs, idCol,
+      filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0))
+
+  /** [[wordGramKeys]] with the script-aware tokenizer
+    * ([[graft.functions.UnicodeTokens]]): CJK/Thai codepoints become
+    * singleton tokens, so gram keys exist for unsegmented scripts
+    * instead of the whole document collapsing into one token (the r16
+    * verdict's top item). Pure-ASCII text produces IDENTICAL keys to
+    * [[wordGramKeys]] — the tokenizer degenerates to the `\s+` split
+    * there.
+    */
+  def wordGramKeysUnicode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    wordGramKeysFrom(docs, idCol,
+      graft.functions.UnicodeTokens(lower(col(textCol))))
+
+  private def wordGramKeysFrom(docs: DataFrame, idCol: String,
+      toks: Column): DataFrame = {
     docs.select(col(idCol), toks.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col(idCol), array_distinct(expr(

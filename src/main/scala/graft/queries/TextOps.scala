@@ -1725,6 +1725,126 @@ object TextOps {
              md5(e) AS enc_md5
       FROM enc"""))
 
+  /** Deterministic mixed-script suffixes keyed by doc_id % 5 — the CJK
+    * fixture the r16 verdict asked for, synthesized IN-PLAN from the
+    * documents table (the established fixture pattern) so every SF gets
+    * a multilingual corpus without new testdata. Scripts covered: Han
+    * (trad + simplified), Hiragana, Katakana, Thai (incl. combining
+    * vowel/tone marks — script=Thai codepoints, so they tokenize as
+    * their own singletons identically on both engines), ideographic
+    * space U+3000, and an ASCII run embedded mid-CJK.
+    */
+  private val unicodeSnippets = Seq(
+    "深層学習モデルの訓練データ処理",
+    "数据管道在大规模集群上运行　测试",
+    "ひらがなとカタカナの混在テキスト",
+    "ข้อมูลภาษาไทยสำหรับทดสอบ",
+    "GPU加速で高速化した分散処理")
+
+  private def unicodeSnippetSqlArray: String =
+    unicodeSnippets.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Script-aware tokenization (functions/UnicodeTokens — the r16
+    * verdict's TOP item): the `\s+` family turns a CJK/Thai document
+    * into ONE token, silently no-opping dedup grams, TF-IDF, Gopher
+    * stats and BPE on ~half of any real web corpus. The kernel
+    * segments by codepoint class in one codegen'd pass (separator /
+    * singleton-script / run); the oracle replays the EXACT segmentation
+    * as one RE2 regex — an independent implementation, generated from
+    * the same pattern constant so the two class definitions cannot
+    * drift silently. Per-doc witness = md5 of the 0x1F-joined token
+    * stream, so any boundary disagreement anywhere in any document
+    * fails the hash gate. Scale shape: pure scan, zero shuffle before
+    * the per-doc projection.
+    */
+  val q210UnicodeTokens = Q(
+    "q210_unicode_tokens",
+    (s, dir) => {
+      val sn = array(unicodeSnippets.map(lit): _*)
+      val toks = graft.functions.UnicodeTokens(
+        lower(concat(col("text"), lit(" "),
+          element_at(sn, (col("doc_id") % 5).cast("int") + 1))))
+      t(s, dir)("documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(filter(col("tk"), tk =>
+            tk.rlike(graft.functions.UnicodeTokens.JavaSingletonPattern)))
+            .cast("long").as("n_cjk"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          md5(concat_ws("\u001f", col("tk"))).as("tok_md5"))
+    },
+    Some("""
+      WITH syn AS (
+        SELECT doc_id,
+               lower(text || ' ' || (""" + unicodeSnippetSqlArray + """)
+                 [CAST(doc_id % 5 AS INT) + 1]) AS t
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               regexp_extract_all(t, '""" +
+      graft.functions.UnicodeTokens.Re2Pattern + """') AS toks
+        FROM syn)
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> regexp_full_match(x, '""" +
+      graft.functions.UnicodeTokens.Re2SingletonPattern + """')))
+               AS BIGINT) AS n_cjk,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             md5(array_to_string(toks, chr(31))) AS tok_md5
+      FROM tok"""))
+
+  /** The tokenizer seam COMPOSED into the dedup family: q84's
+    * eval-3-gram decontamination over the mixed-script corpus, grams
+    * built by Dedup.wordGramKeysUnicode. With the `\s+` tokenizer each
+    * CJK suffix is ONE token and contributes (almost) no grams; the
+    * script-aware tokens make the suffixes real gram sequences, so
+    * train docs sharing an eval doc's snippet genuinely overlap — the
+    * oracle replays tokenization, gram join and counts exactly.
+    */
+  val q211UnicodeDedupGrams = Q(
+    "q211_unicode_dedup_grams",
+    (s, dir) => {
+      val sn = array(unicodeSnippets.map(lit): _*)
+      val synth = t(s, dir)("documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            element_at(sn, (col("doc_id") % 5).cast("int") + 1)).as("text2"))
+      def grams = graft.operators.Dedup.wordGramKeysUnicode(
+        synth, "doc_id", "text2")
+      val evalGk = grams.filter(col("doc_id") % 199 === 0)
+        .select("gk").distinct()
+      grams.filter(col("doc_id") % 199 =!= 0)
+        .join(broadcast(evalGk), "gk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_eval_grams"))
+    },
+    Some("""
+      WITH syn AS (
+        SELECT doc_id,
+               lower(text || ' ' || (""" + unicodeSnippetSqlArray + """)
+                 [CAST(doc_id % 5 AS INT) + 1]) AS t
+        FROM documents),
+      toks AS (
+        SELECT doc_id,
+               regexp_extract_all(t, '""" +
+      graft.functions.UnicodeTokens.Re2Pattern + """') AS w
+        FROM syn),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  for i in range(1, len(w) - 1)])) AS g
+        FROM toks WHERE len(w) >= 3),
+      keyed AS (
+        SELECT doc_id, CAST('0x' || substr(md5(g), 18, 15) AS BIGINT) AS gk
+        FROM grams),
+      evalg AS (SELECT DISTINCT gk FROM keyed WHERE doc_id % 199 = 0)
+      SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+      FROM keyed k JOIN evalg e ON k.gk = e.gk
+      WHERE k.doc_id % 199 <> 0
+      GROUP BY k.doc_id"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1734,5 +1854,5 @@ object TextOps {
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
     q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk,
-    q202SpanRewrite, q208BpeEncode)
+    q202SpanRewrite, q208BpeEncode, q210UnicodeTokens, q211UnicodeDedupGrams)
 }
