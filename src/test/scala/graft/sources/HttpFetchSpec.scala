@@ -7,8 +7,13 @@ import com.sun.net.httpserver.HttpServer
 
 import graft.SparkSpec
 
+import graft.sources.HttpFetch.RetryPolicy
+
 /** HttpFetch against an in-JVM HTTP server: success, retry-on-5xx with
-  * eventual success, no-retry-on-404, and exhaustion.
+  * eventual success (linear backoff — the reference policy shape,
+  * jobs.py:9-21), no-retry-on-404, exhaustion, the auth-header seam,
+  * and the resumable fetchAll manifest (each object downloaded exactly
+  * once across a crash + re-run).
   */
 class HttpFetchSpec extends SparkSpec {
 
@@ -52,9 +57,14 @@ class HttpFetchSpec extends SparkSpec {
           ex.close()
         }
       })
+      val t0 = System.nanoTime()
       val n = HttpFetch.download(spark, s"http://127.0.0.1:$port/flaky",
-        tmp("flaky.bin"), maxAttempts = 3, backoffMs = 10)
+        tmp("flaky.bin"), RetryPolicy(maxRetries = 2, delayMs = 40))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
       assert(n == 2 && calls.get() == 3)
+      // linear backoff: retry 1 waits 1*40, retry 2 waits 2*40 — 120 ms
+      // minimum total (the reference's k*delay rule at test scale)
+      assert(elapsedMs >= 120, s"linear backoff not honored: $elapsedMs ms")
     }
   }
 
@@ -68,7 +78,7 @@ class HttpFetchSpec extends SparkSpec {
       })
       intercept[java.io.FileNotFoundException] {
         HttpFetch.download(spark, s"http://127.0.0.1:$port/missing",
-          tmp("missing.bin"), maxAttempts = 3, backoffMs = 10)
+          tmp("missing.bin"), RetryPolicy(maxRetries = 2, delayMs = 10))
       }
       assert(calls.get() == 1)
     }
@@ -82,9 +92,87 @@ class HttpFetchSpec extends SparkSpec {
       })
       val e = intercept[java.io.IOException] {
         HttpFetch.download(spark, s"http://127.0.0.1:$port/down",
-          tmp("down.bin"), maxAttempts = 2, backoffMs = 10)
+          tmp("down.bin"), RetryPolicy(maxRetries = 1, delayMs = 10))
       }
       assert(e.getMessage.contains("after 2 attempts"))
+      // no truncated dest and no leftover .part where a reader could
+      // scan them
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp("down.bin"))))
+    }
+  }
+
+  test("the reference policy constant matches jobs.py:9-21") {
+    val p = HttpFetch.ReferencePolicy
+    assert(p.maxRetries == 5 && p.delayMs == 500000L && p.linear)
+    // last retry at 5*500 s cumulative wait from the linear schedule:
+    assert((1 to 5).map(p.waitBeforeRetry).sum == 7500000L)
+  }
+
+  test("auth seam: request headers reach the server") {
+    withServer { (server, port) =>
+      @volatile var seen: String = null
+      server.createContext("/auth", ex => {
+        seen = ex.getRequestHeaders.getFirst("Authorization")
+        val body = "ok".getBytes
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      HttpFetch.download(spark, s"http://127.0.0.1:$port/auth",
+        tmp("auth.bin"), RetryPolicy(maxRetries = 0, delayMs = 0),
+        headers = Map("Authorization" -> "Bearer sekrit-123"))
+      assert(seen == "Bearer sekrit-123")
+    }
+  }
+
+  test("fetchAll resumes from the manifest: each object exactly once") {
+    withServer { (server, port) =>
+      val calls = scala.collection.mutable.Map.empty[String, AtomicInteger]
+      def ctx(name: String, body: String, failFirst: Int): Unit = {
+        val c = new AtomicInteger(0)
+        calls(name) = c
+        server.createContext(s"/$name", ex => {
+          if (c.incrementAndGet() <= failFirst) {
+            ex.sendResponseHeaders(503, -1); ex.close()
+          } else {
+            val b = body.getBytes
+            ex.sendResponseHeaders(200, b.length.toLong)
+            ex.getResponseBody.write(b)
+            ex.close()
+          }
+        })
+      }
+      ctx("a", "alpha", failFirst = 0)
+      ctx("b", "bravo-bytes", failFirst = 3) // exhausts a 2-retry policy
+      ctx("c", "charlie", failFirst = 0)
+      val base = s"http://127.0.0.1:$port"
+      val manifest = tmp("manifest.tsv")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifest))
+      val items = Seq(
+        (s"$base/a", tmp("obj_a.bin")),
+        (s"$base/b", tmp("obj_b.bin")),
+        (s"$base/c", tmp("obj_c.bin")))
+      val pol = RetryPolicy(maxRetries = 2, delayMs = 5)
+      // run 1: a succeeds, b exhausts retries -> the job dies mid-flight
+      intercept[java.io.IOException] {
+        HttpFetch.fetchAll(spark, items, manifest, pol)
+      }
+      assert(calls("a").get() == 1 && calls("b").get() == 3 &&
+        calls("c").get() == 0)
+      // run 2 ("after the server recovered"): a is SKIPPED from the
+      // manifest — zero network calls — b and c download
+      val results = HttpFetch.fetchAll(spark, items, manifest, pol)
+      assert(calls("a").get() == 1, "resumed run re-downloaded object a")
+      assert(results.map(r => (r.skipped, r.bytes)) ==
+        Seq((true, 5L), (false, 11L), (false, 7L)))
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tmp("obj_b.bin"))).toSeq ==
+        "bravo-bytes".getBytes.toSeq)
+      // run 3: everything skipped, zero network traffic
+      val totals = calls.map { case (k, v) => k -> v.get() }.toMap
+      val r3 = HttpFetch.fetchAll(spark, items, manifest, pol)
+      assert(r3.forall(_.skipped))
+      assert(calls.map { case (k, v) => k -> v.get() }.toMap == totals)
     }
   }
 }
