@@ -1845,6 +1845,58 @@ object TextOps {
       WHERE k.doc_id % 199 <> 0
       GROUP BY k.doc_id"""))
 
+  /** Arbitrary-boundary exact-substring dedup
+    * (operators/SubstrDedup.scala — Lee et al.'s ExactSubstr posture,
+    * unaligned): q202 only catches duplicated spans starting on
+    * 16-token window boundaries; this cuts any ≥24-char corpus-repeated
+    * run wherever it sits. Per-char L-windows → compact-hash candidate
+    * counts → literal-gram verify (collision-proof counts/owners) →
+    * per-doc mask union + surviving-text digest. The oracle replays the
+    * literal-string semantics directly (the hash prefilter provably
+    * drops nothing, so it has no oracle image). The small-vocab fixture
+    * corpus repeats 24-char phrases naturally, so cuts are LIVE at
+    * every SF; the kept_md5 witness pins the rewrite char-for-char.
+    */
+  val q212SubstringCut = Q(
+    "q212_substring_cut",
+    (s, dir) => graft.operators.SubstrDedup.cutStats(
+      t(s, dir)("documents"), "doc_id", "text"),
+    Some("""
+      WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS i
+        FROM documents),
+      wins AS (
+        SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 24) AS g
+        FROM pos),
+      ver AS MATERIALIZED (
+        SELECT g, count(*) AS cnt, min(doc_id * 1048576 + pos) AS owner
+        FROM wins GROUP BY g HAVING count(*) >= 2),
+      cuts AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN ver v ON w.g = v.g
+        WHERE w.doc_id * 1048576 + w.pos <> v.owner),
+      perdoc AS (SELECT doc_id, list(pos) AS ps FROM cuts GROUP BY doc_id),
+      m AS (
+        SELECT d.doc_id, d.text,
+               greatest(length(d.text) - 23, 0) AS n_windows,
+               coalesce(p.ps, []) AS ps
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+      c AS (
+        SELECT doc_id, text, n_windows, ps,
+               list_distinct(flatten(list_transform(ps,
+                 p -> range(p, p + 24)))) AS cov
+        FROM m)
+      SELECT doc_id,
+             CAST(n_windows AS BIGINT) AS n_windows,
+             CAST(len(ps) AS BIGINT) AS n_cut_windows,
+             CAST(len(cov) AS BIGINT) AS n_chars_cut,
+             md5(coalesce(array_to_string(list_transform(
+               list_filter(range(1, length(text) + 1),
+                 i -> NOT list_contains(cov, i)),
+               i -> substr(text, CAST(i AS INT), 1)), ''), ''))
+               AS kept_md5
+      FROM c"""))
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1854,5 +1906,6 @@ object TextOps {
     q136HeavyHitters, q137TokenBudget, q138BigramFamiliarity, q165UrlCanonicalize,
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
     q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk,
-    q202SpanRewrite, q208BpeEncode, q210UnicodeTokens, q211UnicodeDedupGrams)
+    q202SpanRewrite, q208BpeEncode, q210UnicodeTokens, q211UnicodeDedupGrams,
+    q212SubstringCut)
 }
