@@ -480,11 +480,56 @@ object VectorOps {
       SELECT vec_id, code_sum, cos_sim
       FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))
 
+  /** A REAL quantized-MLP artifact through the batch-inference seam
+    * (operators/QuantMlp.scala — the r16 verdict item: embedWithModel
+    * had only carried a stand-in): the query SAVES the weight artifact,
+    * each task's open() PARSES it back (the actual model lifecycle),
+    * and the batched integer GEMM produces exact-integer embeddings the
+    * oracle replays via SQL GENERATED from the same weight arrays
+    * (never-hand-copy). Quantization floor(x*1024) is IEEE-exact on
+    * both engines (q166 recipe); every output is < 2^30 so the Long ->
+    * Double -> BIGINT path is lossless.
+    */
+  val q213QuantMlpEmbed = Q(
+    "q213_quant_mlp_embed",
+    (s, dir) => {
+      import graft.operators.{Multimodal, QuantMlp, QuantMlpEmbedder}
+      val net = QuantMlp.pseudo()
+      val path = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        "graft_qmlp_" + java.lang.Long.toHexString(
+          dir.hashCode.toLong & 0xffffffffL) + ".bin").getAbsolutePath
+      net.save(path) // safe: Verify runs queries sequentially (q81 rule)
+      val feats = t(s, dir)("embeddings")
+        .select(col("vec_id").as("media_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("features"))
+      val emb = Multimodal.embedWithModel(feats, QuantMlpEmbedder(path))
+      emb.select(col("media_id").as("vec_id") +:
+        (0 until net.nOut).map(o =>
+          element_at(col("emb"), o + 1).cast("long").as(s"e$o")): _*)
+    },
+    Some {
+      val net = graft.operators.QuantMlp.pseudo()
+      val outs = (0 until net.nOut)
+        .map(o => graft.operators.QuantMlp.oracleExpr(net, o, "xq") +
+          s" AS e$o")
+        .mkString(",\n             ")
+      """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+        FROM embeddings)
+      SELECT vec_id,
+             """ + outs + """
+      FROM q"""
+    })
+
   val qs: Seq[Q] = Seq(q40KnnBrute, q41LshBuckets, q42BucketedNn,
     q44CentroidAssign, q45IvfSearch, q46EmbeddingDedup, q70IvfBatch,
     q91IvfPartitioned, q105Sq8Ann, q144SemDedup, q152SemDedupGuarded,
     q153SemDedupIncremental, q157PqAdc, q159KmeansParInit, q160Ivfpq,
-    q166PcaPower, q181EmbeddingDrift)
+    q166PcaPower, q181EmbeddingDrift, q213QuantMlpEmbed)
 
   /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): Lloyd's
     * k-means — warm-started from the label centroids (q44's init) and
