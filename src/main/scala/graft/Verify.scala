@@ -34,11 +34,54 @@ object Verify {
       Files.writeString(markerPath,
         s"SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")}\n")
     }
+    // canonicalized plan hash per query (r16 verdict item 7: coverage
+    // beyond the 21 bench headliners) — written as a sidecar;
+    // check.py warns on drift against the committed per-SF baseline.
+    // Full-run hashes are exactly reproducible; subset runs can differ
+    // for cache-sharing queries (the r7 lesson), which check.py handles
+    // by skipping the comparison under a SUBSET_RUN marker.
+    val planHashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_INCREMENTAL=1 (r16 verdict item 8 — the sf1 grind):
+    // reuse the PREVIOUS dump in this outDir for any query whose
+    // canonicalized plan hash is unchanged AND whose plan is PURE — it
+    // reads only static files (no tmp-dir scans, no driver-computed
+    // LogicalRDD/LocalTableScan leaves, whose content comes from
+    // build-time execution). Same plan + same input data ⇒ same dump,
+    // so check.py's compare stays sound; impure queries always re-dump
+    // (their build-time side effects already ran to produce the frame).
+    // Iteration aid only — keep one full-fidelity run per round.
+    val incremental = sys.env.get("SPARK_GRAFT_INCREMENTAL").contains("1")
+    val prevHashes: Map[String, String] =
+      if (!incremental) Map.empty
+      else {
+        val p = Paths.get(s"$outDir/plan_hashes.json")
+        if (!Files.exists(p)) Map.empty
+        else {
+          // minimal flat {"k": "v", ...} parse — the file is our own dump
+          val re = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          re.findAllMatchIn(Files.readString(p))
+            .map(m => m.group(1) -> m.group(2)).toMap
+        }
+      }
+    val tmpdir = sys.props("java.io.tmpdir")
+    var nSkipped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val hash = graft.core.PlanHash.of(df)
+        planHashes(name) = hash
+        val planStr = df.queryExecution.sparkPlan.toString
+        val pure = !planStr.contains(tmpdir) &&
+          !planStr.contains("LocalTableScan") &&
+          !planStr.contains("ExistingRDD") && !planStr.contains("LogicalRDD")
+        val canSkip = incremental && pure &&
+          prevHashes.get(name).contains(hash) &&
+          Files.exists(Paths.get(s"$outDir/$name"))
+        if (canSkip) nSkipped += 1
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any dump from a previous run: a stale result must fail
@@ -73,6 +116,12 @@ object Verify {
     // queries erred and the artifact showed 112/112 "all green").
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/plan_hashes.json"),
+      planHashes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (nSkipped > 0)
+      System.err.println(s"[verify] incremental: reused $nSkipped " +
+        "unchanged-plan dumps")
     // full run completed: every query's dump is fresh, clear the marker
     if (only.isEmpty) Files.deleteIfExists(markerPath)
     spark.stop()

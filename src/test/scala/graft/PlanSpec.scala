@@ -79,6 +79,26 @@ class PlanSpec extends SparkSpec {
   }
 
 
+  test("q212: substring cut stays on compact/sparse keys — no cartesian") {
+    val p = plan("q212_substring_cut")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // stage-1 candidate counts must group the COMPACT hash key; the
+    // literal-gram verify and the per-doc mask are the only other
+    // exchanges (g / doc_id) — a window-level exchange on anything else
+    // means the 100 TB shuffle grew a payload
+    val exKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1).replaceAll("#\\d+$", "")).toSet
+    assert(exKeys.subsetOf(Set("hk", "g", "doc_id")),
+      s"unexpected exchange keys $exKeys:\n$p")
+  }
+
+  test("q213: quant-MLP embed is one mapPartitions pass, zero exchanges") {
+    val p = plan("q213_quant_mlp_embed")
+    assert(!p.contains("Exchange"),
+      s"batch inference gained a shuffle:\n$p")
+  }
+
   test("q47: KMV sketch never sorts globally (per-group window only)") {
     val p = plan("q47_kmv_sketch")
     assert(!p.contains("rangepartitioning"), p)

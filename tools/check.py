@@ -167,6 +167,35 @@ for name, sql in sorted(oracle.items()):
         exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
     results[name] = diff(got, exp) or "OK"
 
+# Plan-hash drift advisory (r16 verdict item 7): Verify writes
+# plan_hashes.json for every query it ran; compare against the committed
+# per-SF baseline at tools/plan_baseline/<sf>.json. Drift WARNS, never
+# fails — a legitimate plan change is rebaselined by copying the new
+# sidecar over the baseline (documented in CLAUDE.md). Subset runs are
+# skipped: cache-sharing queries legitimately render different scan
+# nodes there (the r7 like-runs rule).
+hashes_f = Path(f"{outdir}/plan_hashes.json")
+baseline_f = Path(__file__).parent / "plan_baseline" / (Path(sfdir).name + ".json")
+if hashes_f.exists() and fresh is None:
+    got_h = json.loads(hashes_f.read_text())
+    if baseline_f.exists():
+        base_h = json.loads(baseline_f.read_text())
+        drift = {n: (base_h[n], got_h[n]) for n in got_h
+                 if n in base_h and base_h[n] != got_h[n]}
+        new = sorted(n for n in got_h if n not in base_h)
+        for n, (b, g) in sorted(drift.items()):
+            print(f"WARN plan-hash drift {n}: baseline {b} -> {g}"
+                  " (rebaseline tools/plan_baseline if intentional)")
+        if new:
+            print(f"WARN plan-hash baseline missing {len(new)} new queries"
+                  f" (e.g. {new[:3]}) — refresh tools/plan_baseline/"
+                  f"{baseline_f.name}")
+        if not drift and not new:
+            print(f"plan hashes: all {len(got_h)} match {baseline_f.name}")
+    else:
+        print(f"WARN no plan-hash baseline at {baseline_f} — seed it with"
+              f" {hashes_f}")
+
 npass = sum(1 for v in results.values() if v == "OK")
 for name, v in sorted(results.items()):
     print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f"  {v}"))
