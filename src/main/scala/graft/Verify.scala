@@ -116,9 +116,15 @@ object Verify {
     // queries erred and the artifact showed 112/112 "all green").
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // "_mode" lets check.py drift-compare FULL runs only: an
+    // incremental/subset run skips queries, which changes the
+    // cache-substitution context and legitimately re-renders scan nodes
+    // in cache-sharing queries (the r7 like-runs rule)
+    val mode = if (only.isDefined) "subset"
+      else if (nSkipped > 0) "incremental" else "full"
     Files.writeString(Paths.get(s"$outDir/plan_hashes.json"),
-      planHashes.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      (Seq(s"${q("_mode")}: ${q(mode)}") ++ planHashes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}"))
     if (nSkipped > 0)
       System.err.println(s"[verify] incremental: reused $nSkipped " +
         "unchanged-plan dumps")

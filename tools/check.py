@@ -178,7 +178,11 @@ hashes_f = Path(f"{outdir}/plan_hashes.json")
 baseline_f = Path(__file__).parent / "plan_baseline" / (Path(sfdir).name + ".json")
 if hashes_f.exists() and fresh is None:
     got_h = json.loads(hashes_f.read_text())
-    if baseline_f.exists():
+    mode = got_h.pop("_mode", "full")
+    if mode != "full":
+        print(f"plan hashes: {mode} run — drift compare skipped"
+              " (full runs only, the like-runs rule)")
+    elif baseline_f.exists():
         base_h = json.loads(baseline_f.read_text())
         drift = {n: (base_h[n], got_h[n]) for n in got_h
                  if n in base_h and base_h[n] != got_h[n]}
