@@ -33,7 +33,34 @@ object ScopedCache {
     */
   def put(key: String, df: DataFrame, views: Seq[String] = Nil): DataFrame =
     synchronized {
-      release(key)
+      // the previous entry's cache always releases, but a view the NEW
+      // entry re-declares must NOT be dropped: queries name views
+      // deterministically (keyed by the sf dir), so a re-invocation has
+      // just createOrReplace'd the SAME name — dropping it here would
+      // break the new frame's analysis (caught by PlanHashSpec's
+      // build-twice stability test)
+      entries.remove(key).foreach { prev =>
+        // cache entries are keyed by PLAN EQUALITY in Spark's cache
+        // manager: when the re-invocation built the same plan (same
+        // query, same dir), unpersisting the previous frame would evict
+        // the entry the NEW frame just cached/reuses — keep it warm
+        // instead (caught by PlanHashSpec's build-twice test: build 2's
+        // hash rendered the raw subtree after its own cache vanished)
+        val samePlan =
+          try prev.df.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!samePlan) {
+          try prev.df.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        val keep = views.toSet
+        val session = SparkSession.getActiveSession
+        prev.views.filterNot(keep).foreach { v =>
+          try session.foreach(_.catalog.dropTempView(v))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
       entries(key) = Entry(df, views)
       df
     }
