@@ -96,12 +96,12 @@ object StreamDedupReplayBench {
 
     // ---- driver ground truth: prefix-filtered exact Jaccard -----------
     // shingle hash sets exactly as both engines derive them: distinct
-    // word-3-grams of the \s+ split of lower(text), md5Hash64 each,
+    // word-3-grams of the script-aware token stream (the SAME kernel the
+    // engine runs — UnicodeTokens.tokenizeLocal), md5Hash64 each,
     // distinct (docs with < 3 tokens have no shingles, never candidates)
     val t0 = System.nanoTime()
-    val ws = java.util.regex.Pattern.compile("\\s+")
     val shh: Array[Array[Long]] = texts.map { t =>
-      val toks = ws.split(t.toLowerCase, -1)
+      val toks = graft.functions.UnicodeTokens.tokenizeLocal(t.toLowerCase)
       if (toks.length < 3) Array.empty[Long]
       else (0 to toks.length - 3).iterator
         .map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2))

@@ -47,7 +47,10 @@ object TextMacroBench {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  private def toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+  // the script-aware default seam (graft.core.Tok, r18) — identical
+  // tokens on this single-spaced ASCII corpus, so arm numbers compare
+  // directly against the pre-migration records
+  private def toks = graft.core.Tok.words(col("text"))
 
   /** q131 shape: tf → df → join → per-doc top-3 window. */
   private def tfidf(d: DataFrame): DataFrame = {
@@ -139,11 +142,12 @@ object TextMacroBench {
       .unionByName(d.filter(col("doc_id") % 103 === 0)
         .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
-    val toksSp = split(col("text"), " ", -1)
+    val toksSp = graft.core.Tok.wordsCased(col("text"))
     val quality = ckpt(aug
       .withColumn("n_tokens", size(toksSp).cast("double"))
       .withColumn("diversity",
-        size(array_distinct(toksSp)).cast("double") / col("n_tokens"))
+        size(array_distinct(toksSp)).cast("double") /
+          nullif(col("n_tokens"), lit(0.0)))
       .withColumn("quality",
         least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
       .filter(col("quality") >= 0.3))
@@ -153,7 +157,7 @@ object TextMacroBench {
       .filter(col("rn") === 1).drop("rn"))
     val near = ckpt(
       graft.operators.Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8))
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val toks = graft.core.Tok.words(col("text"))
     // explode_OUTER + isNotNull: the Dedup.wordGramKeys lesson — plain
     // explode's inferred size()>0 guard re-inlines the whole gram
     // construction into a per-row Filter evaluation (~150 re-tokenizations

@@ -55,11 +55,18 @@ object PlanHash {
       // cuts at 100 RAW chars, so the cut point shifts with exprId digit
       // counts — a rebuild crossing a 3→4 digit boundary hashed
       // differently): collapse any filter list whose rendering was cut
-      // ("..." before the closing bracket) to a fixed token. Untruncated
-      // lists never match ([^\]]* cannot cross their closing bracket), so
-      // historical hashes of ordinary plans are unchanged.
+      // to a fixed token, anchored on the trailing ellipsis (r17 advice:
+      // the earlier [^\]]* form could not cross a ']' INSIDE the filter
+      // text — an array-index rendering like a#5[0] kept the flake
+      // alive). The tempered scan (?:(?!, [A-Z]\w*: ).)*? may cross a
+      // ']' but can never cross into the NEXT metadata entry (", Key: ")
+      // — without that guard the non-greedy scan walked an UNTRUNCATED
+      // "[]" across ", ReadSchema: struct<…" to the schema's own
+      // truncation dots and collapsed half the scan line (caught by the
+      // 204-query baseline compare on first run).
       .replaceAll("(DataFilters|PushedFilters|PartitionFilters): " +
-        "\\[[^\\]]*\\.\\.\\.", "$1: [<truncated>")
+        "\\[(?:(?!, [A-Z]\\w*: )[^\\n])*?\\.\\.\\.(?=[,\\]\\s]|$)",
+        "$1: [<truncated>")
       // file-listing statistics vary with parquet writer buffering
       .replaceAll("\\d+ paths", "N paths")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")

@@ -124,6 +124,16 @@ object UnicodeTokens {
     new GenericArrayData(out.toArray)
   }
 
+  /** Driver/JVM-side twin of [[compute]] for replay benches and plain-
+    * Scala ground-truth loops (StreamDedupReplayBench et al.) — runs
+    * the SAME kernel, so it cannot drift from the Column form
+    * (UnicodeTokensSpec pins equality with the legacy split on ASCII).
+    */
+  def tokenizeLocal(s: String): Array[String] = {
+    val arr = compute(UTF8String.fromString(s))
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
+
   /** The RE2 token pattern the DuckDB oracle uses — kept next to the
     * kernel so the two class definitions can never drift apart
     * silently (oracle SQL is generated from this constant).

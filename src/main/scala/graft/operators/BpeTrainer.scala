@@ -39,7 +39,7 @@ object BpeTrainer {
     * marker prefix. `freq` is the corpus occurrence count.
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = graft.core.Tok.words(col(textCol))
     docs.select(explode(toks).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
@@ -219,8 +219,7 @@ object BpeTrainer {
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[MergeStep]): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "\\s+"),
-      tk => length(tk) > 0)
+    val words = graft.core.Tok.words(col(textCol))
     val enc = concat_ws(" ",
       transform(words, tk => segment(tk, merges)))
     docs.select(col(idCol), enc.as("enc"))

@@ -43,9 +43,13 @@ object Dedup {
   /** Distinct word n-gram shingles of a text column. Docs with fewer
     * than n tokens yield an empty array (NOT sequence(1, 0), which is
     * DESCENDING in Spark and feeds slice an illegal start of 0).
+    * Tokenization is the script-aware default seam ([[graft.core.Tok]])
+    * since r18 — CJK/Thai docs shingle over singleton codepoints instead
+    * of collapsing into one `\s+` token; ASCII shingles are unchanged
+    * (the kernel degenerates to the legacy split there).
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
+    val toks = graft.core.Tok.words(text)
     array_distinct(
       filter(
         when(size(toks) >= n,
@@ -57,9 +61,12 @@ object Dedup {
 
   /** The (id, gk) table of DISTINCT word-3-gram 60-bit md5 keys — the
     * shared gram builder of the decontamination family (q84/q151/q162/
-    * q147 stage 4). Tokens are the length>0 pieces of a lowercased \s+
-    * split; grams are space-joined triples; keys are [[md5Hash64]] so
-    * the DuckDB oracle replays them exactly. The gram expression is
+    * q147 stage 4). Tokens come from the script-aware default seam
+    * ([[graft.core.Tok.words]] — CJK/Thai singletons, ASCII identical
+    * to the legacy `\s+` split); grams are space-joined triples; keys
+    * are [[md5Hash64]] so the DuckDB oracle replays them exactly (its
+    * tokens come from the RE2 regex GENERATED from the same pattern
+    * constant). The gram expression is
     * TOTAL (greatest-bounded sequence + trimming slice — the round-5
     * lesson: explode's inferred predicate merges into the upstream
     * Filter and codegen may evaluate the array expr before the AND
@@ -78,20 +85,14 @@ object Dedup {
     * and braces, not semantics).
     */
   def wordGramKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    wordGramKeysFrom(docs, idCol,
-      filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0))
+    wordGramKeysFrom(docs, idCol, graft.core.Tok.words(col(textCol)))
 
-  /** [[wordGramKeys]] with the script-aware tokenizer
-    * ([[graft.functions.UnicodeTokens]]): CJK/Thai codepoints become
-    * singleton tokens, so gram keys exist for unsegmented scripts
-    * instead of the whole document collapsing into one token (the r16
-    * verdict's top item). Pure-ASCII text produces IDENTICAL keys to
-    * [[wordGramKeys]] — the tokenizer degenerates to the `\s+` split
-    * there.
+  /** Alias of [[wordGramKeys]], kept for the r17 call sites (q211) from
+    * when the script-aware tokenizer was opt-in; since r18 it IS the
+    * default seam.
     */
   def wordGramKeysUnicode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    wordGramKeysFrom(docs, idCol,
-      graft.functions.UnicodeTokens(lower(col(textCol))))
+    wordGramKeys(docs, idCol, textCol)
 
   private def wordGramKeysFrom(docs: DataFrame, idCol: String,
       toks: Column): DataFrame = {
@@ -230,8 +231,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      explode_outer(graft.core.Tok.words(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
       .withColumn("h", md5Hash64(col("tok")))
     val votes = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L)

@@ -88,8 +88,23 @@ object SubstrDedup {
     cutsToStats(base, cuts(wins), L)
   }
 
-  /** Stage 1+2: (doc_id, pos, g) windows → (doc_id, pos) cut list. */
-  def cuts(wins: DataFrame): DataFrame = {
+  /** Stage 1+2: (doc_id, pos, g) windows → (doc_id, pos) cut list.
+    *
+    * Skew guard (r17 advice): a boilerplate gram occurring k times
+    * corpus-wide routes all k rows through ONE window-partition task —
+    * and WindowExec skew has no AQE mitigation. Hash classes whose
+    * stage-1 count exceeds `hotCap` therefore take a groupBy+join-back
+    * path instead: map-side partial aggregation collapses the hot gram
+    * per mapper, and the join back is a plain equi-join AQE can
+    * skew-split (the r7 AQE rule). Everything else keeps the window
+    * form, which measured faster than groupBy+join-back at realistic
+    * skew (one candidate shuffle vs two plus a join). The split is by
+    * hash class, so every occurrence of a literal gram takes the same
+    * path and counts/owners are computed over ALL its occurrences —
+    * the union is exactly the single-path cut list (spec-pinned with a
+    * tiny hotCap).
+    */
+  def cuts(wins: DataFrame, hotCap: Long = 65536L): DataFrame = {
     // xxhash64, not md5Hash64: the prefilter hash has NO oracle image
     // (stage 2 re-derives everything from literal grams), so the cheap
     // hash wins — md5Hash64 measured ~2× the whole stage-1 cost at
@@ -97,22 +112,34 @@ object SubstrDedup {
     val keyed = wins.select(col("doc_id"), col("pos"), col("g"),
       xxhash64(col("g")).as("hk"))
     // stage 1: compact-key counts — the only corpus-sized shuffle
-    val cand = keyed.groupBy("hk").agg(count(lit(1)).as("hc"))
-      .filter(col("hc") >= 2).select("hk")
-    // stage 2: literal-gram verify over candidates only — count + owner
-    // as WINDOW aggregates over one partitionBy(g) exchange (unordered
-    // frames, no sort semantics) instead of a groupBy + join-back:
-    // one shuffle of the candidate rows rather than two plus a join
-    val candWins = keyed.join(cand, "hk")
+    val counts = keyed.groupBy("hk").agg(count(lit(1)).as("hc"))
+      .filter(col("hc") >= 2)
+    val key = col("doc_id") * lit(1048576L) + col("pos")
+    // stage 2a (typical grams): literal-gram verify — count + owner as
+    // WINDOW aggregates over one partitionBy(g) exchange (unordered
+    // frames, no sort semantics): one shuffle of the candidate rows
+    // rather than two plus a join
+    val coldWins = keyed
+      .join(counts.filter(col("hc") <= hotCap).select("hk"), "hk")
       .select(col("doc_id"), col("pos"), col("g"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    candWins
+    val coldCuts = coldWins
       .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("owner",
-        min(col("doc_id") * lit(1048576L) + col("pos")).over(w))
-      .filter(col("cnt") >= 2 &&
-        col("doc_id") * lit(1048576L) + col("pos") =!= col("owner"))
+      .withColumn("owner", min(key).over(w))
+      .filter(col("cnt") >= 2 && key =!= col("owner"))
       .select(col("doc_id"), col("pos"))
+    // stage 2b (hot grams): skew-immune groupBy (partial agg) + plain
+    // equi-join back (AQE splits the probe-side hot key)
+    val hotWins = keyed
+      .join(counts.filter(col("hc") > hotCap).select("hk"), "hk")
+      .select(col("doc_id"), col("pos"), col("g"))
+    val hotAgg = hotWins.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(key).as("owner"))
+      .filter(col("cnt") >= 2)
+    val hotCuts = hotWins.join(hotAgg, "g")
+      .filter(key =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    coldCuts.unionByName(hotCuts)
   }
 
   /** Cut list → per-doc mask/digest stats (pure per-row array math

@@ -27,8 +27,7 @@ object BpeQueries {
   private def trainCteN(n: Int): String = {
     val base = s"""
       toks AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                  t -> len(t) > 0)) AS token
+        SELECT unnest(${graft.core.Tok.sqlWords("text")}) AS token
         FROM documents),
       words0 AS MATERIALIZED (
         SELECT token,
@@ -90,7 +89,7 @@ object BpeQueries {
           col("repr"), lit(BpeTrainer.M), lit("")))).cast("long").as("n_sym"),
         ltrim(call_function("replace",
           col("repr"), lit(BpeTrainer.M), lit(" "))).as("sym_str"))
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val positioned = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
       positioned.join(broadcast(vocab), "token")
         .groupBy("doc_id")
@@ -111,8 +110,7 @@ object BpeQueries {
       pos AS (
         SELECT doc_id, i - 1 AS pos, tk[i] AS token
         FROM (SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 t -> len(t) > 0) AS tk
+                     ${graft.core.Tok.sqlWords("text")} AS tk
               FROM documents),
              unnest(range(1, len(tk) + 1)) AS t(i))
       SELECT doc_id,

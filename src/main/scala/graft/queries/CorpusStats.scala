@@ -45,20 +45,18 @@ object CorpusStats {
   private def t(s: SparkSession, dir: String)(n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Whitespace tokens of lower(text), empties dropped. */
-  private def toksCol: Column =
-    filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+  /** Word tokens of lower(text) — the script-aware default seam
+    * (graft.core.Tok, r18). */
+  private def toksCol: Column = graft.core.Tok.words(col("text"))
 
-  /** DuckDB twin of [[toksCol]] (plain triple-quote — no s"" escape
-    * processing, the r11 lesson). */
+  /** DuckDB twin of [[toksCol]] (generated from the kernel's own RE2
+    * pattern constant). */
   private val toksSql =
-    """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-                                  x -> len(x) > 0) AS tk
+    "SELECT doc_id, " + graft.core.Tok.sqlWords("text") + """ AS tk
        FROM documents"""
 
-  /** Generic-n twin of the DedupQueries shinglesSql (raw split, distinct
-    * grams — mirrors Dedup.shingles exactly). Built by concatenation so
-    * the backslash survives without interpolator escape processing.
+  /** Generic-n twin of the DedupQueries shinglesSql (distinct grams —
+    * mirrors Dedup.shingles exactly, script-aware tokens).
     */
   private def shNSql(n: Int): String =
     """SELECT doc_id,
@@ -66,7 +64,7 @@ object CorpusStats {
       """], ' ')
                           for i in generate_series(1, len(t)-""" + (n - 1) +
       """)]) AS sh
-       FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+       FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t
              FROM documents)
        WHERE len(t) >= """ + n
 

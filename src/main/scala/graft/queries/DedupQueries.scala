@@ -24,15 +24,19 @@ import graft.operators.{Dedup, Multimodal}
   */
 object DedupQueries {
 
-  /** 3-gram word shingles of lower(text) on whitespace, distinct, as
-    * DuckDB SQL (docs with < 3 tokens have no shingles and are never
-    * dedup candidates — mirrors the size(sh) > 0 filter).
+  /** 3-gram word shingles of lower(text), distinct, as DuckDB SQL (docs
+    * with < 3 tokens have no shingles and are never dedup candidates —
+    * mirrors the size(sh) > 0 filter). Tokens come from the script-aware
+    * RE2 pattern GENERATED from the engine kernel's own constant
+    * (graft.core.Tok — the r18 default-seam migration), so CJK/Thai
+    * docs shingle over singleton codepoints on both engines; ASCII
+    * shingles are unchanged.
     */
   private val shinglesSql = """
     SELECT doc_id,
            list_distinct([array_to_string(t[i:i+2], ' ')
                           for i in generate_series(1, len(t)-2)]) AS sh
-    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM %s)
+    FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM %s)
     WHERE len(t) >= 3"""
 
   /** Prefix-filtered EXACT candidate generation for Jaccard >= 0.8 —
@@ -231,9 +235,8 @@ object DedupQueries {
         SELECT doc_id,
                CAST(('0x' || substr(md5(tok), 18, 15)) AS BIGINT) AS h
         FROM (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\s+')) AS tok
-              FROM documents)
-        WHERE len(tok) > 0),
+                     unnest(""" + graft.core.Tok.sqlWords("text") + """) AS tok
+              FROM documents)),
       votes AS (
         SELECT doc_id, g.bit,
                sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -515,8 +518,7 @@ object DedupQueries {
       val text = graft.core.Tables.load(s, dir, "documents").select(
         lit("text").as("kind"),
         col("doc_id").as("item_id"),
-        size(filter(split(lower(col("text")), "\\s+"),
-          t => length(t) > 0)).cast("long").as("cost"))
+        size(graft.core.Tok.words(col("text"))).cast("long").as("cost"))
       val img = Multimodal.decodeImages(
           files("/root/repo/data/png", "*.png", "img_(\\d+)\\.png$"))
         .select(lit("image").as("kind"),
@@ -542,8 +544,7 @@ object DedupQueries {
     Some("""
       WITH text AS (
         SELECT 'text' AS kind, doc_id AS item_id,
-               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                        tk -> len(tk) > 0)) AS BIGINT) AS cost
+               CAST(len(""" + graft.core.Tok.sqlWords("text") + """) AS BIGINT) AS cost
         FROM documents),
       img AS (
         SELECT 'image' AS kind, media_id + 1000000 AS item_id,
@@ -838,8 +839,7 @@ object DedupQueries {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       feats AS (
         SELECT doc_id,
@@ -858,7 +858,7 @@ object DedupQueries {
         SELECT doc_id,
                list_distinct([array_to_string(t[i:i+2], ' ')
                               for i in generate_series(1, len(t)-2)]) AS shr
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t
               FROM documents)
         WHERE len(t) >= 3),
       sh AS (

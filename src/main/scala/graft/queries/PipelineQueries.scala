@@ -19,11 +19,14 @@ object PipelineQueries {
     "q39_corpus_pipeline",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = split(col("text"), " ", -1)
+      // script-aware word seam (graft.core.Tok, r18); token-less docs
+      // get NULL diversity/quality and fail the gate on both engines
+      val toks = graft.core.Tok.wordsCased(col("text"))
       // quality gate (q32 semantics, keep+review)
       val quality = docs.withColumn("n_tokens", size(toks).cast("double"))
         .withColumn("diversity",
-          size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          size(array_distinct(toks)).cast("double") /
+            nullif(col("n_tokens"), lit(0.0)))
         .withColumn("quality",
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
         .filter(col("quality") >= 0.3)
@@ -41,12 +44,16 @@ object PipelineQueries {
           Sql.r(Sql.exactAvg(col("quality")), 4).as("avg_quality"))
     },
     Some("""
-      WITH g AS (
+      WITH w0 AS (
         SELECT doc_id, lang, text,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS diversity
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS w
         FROM documents),
+      g AS (
+        SELECT doc_id, lang, text,
+               CAST(len(w) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE)
+                 / nullif(len(w), 0) AS diversity
+        FROM w0),
       q AS (
         SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
         FROM g),
@@ -59,7 +66,7 @@ object PipelineQueries {
         SELECT doc_id,
                list_distinct([array_to_string(t[i:i+2], ' ')
                               for i in generate_series(1, len(t)-2)]) AS sh
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
+        FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM exact)
         WHERE len(t) >= 3),
       """ + DedupQueries.prefixCandSql("sh") + """,
       dups AS (
@@ -183,7 +190,7 @@ object PipelineQueries {
   val q48CdcChunks = Q(
     "q48_cdc_chunks",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val n = size(col("toks"))
       // boundary AFTER position i when hash(tok_i) % 32 == 0
       val bounds = concat(
@@ -208,8 +215,7 @@ object PipelineQueries {
     Some("""
       WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS toks
+               """ + graft.core.Tok.sqlWords("text") + """ AS toks
         FROM documents),
       b AS (
         SELECT doc_id, toks,
@@ -315,16 +321,20 @@ object PipelineQueries {
     * an oracle that replays all five stages in SQL with the near-dup
     * stage as brute-force exact Jaccard ground truth.
     */
-  val q147CorpusCuration = Q(
-    "q147_corpus_curation",
-    (s, dir) => {
+  /** The COMPLETE five-stage curation DAG over any (doc_id, lang, text)
+    * frame — q147's registered plan, shared with the CJK-suffixed q214
+    * (the r17 verdict's adoption gate: the SAME production pipeline must
+    * do real work on a mixed-script corpus).
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val toksSp = split(col("text"), " ", -1)
+      // script-aware word seam (graft.core.Tok, r18)
+      val toksSp = graft.core.Tok.wordsCased(col("text"))
       // 1: quality gate (q39's exact semantics)
       val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
         .withColumn("diversity",
-          size(array_distinct(toksSp)).cast("double") / col("n_tokens"))
+          size(array_distinct(toksSp)).cast("double") /
+            nullif(col("n_tokens"), lit(0.0)))
         .withColumn("quality",
           least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
         .filter(col("quality") >= 0.3)
@@ -365,14 +375,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           round(col("quality"), 6).as("quality"),
           col("n_tokens"), col("cum_tokens"))
-    },
-    Some("""
-      WITH g AS (
+  }
+
+  /** The q147 oracle parameterized over the corpus relation — shared
+    * with q214's CJK-suffixed corpus. `docsSql` must yield
+    * (doc_id, lang, text).
+    */
+  def curationOracleSql(docsSql: String): String = """
+      WITH docs0 AS MATERIALIZED (""" + docsSql + """),
+      w0 AS (
         SELECT doc_id, lang, text,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS diversity
-        FROM documents),
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS w
+        FROM docs0),
+      g AS (
+        SELECT doc_id, lang, text,
+               CAST(len(w) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE)
+                 / nullif(len(w), 0) AS diversity
+        FROM w0),
       q AS (
         SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
         FROM g),
@@ -385,7 +405,7 @@ object PipelineQueries {
         SELECT doc_id,
                list_distinct([array_to_string(t[i:i+2], ' ')
                               for i in generate_series(1, len(t)-2)]) AS sh
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM exact)
+        FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM exact)
         WHERE len(t) >= 3),
       """ + DedupQueries.prefixCandSql("sh") + """,
       dups AS (
@@ -400,9 +420,8 @@ object PipelineQueries {
         SELECT DISTINCT unnest(list_distinct(
                  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                   for i in range(1, len(w) - 1)])) AS gm
-        FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
-                                 tk -> len(tk) > 0) AS w
-              FROM documents WHERE doc_id % 199 = 0)
+        FROM (SELECT """ + graft.core.Tok.sqlWords("text") + """ AS w
+              FROM docs0 WHERE doc_id % 199 = 0)
         WHERE len(w) >= 3),
       cont AS (
         SELECT DISTINCT doc_id FROM (
@@ -410,8 +429,7 @@ object PipelineQueries {
                    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                     for i in range(1, len(w) - 1)])) AS gm
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\s+'),
-                                   tk -> len(tk) > 0) AS w
+                       """ + graft.core.Tok.sqlWords("text") + """ AS w
                 FROM near WHERE doc_id % 199 <> 0)
           WHERE len(w) >= 3)
         WHERE gm IN (SELECT gm FROM evg)),
@@ -426,8 +444,50 @@ object PipelineQueries {
         FROM clean)
       SELECT doc_id, lang, round(quality, 6) AS quality, n_tokens,
              CAST(cum_tokens AS BIGINT) AS cum_tokens
-      FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""),
+      FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""
+
+  /** The COMPLETE corpus-curation job, composed as one DAG — every
+    * hygiene stage a pretraining data pipeline actually chains, in
+    * order: quality gate (q32) → exact dedup (q34) → MinHash near-dup
+    * dedup (q37, banded LSH) → eval-set decontamination (q84, shared
+    * 3-grams on hashed keys) → token-budget selection (q137, quality
+    * rank through the distributed PrefixSum, keep the best 50% of
+    * tokens). Output is the final training manifest. Each stage's
+    * scale shape is individually pinned by its own query; this gate
+    * proves the COMPOSITION (survivor sets feeding each other) against
+    * an oracle that replays all five stages in SQL with the near-dup
+    * stage as brute-force exact Jaccard ground truth.
+    */
+  val q147CorpusCuration = Q(
+    "q147_corpus_curation",
+    (s, dir) => curationPipeline(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))),
+    Some(curationOracleSql("SELECT doc_id, lang, text FROM documents")),
     headline = true)
+
+  /** The SAME five-stage curation pipeline over the CJK-suffixed
+    * mixed-script corpus (q210's synthesized fixture — deterministic
+    * Han/Hiragana/Katakana/Thai suffixes keyed by doc_id % 5): the r17
+    * verdict's adoption gate. Under the legacy `\s+` seam each suffix
+    * was ONE token and the dedup shingles / decontamination grams /
+    * quality diversity silently ignored it; with the script-aware
+    * default seam the suffixes contribute real singleton-token grams on
+    * BOTH engines — the oracle replays tokenization, LSH ground truth,
+    * gram containment and the budget over the same synthesized text.
+    */
+  val q214UnicodeCuration = Q(
+    "q214_unicode_curation",
+    (s, dir) => {
+      val sn = array(TextOps.unicodeSnippets.map(lit): _*)
+      curationPipeline(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" "),
+            element_at(sn, (col("doc_id") % 5).cast("int") + 1)).as("text")))
+    },
+    Some(curationOracleSql(
+      "SELECT doc_id, lang, text || ' ' || (" +
+        TextOps.unicodeSnippetSqlArray +
+        ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents")))
 
   /** Training-mixture apportionment: a global token budget (half the
     * corpus) split across sources in EXACT proportion to their token
@@ -450,8 +510,7 @@ object PipelineQueries {
       import org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          size(filter(split(lower(col("text")), "\\s+"),
-            tk => length(tk) > 0)).cast("long").as("n_tokens"),
+          size(graft.core.Tok.words(col("text"))).cast("long").as("n_tokens"),
           pmod(Dedup.md5Hash64(concat(lit("q_"), col("doc_id").cast("string"))),
             lit(1000L)).as("quality"))
       val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
@@ -483,8 +542,7 @@ object PipelineQueries {
     Some("""
       WITH d AS (
         SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                    tk -> len(tk) > 0)) AS BIGINT) AS n_tokens,
+               CAST(len(""" + graft.core.Tok.sqlWords("text") + """) AS BIGINT) AS n_tokens,
                CAST('0x' || substr(md5('q_' || doc_id), 18, 15) AS BIGINT)
                  % 1000 AS quality
         FROM documents),
@@ -545,8 +603,7 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val d = docs
       .select(col("source"),
-        size(filter(split(lower(col("text")), "\\s+"),
-          tk => length(tk) > 0)).cast("long").as("n_tokens"))
+        size(graft.core.Tok.words(col("text"))).cast("long").as("n_tokens"))
     val bySrc = d.groupBy("source").agg(sum("n_tokens").as("t_s"))
     val tot = bySrc.agg(sum("t_s").as("t"))
     val wts = bySrc
@@ -578,8 +635,7 @@ object PipelineQueries {
     Some("""
       WITH d AS (
         SELECT source,
-               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                    tk -> len(tk) > 0)) AS BIGINT) AS n_tokens
+               CAST(len(""" + graft.core.Tok.sqlWords("text") + """) AS BIGINT) AS n_tokens
         FROM documents),
       bysrc AS (SELECT source, sum(n_tokens) AS t_s FROM d GROUP BY 1),
       tot AS (SELECT sum(t_s) AS t FROM bysrc),
@@ -746,8 +802,7 @@ object PipelineQueries {
       val k = 100
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          size(filter(split(lower(col("text")), "\\s+"),
-            tk => length(tk) > 0)).cast("long").as("w"))
+          size(graft.core.Tok.words(col("text"))).cast("long").as("w"))
         .filter(col("w") > 0)
       val withCum = graft.operators.PrefixSum.runningSum(
         d, Seq(col("doc_id").asc), col("w"), "c")
@@ -764,8 +819,7 @@ object PipelineQueries {
     Some("""
       WITH d AS (
         SELECT doc_id,
-               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                    tk -> len(tk) > 0)) AS BIGINT) AS w
+               CAST(len(""" + graft.core.Tok.sqlWords("text") + """) AS BIGINT) AS w
         FROM documents),
       dd AS (SELECT * FROM d WHERE w > 0),
       cum AS (
@@ -940,5 +994,5 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits, q205TemperatureMix)
+    q195Hits, q205TemperatureMix, q214UnicodeCuration)
 }

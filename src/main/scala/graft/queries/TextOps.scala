@@ -27,27 +27,36 @@ object TextOps {
   private def occSql(c: String, pat: String): String =
     s"(length($c) - length(replace($c, '$pat', ''))) / ${pat.length}"
 
-  /** Text statistics: char/word counts, average word length. */
+  /** Text statistics: char/word counts, average word length. Words come
+    * from the script-aware default seam (graft.core.Tok, r18) — a CJK
+    * doc reports its codepoint-token count instead of 1; on the clean
+    * single-spaced ASCII fixtures the numbers equal the old
+    * space-count formula exactly. Token-less docs get NULL avg length
+    * on both engines (nullif guard).
+    */
   val q30TextStats = Q(
     "q30_text_stats",
     (s, dir) => {
       val d = t(s, dir)("documents")
-      val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
-      val nWords = spaces + 1
+      val w = graft.core.Tok.wordsCased(col("text"))
       d.select(
         col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars_m"),
-        nWords.cast("long").as("n_words"),
-        round((length(col("text")) - spaces).cast("double") / nWords, 6)
-          .as("avg_word_len"))
+        size(w).cast("long").as("n_words"),
+        round(aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") /
+          nullif(size(w), lit(0)), 6).as("avg_word_len"))
     },
     Some("""
+      WITH w AS (
+        SELECT doc_id, lang, length(text) AS n_chars,
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS w
+        FROM documents)
       SELECT doc_id, lang,
-             CAST(length(text) AS BIGINT) AS n_chars_m,
-             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-             round(CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
-                   / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len
-      FROM documents"""))
+             CAST(n_chars AS BIGINT) AS n_chars_m,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / nullif(len(w), 0), 6) AS avg_word_len
+      FROM w"""))
 
   /** Token counting: whitespace tokens, distinct tokens (vocabulary). */
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
@@ -57,7 +66,7 @@ object TextOps {
   val q31TokenCount = Q(
     "q31_token_count",
     (s, dir) => {
-      val toks = split(col("text"), " ", -1)
+      val toks = graft.core.Tok.wordsCased(col("text"))
       val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
       t(s, dir)("documents").select(
         col("doc_id"),
@@ -67,11 +76,15 @@ object TextOps {
           .cast("long").as("n_bpe_tokens"))
     },
     Some("""
+      WITH w AS (
+        SELECT doc_id, """ + graft.core.Tok.sqlWordsCased("text") + """ AS w,
+               text
+        FROM documents)
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
-      FROM documents"""))
+      FROM w"""))
 
   /** Quality scoring: length + lexical-diversity + stopword-ratio mix,
     * then a quality CASE ladder (keep / review / drop).
@@ -80,8 +93,8 @@ object TextOps {
     * shared by q137's budgeted selection.
     */
   private def qualityScore: Column = {
-    val toks = split(col("text"), " ", -1)
-    val nTokens = size(toks).cast("double")
+    val toks = graft.core.Tok.wordsCased(col("text"))
+    val nTokens = nullif(size(toks), lit(0)).cast("double")
     val diversity = size(array_distinct(toks)).cast("double") / nTokens
     val stops = (occurrences(col("text"), " the ") +
       occurrences(col("text"), " a ") + occurrences(col("text"), " of ")).cast("double")
@@ -100,13 +113,17 @@ object TextOps {
           .as("verdict"))
     },
     Some(s"""
-      WITH f AS (
+      WITH w0 AS (
+        SELECT doc_id, text,
+               ${graft.core.Tok.sqlWordsCased("text")} AS w
+        FROM documents),
+      f AS (
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+               CAST(nullif(len(w), 0) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct,
                CAST(${occSql("text", " the ")} + ${occSql("text", " a ")}
                     + ${occSql("text", " of ")} AS DOUBLE) AS stops
-        FROM documents),
+        FROM w0),
       sc AS (
         SELECT doc_id,
                round(least(n_tokens / 100.0, 1.0) * 0.4
@@ -181,14 +198,15 @@ object TextOps {
   val q35Fingerprint = Q(
     "q35_fingerprint",
     (s, dir) => {
-      val toks = array_sort(array_distinct(split(lower(col("text")), " ", -1)))
+      val toks = array_sort(array_distinct(graft.core.Tok.words(col("text"))))
       t(s, dir)("documents")
         .select(col("doc_id"),
           md5(concat_ws(" ", toks)).as("fingerprint"))
     },
     Some("""
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+             md5(array_to_string(list_sort(list_distinct(
+               """ + graft.core.Tok.sqlWords("text") + """)), ' ')) AS fingerprint
       FROM documents"""))
 
   /** N-gram Jaccard similarity between successive documents (word-bigram
@@ -198,16 +216,14 @@ object TextOps {
     "q36_ngram_jaccard",
     (s, dir) => {
       val d = t(s, dir)("documents")
-      def withBigrams(df: DataFrame): DataFrame = {
-        val toks = split(lower(col("text")), " ", -1)
-        df.filter(size(split(col("text"), " ", -1)) >= 2)
+      def withBigrams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), graft.core.Tok.words(col("text")).as("w"))
+          .filter(size(col("w")) >= 2)
           .select(col("doc_id"),
             array_distinct(expr(
-              "transform(sequence(1, size(split(lower(text), ' ', -1)) - 1)," +
-                " i -> concat(element_at(split(lower(text), ' ', -1), i), ' '," +
-                " element_at(split(lower(text), ' ', -1), i + 1)))"))
+              "transform(sequence(1, size(w) - 1)," +
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
               .as("bigrams"))
-      }
       val a = withBigrams(d).withColumnRenamed("bigrams", "a")
       val b = withBigrams(d).withColumnRenamed("bigrams", "b")
         .withColumnRenamed("doc_id", "doc_id_b")
@@ -217,13 +233,15 @@ object TextOps {
             size(array_union(col("a"), col("b"))), 6).as("jaccard"))
     },
     Some("""
-      WITH g AS (
+      WITH t0 AS (
+        SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS w
+        FROM documents),
+      g AS (
         SELECT doc_id,
-               list_distinct(list_transform(
-                 range(1, len(string_split(lower(text), ' '))),
-                 i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i + 1])) AS bigrams
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 2)
+               list_distinct(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS bigrams
+        FROM t0
+        WHERE len(w) >= 2)
       SELECT a.doc_id,
              round(CAST(len(list_filter(a.bigrams, x -> list_contains(b.bigrams, x))) AS DOUBLE)
                    / len(list_distinct(a.bigrams || b.bigrams)), 6) AS jaccard
@@ -239,7 +257,7 @@ object TextOps {
   val q57RollingFingerprint = Q(
     "q57_rolling_fingerprint",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val hashes = transform(toks,
         t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
       t(s, dir)("documents").select(
@@ -252,8 +270,7 @@ object TextOps {
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                  [CAST(('0x' || substr(md5(tk), 18, 15)) AS BIGINT) % 1000000007
-                  for tk in list_filter(string_split_regex(lower(text), '\s+'),
-                                        tk -> len(tk) > 0)]),
+                  for tk in """ + graft.core.Tok.sqlWords("text") + """]),
                (acc, h) -> (acc * 1000003 + h) % 8999999999993) AS fingerprint
       FROM documents"""))
 
@@ -322,8 +339,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       grams AS (
         SELECT doc_id,
@@ -434,8 +450,7 @@ object TextOps {
       val W = 256
       val docs = t(s, dir)("documents")
         .select(col("doc_id"), col("source"),
-          size(filter(split(lower(col("text")), "\\s+"),
-            t => length(t) > 0)).cast("long").as("n_tokens"))
+          size(graft.core.Tok.words(col("text"))).cast("long").as("n_tokens"))
       val cum = graft.operators.PrefixSum.runningSum(
         docs, Seq(col("source"), col("doc_id")), col("n_tokens"), "g_cum")
       // per-source start offset = global running sum just before the
@@ -455,8 +470,7 @@ object TextOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM (
           SELECT doc_id, source,
-                 CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-                          tk -> len(tk) > 0)) AS BIGINT) AS n_tokens
+                 CAST(len(""" + graft.core.Tok.sqlWords("text") + """) AS BIGINT) AS n_tokens
           FROM documents))"""))
 
   /** Near-dup CLUSTERING via distributed connected components — the
@@ -475,7 +489,7 @@ object TextOps {
   val q110ComponentDedup = Q(
     "q110_component_dedup",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val chunks = t(s, dir)("documents")
         .select(col("doc_id"), toks.as("w"))
         .select(col("doc_id"), explode(expr(
@@ -499,8 +513,7 @@ object TextOps {
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       chunks AS (
         SELECT DISTINCT doc_id,
@@ -536,7 +549,7 @@ object TextOps {
   val q164LeakageSafeSplit = Q(
     "q164_leakage_safe_split",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val chunks = t(s, dir)("documents")
         .select(col("doc_id"), toks.as("w"))
         .select(col("doc_id"), explode(expr(
@@ -564,8 +577,7 @@ object TextOps {
     Some("""
       WITH RECURSIVE toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       chunks AS (
         SELECT DISTINCT doc_id,
@@ -603,7 +615,7 @@ object TextOps {
   val q108LineDedup = Q(
     "q108_line_dedup",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val lines = t(s, dir)("documents")
         .select(col("doc_id"), toks.as("w"))
         .select(col("doc_id"), posexplode(expr(
@@ -626,8 +638,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       chunks AS (
         SELECT doc_id, i AS idx,
@@ -655,7 +666,7 @@ object TextOps {
   val q86Repetition = Q(
     "q86_repetition",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       t(s, dir)("documents")
         .select(col("doc_id"), explode(toks).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
@@ -670,8 +681,7 @@ object TextOps {
     Some("""
       WITH w AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                  tk -> len(tk) > 0)) AS word
+               unnest(""" + graft.core.Tok.sqlWords("text") + """) AS word
         FROM documents),
       wc AS (
         SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
@@ -698,7 +708,7 @@ object TextOps {
     "q98_span_dedup",
     (s, dir) => {
       val span = 16
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val hashes = transform(toks,
         t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
       // WindowFingerprints = the codegen form of
@@ -728,8 +738,7 @@ object TextOps {
       WITH toks AS (
         SELECT doc_id,
                [CAST(('0x' || substr(md5(tk), 18, 15)) AS BIGINT) % 1000000007
-                for tk in list_filter(string_split_regex(lower(text), '\s+'),
-                                      tk -> len(tk) > 0)] AS hs
+                for tk in """ + graft.core.Tok.sqlWords("text") + """] AS hs
         FROM documents),
       w AS (
         SELECT doc_id,
@@ -760,7 +769,7 @@ object TextOps {
     "q131_tfidf",
     (s, dir) => {
       val d = t(s, dir)("documents")
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) >= 3)
+      val toks = filter(graft.core.Tok.words(col("text")), t => length(t) >= 3)
       val terms = d.select(col("doc_id"), explode(toks).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -777,8 +786,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                  t -> len(t) >= 3)) AS term
+               unnest(list_filter(""" + graft.core.Tok.sqlWords("text") + """, t -> len(t) >= 3)) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
              FROM toks GROUP BY 1, 2),
@@ -809,7 +817,7 @@ object TextOps {
     (s, dir) => {
       val win = 32
       val stride = 24
-      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.wordsCased(col("text"))
       // int-exact: the double quotient of exact small ints truncates to
       // the floor (cast toward zero, operands non-negative)
       val nChunks =
@@ -830,8 +838,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'),
-                           t -> len(t) > 0) AS tk
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS tk
         FROM documents),
       c AS (
         SELECT doc_id, tk,
@@ -859,7 +866,7 @@ object TextOps {
   val q133BpePairs = Q(
     "q133_bpe_pairs",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val nPairs = greatest(size(col("tk")) - 1, lit(0))
       val zipped = arrays_zip(
         slice(col("tk"), lit(1), nPairs).as("a"),
@@ -875,8 +882,7 @@ object TextOps {
     },
     Some("""
       WITH toks AS (
-        SELECT list_filter(string_split_regex(lower(text), '\s+'),
-                           t -> len(t) > 0) AS tk
+        SELECT """ + graft.core.Tok.sqlWords("text") + """ AS tk
         FROM documents),
       p AS (
         SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
@@ -899,7 +905,7 @@ object TextOps {
   val q136HeavyHitters = Q(
     "q136_heavy_hitters",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val tok = t(s, dir)("documents").select(explode(toks).as("tok"))
       val cand = tok
         .agg(graft.functions.FrequentItems(128)(col("tok")).as("cand"))
@@ -914,8 +920,7 @@ object TextOps {
     },
     Some("""
       WITH tok AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                      t -> len(t) > 0)) AS tok
+        SELECT unnest(""" + graft.core.Tok.sqlWords("text") + """) AS tok
         FROM documents)
       SELECT tok, CAST(count(*) AS BIGINT) AS cnt
       FROM tok GROUP BY 1
@@ -937,7 +942,8 @@ object TextOps {
       val scored = t(s, dir)("documents").select(
         col("doc_id"),
         qualityScore.as("quality"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        size(graft.core.Tok.wordsCased(col("text"))).cast("long")
+          .as("n_tokens"))
       val withCum = graft.operators.PrefixSum.runningSum(
         scored, Seq(col("quality").desc, col("doc_id").asc),
         col("n_tokens"), "cum_tokens")
@@ -947,14 +953,18 @@ object TextOps {
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
     },
     Some(s"""
-      WITH f AS (
+      WITH w0 AS (
+        SELECT doc_id, text,
+               ${graft.core.Tok.sqlWordsCased("text")} AS w
+        FROM documents),
+      f AS (
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens_d,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+               CAST(nullif(len(w), 0) AS DOUBLE) AS n_tokens_d,
+               CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct,
                CAST(${occSql("text", " the ")} + ${occSql("text", " a ")}
                     + ${occSql("text", " of ")} AS DOUBLE) AS stops,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents),
+               CAST(len(w) AS BIGINT) AS n_tokens
+        FROM w0),
       sc AS (
         SELECT doc_id,
                round(least(n_tokens_d / 100.0, 1.0) * 0.4
@@ -986,7 +996,7 @@ object TextOps {
   val q138BigramFamiliarity = Q(
     "q138_bigram_familiarity",
     (s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val nPairs = greatest(size(col("tk")) - 1, lit(0))
       val zipped = arrays_zip(
         slice(col("tk"), lit(1), nPairs).as("a"),
@@ -1008,8 +1018,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           t -> len(t) > 0) AS tk
+               """ + graft.core.Tok.sqlWords("text") + """ AS tk
         FROM documents),
       p AS (
         SELECT doc_id,
@@ -1053,8 +1062,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       grams AS (
         SELECT doc_id,
@@ -1263,8 +1271,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       grams AS (
         SELECT doc_id,
@@ -1328,7 +1335,7 @@ object TextOps {
         (pmod(graft.operators.Dedup.md5Hash64(
           concat(lit("w_"), col("id").cast("string"))), lit(2001L)) - 1000L)
           .as("wt"))
-      val toks = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       // unigrams ++ bigrams, TOTAL expression (round-5 lesson)
       val feats = t(s, dir)("documents")
         .select(col("doc_id"), toks.as("w"))
@@ -1349,8 +1356,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       feats AS (
         SELECT doc_id,
@@ -1464,7 +1470,7 @@ object TextOps {
   val q174Bm25Topk = Q(
     "q174_bm25_topk",
     (s, dir) => {
-      val toksC = filter(split(lower(col("text")), "\\s+"), tk => length(tk) > 0)
+      val toksC = graft.core.Tok.words(col("text"))
       val docs = t(s, dir)("documents")
         .select(col("doc_id"), toksC.as("w"))
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
@@ -1490,8 +1496,7 @@ object TextOps {
     Some("""
       WITH docs AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + """ AS w
         FROM documents),
       dd AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs WHERE len(w) > 0),
@@ -1552,7 +1557,7 @@ object TextOps {
     * must still refuse to cut). */
   def spanRewrite(docsIn: DataFrame, span: Int = 16,
       foldMod: Long = graft.functions.WindowFingerprints.DefaultMod): DataFrame = {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val toks = graft.core.Tok.words(col("text"))
       val hashes = transform(toks,
         t => graft.operators.Dedup.md5Hash64(t) % 1000000007L)
       val base = docsIn
@@ -1634,8 +1639,7 @@ object TextOps {
     Some("""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                           tk -> len(tk) > 0) AS tk
+               """ + graft.core.Tok.sqlWords("text") + """ AS tk
         FROM documents),
       hs AS (
         SELECT doc_id, tk,
@@ -1710,8 +1714,7 @@ object TextOps {
     Some(s"""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\\s+'),
-                           tk -> len(tk) > 0) AS w
+               """ + graft.core.Tok.sqlWords("text") + s""" AS w
         FROM documents),
       enc AS (
         SELECT doc_id,
@@ -1734,14 +1737,14 @@ object TextOps {
     * their own singletons identically on both engines), ideographic
     * space U+3000, and an ASCII run embedded mid-CJK.
     */
-  private val unicodeSnippets = Seq(
+  private[queries] val unicodeSnippets = Seq(
     "深層学習モデルの訓練データ処理",
     "数据管道在大规模集群上运行　测试",
     "ひらがなとカタカナの混在テキスト",
     "ข้อมูลภาษาไทยสำหรับทดสอบ",
     "GPU加速で高速化した分散処理")
 
-  private def unicodeSnippetSqlArray: String =
+  private[queries] def unicodeSnippetSqlArray: String =
     unicodeSnippets.map(s => s"'$s'").mkString("[", ", ", "]")
 
   /** Script-aware tokenization (functions/UnicodeTokens — the r16

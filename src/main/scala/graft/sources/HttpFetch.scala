@@ -95,8 +95,10 @@ object HttpFetch {
 
   /** Resumable multi-object fetch: download every (url, dest) pair,
     * recording each completion in a MANIFEST file (tab-separated
-    * `url dest bytes` lines at `manifestPath`, rewritten atomically via
-    * tmp+rename after every object). A re-run with the same manifest
+    * `url dest bytes` lines at `manifestPath`, rewritten via
+    * tmp+swap after every object; a crash anywhere in the swap is
+    * recovered on the next run — see the recovery rule below). A re-run
+    * with the same manifest
     * SKIPS recorded objects without touching the network — the
     * exactly-once resume contract a crashed multi-hour ingest needs
     * (the reference leans on Dagster's asset rematerialization for
@@ -114,8 +116,19 @@ object HttpFetch {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val mp = new Path(manifestPath)
-    if (fs.exists(mp)) {
-      val in = fs.open(mp)
+    val tmp = new Path(manifestPath + ".tmp")
+    // Recovery rule (closes the delete→rename crash window the r17
+    // advice flagged): writeManifest only deletes the live manifest
+    // AFTER the .tmp is fully written and closed, so if the live file
+    // is missing the .tmp is by construction a COMPLETE manifest from
+    // the interrupted swap — read it instead. A torn .tmp can only
+    // coexist with an intact live manifest (write happens first), never
+    // with a missing one.
+    val src = if (fs.exists(mp)) Some(mp)
+      else if (fs.exists(tmp)) Some(tmp)
+      else None
+    src.foreach { p =>
+      val in = fs.open(p)
       val text = try {
         val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -130,7 +143,6 @@ object HttpFetch {
       }
     }
     def writeManifest(): Unit = {
-      val tmp = new Path(manifestPath + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(done.map { case (k, v) => s"$k\t$v\n" }
         .mkString.getBytes(StandardCharsets.UTF_8))

@@ -117,16 +117,25 @@ object SeekableInput {
         }
         c
       case None =>
-        if (executorConf == null) executorConf = {
-          val c = new Configuration()
-          val env = org.apache.spark.SparkEnv.get
-          if (env != null) env.conf.getAll.foreach { case (k, v) =>
-            if (k.startsWith("spark.hadoop."))
-              c.set(k.substring("spark.hadoop.".length), v)
+        val env = org.apache.spark.SparkEnv.get
+        if (env == null) {
+          // no Spark environment at all (plain-JVM tools/specs): fresh
+          // vanilla conf, NOT memoized — memoizing here would
+          // permanently cache a conf with no spark.hadoop.* entries for
+          // the whole JVM if a pre-session open raced session startup
+          // (the r17 advice item)
+          new Configuration()
+        } else {
+          if (executorConf == null) executorConf = {
+            val c = new Configuration()
+            env.conf.getAll.foreach { case (k, v) =>
+              if (k.startsWith("spark.hadoop."))
+                c.set(k.substring("spark.hadoop.".length), v)
+            }
+            c
           }
-          c
+          executorConf
         }
-        executorConf
     }
   @volatile private var executorConf: Configuration = _
   private[sources] def resetExecutorConfForTest(): Unit = executorConf = null

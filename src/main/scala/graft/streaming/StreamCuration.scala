@@ -63,7 +63,7 @@ object StreamCuration {
     * positive-domain), so stream and batch agree bit-for-bit.
     */
   def qualityScore(textCol: Column): Column = {
-    val w = filter(split(lower(textCol), "\\s+"), tk => length(tk) > 0)
+    val w = graft.core.Tok.words(textCol)
     val feats = concat(w,
       transform(
         slice(sequence(lit(1), greatest(size(w) - 1, lit(1))),
@@ -81,7 +81,7 @@ object StreamCuration {
     * keys), as a TOTAL expression (the round-5 guard-filter lesson).
     */
   def gramKeys(textCol: Column): Column = {
-    val w = filter(split(lower(textCol), "\\s+"), tk => length(tk) > 0)
+    val w = graft.core.Tok.words(textCol)
     val grams = when(size(w) >= 3, array_distinct(
       transform(
         slice(sequence(lit(1), greatest(size(w) - 2, lit(1))),

@@ -97,7 +97,9 @@ class UnicodeTokensSpec extends SparkSpec {
     spark.catalog.dropTempView("ut_probe")
   }
 
-  test("wordGramKeysUnicode equals wordGramKeys on pure-ASCII docs") {
+  test("wordGramKeys is script-aware by default (r18 seam adoption)") {
+    // the DEFAULT gram builder and its r17-era unicode alias are now
+    // the same seam — identical keys everywhere
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three"))
       .toDF("doc_id", "text")
     val a = graft.operators.Dedup.wordGramKeys(docs, "doc_id", "text")
@@ -105,10 +107,27 @@ class UnicodeTokensSpec extends SparkSpec {
     val b = graft.operators.Dedup.wordGramKeysUnicode(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b && a.nonEmpty)
-    // and a CJK doc, ONE token under \s+, yields real grams here
+    // a CJK doc — ONE token under the legacy \s+ split (zero grams,
+    // the silent no-op the adoption removed) — yields real grams
+    // through the default seam now
     val cjk = Seq((3L, "深層学習モデル")).toDF("doc_id", "text")
-    assert(graft.operators.Dedup.wordGramKeys(cjk, "doc_id", "text").count() == 0)
-    assert(graft.operators.Dedup.wordGramKeysUnicode(cjk, "doc_id", "text")
+    val legacyToks = cjk.select(
+      org.apache.spark.sql.functions.size(
+        graft.core.Tok.legacyWords(org.apache.spark.sql.functions.col("text"))))
+      .collect()(0).getInt(0)
+    assert(legacyToks == 1)
+    assert(graft.operators.Dedup.wordGramKeys(cjk, "doc_id", "text")
       .count() == 5) // 7 singletons → 5 overlapping 3-grams
+  }
+
+  test("tokenizeLocal (driver twin) equals the Column kernel") {
+    val samples = Seq("GPU加速で高速化した分散処理", "plain ascii words",
+      "ข้อมูลภาษาไทย", "mixed 深層-learning テスト", "", "  spaced  out  ")
+    val viaCol = samples.toDF("t")
+      .select(UnicodeTokens(col("t")).as("tk"))
+      .as[Seq[String]].collect().toSeq
+    val viaLocal = samples.map(s =>
+      UnicodeTokens.tokenizeLocal(s).toSeq)
+    assert(viaCol == viaLocal)
   }
 }
