@@ -489,6 +489,172 @@ object PipelineQueries {
         TextOps.unicodeSnippetSqlArray +
         ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents")))
 
+  /** The curation DAG with the UNALIGNED exact-substring cut composed in
+    * (q212 → production posture, the r17 verdict item): quality gate →
+    * exact dedup → MinHash near-dup dedup → corpus-wide ≥24-char
+    * substring-cut stats over the SURVIVORS (dedup first, so exact
+    * copies don't inflate substring counts) → eval-gram decontamination
+    * → per-lang funnel manifest. A survivor is accepted when its cut
+    * coverage stays ≤ 20% of its chars (exact integers: ncc·5 ≤ chars)
+    * AND it carries no eval gram. The oracle replays every stage —
+    * brute-force exact Jaccard ground truth for the LSH stage, literal
+    * 24-gram counts/owners for the cut — so the composition itself is
+    * hash-gated. Scale shape: each stage is individually pinned (q39 /
+    * q34 / q37 / q212 / q84); the composition adds only sparse per-doc
+    * left joins on doc_id.
+    */
+  val q215CurationSubstr = Q(
+    "q215_curation_substr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // eval split (doc_id % 199 == 0) is external — never part of the
+      // arriving corpus, only the decontamination reference
+      val all = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val docs = all.filter(col("doc_id") % 199 =!= 0)
+      val toksSp = graft.core.Tok.wordsCased(col("text"))
+      val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
+        .withColumn("diversity",
+          size(array_distinct(toksSp)).cast("double") /
+            nullif(col("n_tokens"), lit(0.0)))
+        .withColumn("quality",
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
+        .filter(col("quality") >= 0.3)
+      val exact = quality
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      // survivor set feeds the cut scan, the gram scan AND the final
+      // joins — materialize once (the q147 checkpoint lesson)
+      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .localCheckpoint(true)
+      val cutStats = graft.operators.SubstrDedup.cutStats(near, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars_cut"))
+      val evalGrams = Dedup.wordGramKeys(
+          all.filter(col("doc_id") % 199 === 0), "doc_id", "text")
+        .select("gk").distinct()
+      val contaminated = Dedup.wordGramKeys(near, "doc_id", "text")
+        .join(evalGrams, "gk")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .join(quality.select(col("doc_id"), lit(true).as("q")), Seq("doc_id"), "left")
+        .join(near.select(col("doc_id"), lit(true).as("uniq")), Seq("doc_id"), "left")
+        .join(cutStats, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(col("q"), lit(false)).as("q"),
+          coalesce(col("uniq"), lit(false)).as("uniq"),
+          (coalesce(col("n_chars_cut"), lit(0L)) * 5 <= col("n_chars"))
+            .as("lowcut"),
+          coalesce(col("contaminated"), lit(false)).as("cont"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("uniq") && col("lowcut"), 1L).otherwise(0L))
+            .as("n_lowcut"),
+          sum(when(col("uniq") && col("lowcut") && !col("cont"), 1L)
+            .otherwise(0L)).as("n_accepted"))
+    },
+    Some("""
+      WITH w0 AS (
+        SELECT doc_id, lang, text,
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS w
+        FROM documents WHERE doc_id % 199 <> 0),
+      g AS (
+        SELECT doc_id, lang, text,
+               CAST(len(w) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE)
+                 / nullif(len(w), 0) AS diversity
+        FROM w0),
+      q AS (
+        SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
+        FROM g),
+      gate AS (SELECT * FROM q WHERE quality >= 0.3),
+      exact AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM gate) WHERE rn = 1),
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, len(t)-2)]) AS sh
+        FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM exact)
+        WHERE len(t) >= 3),
+      """ + DedupQueries.prefixCandSql("sh") + """,
+      dups AS (
+        SELECT DISTINCT c.bi AS doc_id
+        FROM cand c JOIN sh a ON a.doc_id = c.ai
+        JOIN sh b ON b.doc_id = c.bi
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+      near AS MATERIALIZED (
+        SELECT doc_id, lang, text FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+      pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 22, 1))) AS i
+        FROM near),
+      wins AS (
+        SELECT doc_id, i AS p, substr(text, CAST(i AS INT), 24) AS g24
+        FROM pos),
+      ver AS MATERIALIZED (
+        SELECT g24, min(doc_id * 1048576 + p) AS owner
+        FROM wins GROUP BY g24 HAVING count(*) >= 2),
+      cuts AS (
+        SELECT w.doc_id, w.p FROM wins w JOIN ver v ON w.g24 = v.g24
+        WHERE w.doc_id * 1048576 + w.p <> v.owner),
+      cov AS (
+        SELECT doc_id,
+               len(list_distinct(flatten(list_transform(list(p),
+                 p -> range(p, p + 24))))) AS ncc
+        FROM cuts GROUP BY doc_id),
+      evg AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(gm), 18, 15)) AS BIGINT) AS gk
+        FROM (
+          SELECT unnest(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)])) AS gm
+          FROM (SELECT """ + graft.core.Tok.sqlWords("text") + """ AS w
+                FROM documents WHERE doc_id % 199 = 0)
+          WHERE len(w) >= 3)),
+      cont AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(gm), 18, 15)) AS BIGINT) AS gk
+          FROM (
+            SELECT doc_id, unnest(list_distinct(
+                     [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in range(1, len(w) - 1)])) AS gm
+            FROM (SELECT doc_id,
+                         """ + graft.core.Tok.sqlWords("text") + """ AS w
+                  FROM near)
+            WHERE len(w) >= 3))
+        WHERE gk IN (SELECT gk FROM evg)),
+      m AS (
+        SELECT d.doc_id, d.lang,
+               gt.doc_id IS NOT NULL AS q,
+               n.doc_id IS NOT NULL AS uniq,
+               coalesce(c.ncc, 0) * 5 <= length(d.text) AS lowcut,
+               ct.doc_id IS NOT NULL AS cont
+        FROM w0 d
+        LEFT JOIN gate gt ON gt.doc_id = d.doc_id
+        LEFT JOIN near n ON n.doc_id = d.doc_id
+        LEFT JOIN cov c ON c.doc_id = d.doc_id
+        LEFT JOIN cont ct ON ct.doc_id = d.doc_id)
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_arrived,
+             CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN uniq AND lowcut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lowcut,
+             CAST(sum(CASE WHEN uniq AND lowcut AND NOT cont
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+      FROM m GROUP BY 1"""))
+
   /** Training-mixture apportionment: a global token budget (half the
     * corpus) split across sources in EXACT proportion to their token
     * mass by the largest-remainder (Hamilton) method — floor the scaled
@@ -994,5 +1160,5 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits, q205TemperatureMix, q214UnicodeCuration)
+    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr)
 }
