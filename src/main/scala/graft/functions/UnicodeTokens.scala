@@ -47,6 +47,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * out of the kernel so the segmentation is case-independent and the
   * oracle mirrors it with SQL `lower`.
   *
+  * INDIC / COMBINING-MARK segmentation (r17 verdict #8, decided r18 —
+  * documented behavior, pinned by UnicodeTokensSpec):
+  *  - Indic scripts (Devanagari, Bengali, Tamil, …) are RUN-tokenized:
+  *    they are space-separated scripts, and their combining matras
+  *    carry the same script class as their base consonants, so a word
+  *    like "हिन्दी" stays ONE token with every matra attached. No
+  *    special casing needed — the run rule is already correct.
+  *  - Script=INHERITED combining marks (U+0300 diacritics, U+3099
+  *    kana voicing marks) belong to no singleton class on EITHER
+  *    engine (java.lang.Character and RE2 agree they are not
+  *    Han/Hiragana/Katakana/Thai), so a DECOMPOSED kana like
+  *    か + U+3099 tokenizes as the base singleton plus a separate
+  *    mark-run token, while the NFC form が is one singleton. Callers
+  *    feeding decomposed text should NFC-normalize first (real web
+  *    corpora are overwhelmingly NFC); the kernel does not normalize
+  *    because DuckDB's RE2 replay could not reproduce ICU
+  *    normalization and the cross-engine witness would break.
+  *  - Full ICU grapheme clustering is deliberately OUT: its rules are
+  *    not expressible as one RE2 regex, so adopting it would forfeit
+  *    the independent-oracle replay that gates this kernel.
+  *
   * Reference has no text operators; this serves the LLM-training-data
   * brief (multilingual corpus curation at 100 TB).
   */

@@ -120,6 +120,29 @@ class UnicodeTokensSpec extends SparkSpec {
       .count() == 5) // 7 singletons → 5 overlapping 3-grams
   }
 
+  test("Indic scripts run-tokenize with matras attached (r18 decision)") {
+    // Devanagari is a space-separated script; matras share its script
+    // class, so a word is ONE token, marks attached — no special casing
+    assert(tok("\u0939\u093f\u0928\u094d\u0926\u0940 \u092d\u093e\u0937\u093e") ==
+      Seq("\u0939\u093f\u0928\u094d\u0926\u0940", "\u092d\u093e\u0937\u093e"))
+    assert(tok("\u0ba4\u0bae\u0bbf\u0bb4\u0bcd") ==
+      Seq("\u0ba4\u0bae\u0bbf\u0bb4\u0bcd")) // Tamil likewise
+    // script=INHERITED marks split from a SINGLETON-script base: the
+    // decomposed kana U+304B+U+3099 is two tokens, the NFC form U+304C
+    // is one — callers feeding decomposed text NFC-normalize first
+    // (documented). Explicit escapes: editors silently NFC-normalize.
+    val decomposed = "\u304b\u3099"
+    val precomposed = "\u304c"
+    assert(tok(decomposed) == Seq("\u304b", "\u3099"))
+    assert(tok(precomposed) == Seq(precomposed))
+    // the independent regex twin agrees on every one of these
+    Seq("\u0939\u093f\u0928\u094d\u0926\u0940 \u092d\u093e\u0937\u093e",
+        "\u0ba4\u0bae\u0bbf\u0bb4\u0bcd", decomposed, precomposed)
+      .foreach { s =>
+        assert(tok(s) == regexTok(s), s"on '$s'")
+      }
+  }
+
   test("tokenizeLocal (driver twin) equals the Column kernel") {
     val samples = Seq("GPU加速で高速化した分散処理", "plain ascii words",
       "ข้อมูลภาษาไทย", "mixed 深層-learning テスト", "", "  spaced  out  ")
