@@ -173,6 +173,18 @@ class HttpFetchSpec extends SparkSpec {
       val r3 = HttpFetch.fetchAll(spark, items, manifest, pol)
       assert(r3.forall(_.skipped))
       assert(calls.map { case (k, v) => k -> v.get() }.toMap == totals)
+
+      // crash INSIDE the manifest swap (the r17 advice window): the
+      // live manifest was deleted but the rename never ran — only the
+      // complete .tmp exists. The next run must recover it and still
+      // skip everything with zero network calls.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(manifest),
+        java.nio.file.Paths.get(manifest + ".tmp"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val r4 = HttpFetch.fetchAll(spark, items, manifest, pol)
+      assert(r4.forall(_.skipped))
+      assert(calls.map { case (k, v) => k -> v.get() }.toMap == totals)
     }
   }
 }
