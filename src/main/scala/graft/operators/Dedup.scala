@@ -40,6 +40,22 @@ object Dedup {
     java.lang.Long.parseLong(hex.substring(17, 32), 16)
   }
 
+  /** Bloom position j (0..2) for an md5-derived 60-bit gram key:
+    * `(gk >> 15·j) % m` — three overlapping 60/45/30-bit windows of a
+    * key that is ALREADY uniform md5 output, so no further hashing is
+    * needed (r18: the previous md5Hash64("gk_j") position derivation
+    * cost 3 full md5 chains per probed gram — measured ~13 s of q162's
+    * 30 s at sf1; this form is pure integer codegen and the DuckDB
+    * oracle replays it as `(gk >> 15*j) % m`). The windows overlap past
+    * bit 30, which is fine for a bloom prefilter backed by an exact
+    * verify; the bottom window must cover m, hence m ≤ 2^30 (the
+    * existing cap).
+    */
+  def bloomPos(gk: Column, j: Int, m: Long): Column = {
+    require(j >= 0 && j <= 2 && m <= (1L << 30), s"bloomPos j=$j m=$m")
+    pmod(shiftright(gk, 15 * j), lit(m))
+  }
+
   /** Distinct word n-gram shingles of a text column. Docs with fewer
     * than n tokens yield an empty array (NOT sequence(1, 0), which is
     * DESCENDING in Spark and feeds slice an illegal start of 0).

@@ -104,9 +104,10 @@ object StreamCuration {
   def packedEvalBloom(evalGramKeys: DataFrame, m: Long): Array[Long] = {
     require(m % 64 == 0 && m >= 64 && m <= (1L << 30),
       s"bloom m must be a multiple of 64 in [64, 2^30], got $m")
-    def pos(j: Int): Column =
-      pmod(Dedup.md5Hash64(concat(col("gk").cast("string"), lit("_" + j))),
-        lit(m))
+    // shifted-window positions of the md5-derived key (Dedup.bloomPos,
+    // r18): zero extra hashing — the old md5Hash64("gk_j") form cost
+    // three md5 chains per STREAM probe gram
+    def pos(j: Int): Column = Dedup.bloomPos(col("gk"), j, m)
     evalGramKeys
       .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
       .repartition(8)
@@ -133,8 +134,7 @@ object StreamCuration {
     require(bloomWords.nonEmpty, "empty bloom filter")
     val m = bloomWords.length.toLong * 64L
     val wordsLit = typedLit(bloomWords.toSeq)
-    def pos(gk: Column, j: Int): Column =
-      pmod(Dedup.md5Hash64(concat(gk.cast("string"), lit("_" + j))), lit(m))
+    def pos(gk: Column, j: Int): Column = Dedup.bloomPos(gk, j, m)
     // word index is exact in double arithmetic (p < m <= 2^53)
     def bitSet(p: Column): Column =
       (element_at(wordsLit, floor(p / lit(64L)).cast("int") + 1)

@@ -60,13 +60,13 @@ class StreamCurationRecoverySpec extends SparkSpec {
     val words = StreamCuration.packedEvalBloom(evalGkDf, m)
     val localWords = new Array[Long]((m / 64).toInt)
     for (gk <- evalGks; j <- 0 to 2) {
-      val p = Math.floorMod(Dedup.md5Hash64Local(gk.toString + "_" + j), m)
+      val p = Math.floorMod(gk >> (15 * j), m) // Dedup.bloomPos twin
       localWords(p.toInt >>> 6) |= 1L << (p.toInt & 63)
     }
     assert(words.toSeq === localWords.toSeq,
       "distributed bloom build diverged from the driver fold")
     def bloomHit(gk: Long): Boolean = (0 to 2).forall { j =>
-      val p = Math.floorMod(Dedup.md5Hash64Local(gk.toString + "_" + j), m)
+      val p = Math.floorMod(gk >> (15 * j), m) // Dedup.bloomPos twin
       (words(p.toInt >>> 6) & (1L << (p.toInt & 63))) != 0L
     }
 
