@@ -50,8 +50,38 @@ object CdsJobs {
       .compile("\"" + java.util.regex.Pattern.quote(field) +
         "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(body)
-    if (m.find()) m.group(1).replace("\\/", "/").replace("\\\"", "\"")
-    else null
+    if (m.find()) jsonUnescape(m.group(1)) else null
+  }
+
+  /** Full JSON string unescape (RFC 8259 §7) — \\ before \" matters
+    * (a raw replace chain mis-decodes "\\\"" as backslash + quote),
+    * and \uXXXX escapes in a location/message must decode or an
+    * escaped result URL would be mis-resolved.
+    */
+  private[sources] def jsonUnescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append('\\').append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private[sources] def httpBody(url: String, method: String, body: Option[String],
@@ -124,18 +154,26 @@ object CdsJobs {
 
   /** Poll a job's status URL until `completed`; returns (result URL,
     * polls made). `failed` raises immediately with the job's message;
-    * poll k waits policy.waitBeforeRetry(k) first, and `maxPolls`
-    * bounds the loop (a stuck queue must fail loudly, not hang).
+    * `maxPolls` bounds the loop (a stuck queue must fail loudly, not
+    * hang). The poll CADENCE is its own knob (r18 advice: reusing the
+    * retry policy's linear failure backoff as the poll interval made
+    * the second status probe wait 500 s under the reference policy) —
+    * capped exponential: poll k (k >= 2) waits
+    * min(pollDelayMs · 2^(k-2), pollMaxDelayMs), the cdsapi client's
+    * own shape. `policy` still governs 5xx/IO retries INSIDE each probe.
     */
   def poll(statusUrl: String,
       policy: HttpFetch.RetryPolicy = HttpFetch.ReferencePolicy,
       headers: Map[String, String] = Map.empty,
       maxPolls: Int = 1000,
+      pollDelayMs: Long = 1000L, pollMaxDelayMs: Long = 60000L,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000): (String, Int) = {
     var polls = 0
     while (polls < maxPolls) {
       if (polls > 0)
-        Thread.sleep(policy.waitBeforeRetry(math.min(polls, policy.maxRetries.max(1))))
+        Thread.sleep(math.min(
+          if (polls - 1 < 62) pollDelayMs << (polls - 1) else pollMaxDelayMs,
+          pollMaxDelayMs))
       polls += 1
       val text = control(statusUrl, "GET", None, policy, headers,
         connectTimeoutMs, readTimeoutMs)
@@ -160,8 +198,12 @@ object CdsJobs {
       mp: Path): scala.collection.mutable.LinkedHashMap[String, String] = {
     val tmp = new Path(mp.toString + ".tmp")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val src = if (fs.exists(mp)) Some(mp)
-      else if (fs.exists(tmp)) Some(tmp) else None
+    // live missing + .tmp present = interrupted swap; PROMOTE the .tmp
+    // (it is complete by construction — write finishes before the live
+    // delete) so the next writeManifest cannot truncate the only copy
+    if (!fs.exists(mp) && fs.exists(tmp))
+      require(fs.rename(tmp, mp), s"manifest recovery rename failed: $mp")
+    val src = if (fs.exists(mp)) Some(mp) else None
     src.foreach { p =>
       val in = fs.open(p)
       val text = try {
@@ -207,6 +249,7 @@ object CdsJobs {
       policy: HttpFetch.RetryPolicy = HttpFetch.ReferencePolicy,
       headers: Map[String, String] = Map.empty,
       maxPolls: Int = 1000,
+      pollDelayMs: Long = 1000L, pollMaxDelayMs: Long = 60000L,
       connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 60000): Seq[RetrieveResult] = {
     val fs = new Path(manifestPath)
@@ -229,7 +272,8 @@ object CdsJobs {
             su
           })
           val (resultUrl, polls) = poll(statusUrl, policy, headers,
-            maxPolls, connectTimeoutMs, readTimeoutMs)
+            maxPolls, pollDelayMs, pollMaxDelayMs,
+            connectTimeoutMs, readTimeoutMs)
           val n = HttpFetch.download(spark, resultUrl, dest, policy,
             headers, connectTimeoutMs, readTimeoutMs)
           done(key) = n.toString

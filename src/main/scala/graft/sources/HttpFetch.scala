@@ -121,12 +121,15 @@ object HttpFetch {
     // advice flagged): writeManifest only deletes the live manifest
     // AFTER the .tmp is fully written and closed, so if the live file
     // is missing the .tmp is by construction a COMPLETE manifest from
-    // the interrupted swap — read it instead. A torn .tmp can only
+    // the interrupted swap — PROMOTE it (rename .tmp -> live, finishing
+    // the interrupted swap) before reading, so the next writeManifest's
+    // create(tmp, overwrite) can never truncate the only surviving
+    // copy (the r18 advice's second-crash window). A torn .tmp can only
     // coexist with an intact live manifest (write happens first), never
-    // with a missing one.
-    val src = if (fs.exists(mp)) Some(mp)
-      else if (fs.exists(tmp)) Some(tmp)
-      else None
+    // with a missing one, so the promotion is always safe.
+    if (!fs.exists(mp) && fs.exists(tmp))
+      require(fs.rename(tmp, mp), s"manifest recovery rename failed: $mp")
+    val src = if (fs.exists(mp)) Some(mp) else None
     src.foreach { p =>
       val in = fs.open(p)
       val text = try {

@@ -95,7 +95,7 @@ class CdsJobsSpec extends SparkSpec {
       val dest = s"$d/out.grib"
       val r = CdsJobs.retrieveAll(spark,
         Seq((s"http://127.0.0.1:$port/req", """{"variable": "dis24"}""", dest)),
-        mp, fast)
+        mp, fast, pollDelayMs = 5L)
       assert(r.head.bytes == 5000 && !r.head.skipped && r.head.polls == 3)
       assert(submits.get() == 1)
       assert(java.nio.file.Files.readAllBytes(
@@ -108,7 +108,7 @@ class CdsJobsSpec extends SparkSpec {
       val before = requests.get()
       val r2 = CdsJobs.retrieveAll(spark,
         Seq((s"http://127.0.0.1:$port/req", """{"variable": "dis24"}""", dest)),
-        mp, fast)
+        mp, fast, pollDelayMs = 5L)
       assert(r2.head.skipped && requests.get() == before)
     }
   }
@@ -126,11 +126,11 @@ class CdsJobsSpec extends SparkSpec {
       // "crash" while the job is still queued: maxPolls = 1 throws after
       // the submit was durably recorded
       intercept[java.io.IOException] {
-        CdsJobs.retrieveAll(spark, item, mp, fast, maxPolls = 1)
+        CdsJobs.retrieveAll(spark, item, mp, fast, maxPolls = 1, pollDelayMs = 5L)
       }
       assert(submits.get() == 1)
       // resume: polls the recorded job to completion, never re-submits
-      val r = CdsJobs.retrieveAll(spark, item, mp, fast)
+      val r = CdsJobs.retrieveAll(spark, item, mp, fast, pollDelayMs = 5L)
       assert(!r.head.skipped && r.head.bytes == payload.length)
       assert(submits.get() == 1)
     }
@@ -151,12 +151,12 @@ class CdsJobsSpec extends SparkSpec {
       val item = Seq((s"http://127.0.0.1:$port/req", "{}", dest))
       intercept[java.io.IOException] {
         CdsJobs.retrieveAll(spark, item, mp,
-          RetryPolicy(maxRetries = 2, delayMs = 5L))
+          RetryPolicy(maxRetries = 2, delayMs = 5L), pollDelayMs = 5L)
       }
       assert(submits.get() == 1)
       // no truncated object is visible at dest
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dest)))
-      val r = CdsJobs.retrieveAll(spark, item, mp, fast)
+      val r = CdsJobs.retrieveAll(spark, item, mp, fast, pollDelayMs = 5L)
       assert(!r.head.skipped && r.head.bytes == payload.length)
       assert(submits.get() == 1)
       assert(java.nio.file.Files.readAllBytes(
@@ -177,10 +177,59 @@ class CdsJobsSpec extends SparkSpec {
       val d = tmpDir("failed")
       val e = intercept[java.io.IOException] {
         CdsJobs.retrieveAll(spark,
-          Seq((s"http://127.0.0.1:$port/req", "{}", s"$d/x")), s"$d/m", fast)
+          Seq((s"http://127.0.0.1:$port/req", "{}", s"$d/x")), s"$d/m", fast,
+          pollDelayMs = 5L)
       }
       assert(e.getMessage.contains("no data"))
       assert(submitCalls.get() == 2) // 503 then success
+    }
+  }
+
+  test("jsonField applies the full RFC 8259 string unescape") {
+    // \\ must decode BEFORE \" (a naive replace chain mis-reads the
+    // sequence backslash-backslash-backslash-quote). Triple-quoted
+    // Scala literals keep backslashes raw, so the JSON below contains
+    // the exact wire bytes.
+    assert(CdsJobs.jsonField("""{"location": "a\\b"}""", "location") == "a\\b")
+    assert(CdsJobs.jsonField("""{"location": "q\\\"r"}""", "location")
+      == "q\\\"r") // decodes to backslash + quote
+    assert(CdsJobs.jsonUnescape("""a\\b\"c\/d\n\t""") == "a\\b\"c/d\n\t")
+    assert(CdsJobs.jsonUnescape("plain-no-escapes") == "plain-no-escapes")
+    // \uXXXX escapes decode — an escaped result URL resolves correctly
+    // ("\\" + "u002F..." builds the literal because the Scala scanner
+    // would otherwise process \u even inside triple quotes)
+    assert(CdsJobs.jsonUnescape("\\" + "u002Fresult") == "/result")
+    assert(CdsJobs.jsonField(
+      """{"state": "completed", "location": "/result"}""",
+      "location") == "/result")
+  }
+
+  test("job-manifest .tmp is promoted at recovery — double-crash safe") {
+    withServer { (server, port) =>
+      val submits = new AtomicInteger(0)
+      val requests = new AtomicInteger(0)
+      cdsServer(server, submits, requests, "late".getBytes, pollsUntilDone = 0)
+      val d = tmpDir("promote")
+      val mp = s"$d/manifest"
+      val item = Seq((s"http://127.0.0.1:$port/req", "{}", s"$d/o.bin"))
+      // crash after submit (maxPolls=0 throws before any status probe
+      // completes the job) — the job manifest has the handle
+      intercept[java.io.IOException] {
+        CdsJobs.retrieveAll(spark, item, mp, fast, maxPolls = 0,
+          pollDelayMs = 5L)
+      }
+      assert(submits.get() == 1)
+      // crash INSIDE the job-manifest swap: live deleted, .tmp complete
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$mp.jobs"),
+        java.nio.file.Paths.get(s"$mp.jobs.tmp"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val r = CdsJobs.retrieveAll(spark, item, mp, fast, pollDelayMs = 5L)
+      assert(!r.head.skipped && r.head.bytes == 4)
+      assert(submits.get() == 1, "recovery re-submitted the job")
+      // the promotion happened: no stale .jobs.tmp survives the run
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$mp.jobs.tmp")))
     }
   }
 

@@ -185,6 +185,21 @@ class HttpFetchSpec extends SparkSpec {
       val r4 = HttpFetch.fetchAll(spark, items, manifest, pol)
       assert(r4.forall(_.skipped))
       assert(calls.map { case (k, v) => k -> v.get() }.toMap == totals)
+      // r18 advice window: recovery must PROMOTE the .tmp to the live
+      // path (not just read it), so a SECOND crash mid-write of a new
+      // .tmp can never truncate the only surviving copy.
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(manifest)),
+        "recovery did not promote .tmp to the live manifest")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(manifest + ".tmp")))
+      // simulate that second crash: a torn .tmp next to the intact live
+      // manifest — the next run must read the live file and stay clean
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(manifest + ".tmp"),
+        "torn-partial-lin".getBytes)
+      val r5 = HttpFetch.fetchAll(spark, items, manifest, pol)
+      assert(r5.forall(_.skipped))
+      assert(calls.map { case (k, v) => k -> v.get() }.toMap == totals)
     }
   }
 }
