@@ -257,6 +257,37 @@ object TextMacroBench {
         count(lit(1)).as("n_docs"))
   }
 
+  /** q216 shape at scale: the fused LangIdScores kernel over a
+    * MULTILINGUAL corpus — planted lang = doc_id % 8, text = three
+    * hash-picked sentences from that language's train+eval pool — so
+    * per-class prediction counts have a closed form and the check run
+    * requires EXACT agreement (predicted ≡ planted for every doc; a
+    * triple of same-language sentences classifying wrong is a model
+    * regression, not noise).
+    */
+  private def langDocs(d: DataFrame): DataFrame = {
+    import graft.operators.LangId
+    val langs = LangId.Langs
+    val pool = (LangId.trainExamples ++ LangId.evalExamples)
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val arrs = array(langs.map(l => array(pool(l).map(lit): _*)): _*)
+    val li = (col("doc_id") % langs.size).cast("int") + 1
+    val sent = element_at(arrs, li)
+    def pick(j: Int) = element_at(sent,
+      pmod(xxhash64(col("doc_id"), lit(j)), size(sent)).cast("int") + 1)
+    d.select(col("doc_id"),
+      element_at(array(langs.map(lit): _*), li).as("planted"),
+      concat_ws(" ", pick(0), pick(1), pick(2)).as("mtext"))
+  }
+
+  private def langId(d: DataFrame): DataFrame = {
+    val r = graft.functions.LangIdScores(
+      concat_ws(" ", graft.core.Tok.words(col("mtext"))),
+      graft.operators.LangId.fixture)
+    langDocs(d).select(col("planted"), r.getField("pred").as("pred"))
+      .groupBy("planted", "pred").agg(count(lit(1)).as("n"))
+  }
+
   private def deconExact(d: DataFrame): DataFrame = {
     val grams = deconGrams(d)
     val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()
@@ -366,6 +397,7 @@ object TextMacroBench {
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
       "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
       "bpe_encode" -> bpeEncode, "unicode_tokens" -> unicodeTokens,
+      "lang_id" -> langId,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and
@@ -422,6 +454,10 @@ object TextMacroBench {
         val nCut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0)
         require(nCut == 0L,
           s"span_rewrite cut $nCut tokens on the duplicate-free corpus")
+        // language-ID must be EXACT on same-language sentence triples
+        val lidBad = langId(d).filter(col("planted") =!= col("pred")).collect()
+        require(lidBad.isEmpty,
+          s"lang_id mispredicted classes: ${lidBad.mkString(", ")}")
       }
       d.unpersist()
       times

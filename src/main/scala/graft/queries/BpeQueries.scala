@@ -24,11 +24,11 @@ object BpeQueries {
     */
   private def trainCte: String = trainCteN(Rounds)
 
-  private def trainCteN(n: Int): String = {
+  private def trainCteN(n: Int, src: String = "documents"): String = {
     val base = s"""
       toks AS (
         SELECT unnest(${graft.core.Tok.sqlWords("text")}) AS token
-        FROM documents),
+        FROM $src),
       words0 AS MATERIALIZED (
         SELECT token,
                regexp_replace(token, '(.)', $mSql || '\\1', 'g') AS repr,
@@ -150,5 +150,92 @@ object BpeQueries {
           .mkString("\n        UNION ALL ")}
       ) ORDER BY step"""))
 
-  val qs: Seq[Q] = Seq(q142BpeTrain, q143BpeRetokenize, q154BpeBatchTrain)
+  // ---- production-vocab posture: train on a SAMPLE, encode the full
+  // corpus (r18 verdict item 5). A 30k-merge tokenizer cannot afford
+  // per-round full-corpus scans; the standard answer is a capped
+  // deterministic training sample. Selection is md5-hash replayable:
+  // doc_id joins the sample iff md5Hash64(doc_id || '_bpes') % 4 == 0.
+
+  private val SampleSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_bpes'), 18, 15) " +
+      "AS BIGINT) % 4 = 0"
+
+  private def sampled(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(pmod(graft.operators.Dedup.md5Hash64(
+      concat(col("doc_id").cast("string"), lit("_bpes"))), lit(4)) === 0)
+
+  private def sampledMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[BpeTrainer.MergeStep] = {
+    val words = BpeTrainer.wordTable(
+      sampled(Tables.load(s, dir, "documents")), "text")
+    val (merges, finalWords) = BpeTrainer.train(words, Rounds)
+    finalWords.unpersist()
+    merges
+  }
+
+  /** q219: the merge table trained on the hash-selected sample — the
+    * oracle replays greedy training over the SAME sampled relation, so
+    * a hash match proves selection + training end to end.
+    */
+  val q219BpeSampledTrain = Q(
+    "q219_bpe_sampled_train",
+    (s, dir) => {
+      val rows = sampledMerges(s, dir)
+        .map(m => (m.step.toLong, m.a, m.b, m.a + m.b, m.cnt))
+      import s.implicits._
+      rows.toDF("step", "pair_a", "pair_b", "merged", "cnt")
+    },
+    Some(s"""
+      WITH documents_s AS MATERIALIZED (
+        SELECT * FROM documents WHERE $SampleSql),
+      ${trainCteN(Rounds, "documents_s")}
+      SELECT * FROM (
+        ${(1 to Rounds).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM best$k")
+          .mkString("\n        UNION ALL ")}
+      ) ORDER BY step"""))
+
+  /** q220: the FULL corpus encoded (q208's zero-shuffle pass) under the
+    * sample-trained merges — the production shape: cheap train, one
+    * corpus-wide encode. The oracle is fully SELF-CONTAINED: it replays
+    * sampled training (the q219 CTEs) and then applies each round's
+    * best pair as one doc-level replace step reading best$k DIRECTLY —
+    * no Scala-side merge literals anywhere, so a hash match proves
+    * sample selection, training AND encoding in one gate. Doc-level
+    * replace ≡ per-token segmentation: the pattern
+    * chr(1)·a·chr(1)·b contains no space, and tokens join with single
+    * spaces, so no match can cross a token boundary.
+    */
+  val q220BpeSampledEncode = Q(
+    "q220_bpe_sampled_encode",
+    (s, dir) => BpeTrainer.encode(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      sampledMerges(s, dir)),
+    Some {
+      val steps = (1 to Rounds).map { k =>
+        s"""
+      enc$k AS (
+        SELECT doc_id,
+               replace(e, $mSql || b.a || $mSql || b.b, $mSql || b.a || b.b) AS e
+        FROM enc${k - 1}, best$k b)"""
+      }.mkString(",")
+      s"""
+      WITH documents_s AS MATERIALIZED (
+        SELECT * FROM documents WHERE $SampleSql),
+      ${trainCteN(Rounds, "documents_s")},
+      enc0 AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                 ${graft.core.Tok.sqlWords("text")},
+                 tk -> regexp_replace(tk, '(.)', $mSql || '\\1', 'g')),
+                 ' ') AS e
+        FROM documents),$steps
+      SELECT doc_id,
+             CAST(len(e) - len(replace(e, $mSql, '')) AS BIGINT) AS n_tokens,
+             md5(e) AS enc_md5
+      FROM enc$Rounds"""
+    })
+
+  val qs: Seq[Q] = Seq(q142BpeTrain, q143BpeRetokenize, q154BpeBatchTrain,
+    q219BpeSampledTrain, q220BpeSampledEncode)
 }

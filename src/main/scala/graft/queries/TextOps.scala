@@ -1906,6 +1906,74 @@ object TextOps {
                AS kept_md5
       FROM c"""))
 
+  /** Decomposed-Unicode fixture alphabet (escaped so no editor or VCS
+    * normalization can silently recompose the SOURCE): kana + combining
+    * voicing marks (U+3099/309A — script=INHERITED, the documented
+    * tokenizer-seam hazard), Latin/Greek combining diacritics, Hangul
+    * jamo (NFC composes to syllables), a Devanagari composition
+    * EXCLUSION (U+0915 U+093C must STAY decomposed), and one already-
+    * NFC fixed point.
+    */
+  private val nfcVariants: Seq[String] = Seq(
+    "\u304b\u3099\u304f",            // ka+voicing ku -> gaku
+    "\u30ab\u3099\u30bf\u3099",     // KA+v TA+v -> GA DA
+    "e\u0301cole",                     // -> e-acute cole
+    "a\u0308\u0301b",                 // a+diaeresis+acute -> one cp
+    "\u1100\u1161\u11a8\u1102\u1161", // jamo -> two syllables
+    "A\u030angstro\u0308m",           // -> Angstrom with ring/umlaut
+    "\u03b1\u0301\u03bb\u03c6\u03b1", // -> Greek alpha-tonos...
+    "\u0915\u093c\u0932",            // stays decomposed (exclusion)
+    "\u00e9\u304c",                   // already NFC - fixed point
+    "\u304f\u3099\u309a")            // gu + stranded semivoicing mark
+
+  /** NFC normalization witness (functions/NfcNormalize — the r18
+    * verdict's item 2): the tokenizer seam documents that decomposed
+    * kana / INHERITED combining marks need caller-side NFC, and this
+    * gates the expression that makes that possible. Cross-engine check
+    * is java.text.Normalizer vs DuckDB's utf8proc `nfc_normalize` — two
+    * independent UAX #15 implementations — via per-doc md5 of the
+    * normalized string AND of the post-NFC token stream (composition
+    * changes token boundaries: か+゙ is two tokens decomposed, ONE
+    * singleton が composed — the md5 pins exactly that).
+    */
+  val q218NfcWitness = Q(
+    "q218_nfc_witness",
+    (s, dir) => {
+      val vs = array(nfcVariants.map(lit): _*)
+      val raw = concat(col("text"), lit(" "),
+        element_at(vs, (col("doc_id") % nfcVariants.size).cast("int") + 1))
+      val norm = graft.functions.NfcNormalize(lower(raw))
+      val toks = graft.functions.UnicodeTokens(norm)
+      t(s, dir)("documents").select(
+        col("doc_id"),
+        length(raw).cast("long").as("n_before"),
+        length(norm).cast("long").as("n_after"),
+        md5(norm).as("nfc_md5"),
+        size(toks).cast("long").as("n_tokens_nfc"),
+        md5(concat_ws("", toks)).as("tok_md5"))
+    },
+    Some {
+      val arr = nfcVariants.map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""
+      WITH syn AS (
+        SELECT doc_id,
+               text || ' ' || ($arr)[CAST(doc_id % ${nfcVariants.size} AS INT) + 1] AS raw
+        FROM documents),
+      n AS (
+        SELECT doc_id, raw, nfc_normalize(lower(raw)) AS s FROM syn),
+      tok AS (
+        SELECT doc_id, raw, s,
+               regexp_extract_all(s, '${graft.functions.UnicodeTokens.Re2Pattern}') AS toks
+        FROM n)
+      SELECT doc_id,
+             CAST(length(raw) AS BIGINT) AS n_before,
+             CAST(length(s) AS BIGINT) AS n_after,
+             md5(s) AS nfc_md5,
+             CAST(len(toks) AS BIGINT) AS n_tokens_nfc,
+             md5(array_to_string(toks, chr(31))) AS tok_md5
+      FROM tok"""
+    })
+
   val qs: Seq[Q] = Seq(
     q30TextStats, q31TokenCount, q32QualityScore, q33LangId,
     q34DedupExact, q35Fingerprint, q36NgramJaccard, q57RollingFingerprint,
@@ -1916,5 +1984,5 @@ object TextOps {
     q151EvalContamination, q158HtmlExtract, q162BloomDecontaminate,
     q163QualityClassifier, q164LeakageSafeSplit, q174Bm25Topk,
     q202SpanRewrite, q208BpeEncode, q210UnicodeTokens, q211UnicodeDedupGrams,
-    q212SubstringCut)
+    q212SubstringCut, q218NfcWitness)
 }

@@ -33,6 +33,69 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StateRebake {
 
+  /** WHEN to rotate (r18 verdict item 4): production rotation needs a
+    * decision point, not just the mechanism. Thresholds are read from
+    * the live query's `lastProgress.stateOperators` — rows (the member
+    * blocks accrued), durable bytes (RocksDB sst footprint — the thing
+    * that actually grows the checkpoint), and committed batches (the
+    * checkpoint's version history length, which bounds recovery replay
+    * and file count).
+    */
+  final case class RebakePolicy(
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue,
+      maxCommittedBatches: Long = Long.MaxValue)
+
+  /** Durable state bytes from a progress: prefer the RocksDB
+    * total-sst-files metric (the on-disk footprint a checkpoint
+    * snapshot carries); fall back to the provider-agnostic
+    * memoryUsedBytes.
+    */
+  private[streaming] def stateBytes(
+      op: org.apache.spark.sql.streaming.StateOperatorProgress): Long = {
+    val m = op.customMetrics
+    val sst = if (m != null && m.containsKey("rocksdbTotalSstFilesBytes"))
+      m.get("rocksdbTotalSstFilesBytes").longValue() else 0L
+    if (sst > 0) sst else op.memoryUsedBytes
+  }
+
+  /** Rotation decision from the query's last progress: Some(reason)
+    * when any policy threshold is breached, None while healthy (or
+    * before the first progress — an empty stream never rotates).
+    */
+  def shouldRotate(q: StreamingQuery, policy: RebakePolicy): Option[String] = {
+    val p = q.lastProgress
+    if (p == null || p.stateOperators.isEmpty) return None
+    val op = p.stateOperators(0)
+    val rows = op.numRowsTotal
+    val bytes = stateBytes(op)
+    val batches = p.batchId + 1
+    if (rows > policy.maxStateRows)
+      Some(s"stateRows $rows > ${policy.maxStateRows}")
+    else if (bytes > policy.maxStateBytes)
+      Some(s"stateBytes $bytes > ${policy.maxStateBytes}")
+    else if (batches > policy.maxCommittedBatches)
+      Some(s"committedBatches $batches > ${policy.maxCommittedBatches}")
+    else None
+  }
+
+  /** Delete a superseded checkpoint tree wholesale. Guarded: refuses a
+    * directory that does not LOOK like a streaming checkpoint (must
+    * contain offsets/ or commits/) — a mis-passed path must never be
+    * recursively deleted.
+    */
+  def deleteCheckpointTree(dir: java.io.File): Unit = {
+    require(dir.isDirectory &&
+      (new java.io.File(dir, "offsets").exists() ||
+        new java.io.File(dir, "commits").exists()),
+      s"$dir does not look like a streaming checkpoint; refusing to delete")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+  }
+
   /** Stage a single sentinel document (empty text — produces no band
     * rows, so it triggers a data batch without touching any bucket)
     * into a CLEARED `srcDir`. The real replay files are staged after

@@ -148,6 +148,11 @@ class HttpFetchSpec extends SparkSpec {
       val base = s"http://127.0.0.1:$port"
       val manifest = tmp("manifest.tsv")
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(manifest))
+      // a previous RUN's torn .tmp fixture (the double-crash test below)
+      // must not leak in: live-missing + torn-.tmp is a state production
+      // can never reach, but deleting only the live file above creates it
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(manifest + ".tmp"))
       val items = Seq(
         (s"$base/a", tmp("obj_a.bin")),
         (s"$base/b", tmp("obj_b.bin")),

@@ -74,7 +74,22 @@ class StreamRebakeSpec extends SparkSpec {
       FileReplay.stageOrderedReplay(delta1(s), "doc_id", src1, nBuckets = 3)
       val q = StateRebake.startDedupQuery(s, src1,
         ck1.getAbsolutePath, out1, corpus)
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // the ROTATION DECISION (RebakePolicy): healthy under generous
+        // thresholds, trips on each axis independently
+        assert(StateRebake.shouldRotate(q,
+          StateRebake.RebakePolicy()).isEmpty)
+        assert(StateRebake.shouldRotate(q,
+          StateRebake.RebakePolicy(maxStateRows = 0L))
+          .exists(_.startsWith("stateRows")))
+        assert(StateRebake.shouldRotate(q,
+          StateRebake.RebakePolicy(maxStateBytes = 1L))
+          .exists(_.startsWith("stateBytes")))
+        assert(StateRebake.shouldRotate(q,
+          StateRebake.RebakePolicy(maxCommittedBatches = 1L))
+          .exists(_.startsWith("committedBatches")))
+      } finally q.stop()
     }
 
     // phase 2: REBAKE — index = corpus ∪ ALL delta1 arrivals (dropped
@@ -96,12 +111,12 @@ class StreamRebakeSpec extends SparkSpec {
       .map(_.getName).filter(_.matches("\\d+")).sorted
     assert(commits.toSeq == Seq("0"), s"commits after bake: ${commits.toSeq}")
     // the OLD checkpoint tree (and old replay dir) are disposable NOW —
-    // delete them wholesale before the resume even starts
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    // delete it wholesale before the resume even starts; the guard
+    // refuses anything that does not look like a checkpoint
+    intercept[IllegalArgumentException] {
+      StateRebake.deleteCheckpointTree(new java.io.File(base, "rot_src1"))
     }
-    rm(ck1)
+    StateRebake.deleteCheckpointTree(ck1)
     assert(!ck1.exists())
 
     // phase 3: resume from the baked checkpoint over delta2
