@@ -487,7 +487,10 @@ object PipelineQueries {
     Some(curationOracleSql(
       "SELECT doc_id, lang, text || ' ' || (" +
         TextOps.unicodeSnippetSqlArray +
-        ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents")))
+        ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents")),
+    // headline since r19 (verdict item 7): the bench set's script-aware-
+    // seam canary — the full curation DAG over the mixed-script corpus
+    headline = true)
 
   /** The curation DAG with the UNALIGNED exact-substring cut composed in
     * (q212 → production posture, the r17 verdict item): quality gate →
