@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, GopherStats, HyperplaneBands, PandasFloatString, PointInPolygon, UnicodeTokens, WkbRingCoords}
+import graft.functions.{CosineSim, GopherStats, HyperplaneBands, LangIdScores, NfcNormalize, PandasFloatString, PointInPolygon, UnicodeTokens, WkbRingCoords}
 
 /** SparkSessionExtensions entry point (SURVEY §7.3 extension surface):
   * registers graft's custom expressions into the SQL function registry so
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wkbRing)
     ext.injectFunction(GraftExtensions.gopherStats)
     ext.injectFunction(GraftExtensions.unicodeTokens)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.langIdScores)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRedundantRound)
   }
 }
@@ -33,7 +35,8 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(pandasFloatStr, pointInPolygon, hyperplaneBands, cosineSim,
-      wkbRing, gopherStats, unicodeTokens).foreach {
+      wkbRing, gopherStats, unicodeTokens, nfcNormalize, langIdScores)
+      .foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
@@ -108,6 +111,30 @@ object GraftExtensions {
     (args: Seq[Expression]) => {
       require(args.length == 1, "unicode_tokens(text)")
       UnicodeTokens(args.head)
+    })
+
+  /** nfc_normalize(text): Unicode NFC normalization
+    * (functions/NfcNormalize) — the caller-side composition step the
+    * tokenizer seam documents for decomposed kana / combining marks.
+    */
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "nfc_normalize(text)")
+      NfcNormalize(args.head)
+    })
+
+  /** lang_id_scores(joined_tokens): (pred, scores) from the trained
+    * language-ID artifact (operators/LangId.fixture) over a
+    * space-joined token stream.
+    */
+  val langIdScores: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lang_id_scores"),
+    new ExpressionInfo(classOf[LangIdScores].getName, "lang_id_scores"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "lang_id_scores(joined_tokens)")
+      LangIdScores(args.head, graft.operators.LangId.fixture)
     })
 
   /** hyperplane_bands(vec, bands, bits): banded hyperplane-LSH

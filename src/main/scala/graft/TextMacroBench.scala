@@ -389,6 +389,19 @@ object TextMacroBench {
       graft.operators.BpeTrainer.encode(d, "doc_id", "text", merges)
     }
 
+    // q219/q220 shape: the PRODUCTION-VOCAB posture — train merges on
+    // an md5-hash-selected 1/4 sample (per-round scans touch 25% of
+    // the corpus), then ONE full-corpus zero-shuffle encode pass; the
+    // end-to-end cost a real tokenizer build pays per merge batch
+    def bpeSampled(d: DataFrame): DataFrame = {
+      val sample = d.filter(pmod(graft.operators.Dedup.md5Hash64(
+        concat(col("doc_id").cast("string"), lit("_bpes"))), lit(4)) === 0)
+      val words = graft.operators.BpeTrainer.wordTable(sample, "text")
+      val (merges, finalWords) = graft.operators.BpeTrainer.train(words, 10)
+      finalWords.unpersist()
+      graft.operators.BpeTrainer.encode(d, "doc_id", "text", merges)
+    }
+
     val allShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tfidf" -> tfidf, "bpe_pairs" -> bpePairs,
       "heavy_hitters" -> heavyHitters, "token_budget" -> tokenBudget,
@@ -396,7 +409,8 @@ object TextMacroBench {
       "curation" -> (d => curation(d, staged = false)),
       "html_extract" -> htmlExtract, "gopher" -> gopher, "pmi" -> pmi,
       "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
-      "bpe_encode" -> bpeEncode, "unicode_tokens" -> unicodeTokens,
+      "bpe_encode" -> bpeEncode, "bpe_sampled" -> bpeSampled,
+      "unicode_tokens" -> unicodeTokens,
       "lang_id" -> langId,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);

@@ -113,11 +113,15 @@ object LangIdQueries {
   val q217CurationPredLang = Q(
     "q217_curation_predlang",
     (s, dir) => {
+      // train-side-only suffix — the q214 corpus rule (eval split is an
+      // external plain-text set; see q214's scaladoc for the r19 find)
       val sn = array(TextOps.unicodeSnippets.map(lit): _*)
       val suffixed = t(s, dir)("documents")
         .select(col("doc_id"),
-          concat(col("text"), lit(" "),
-            element_at(sn, (col("doc_id") % 5).cast("int") + 1)).as("text"))
+          when(col("doc_id") % 199 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" "),
+              element_at(sn, (col("doc_id") % 5).cast("int") + 1)))
+            .as("text"))
       val r = lid(col("text"))
       PipelineQueries.curationPipeline(
         suffixed.select(col("doc_id"), r.getField("pred").as("lang"),
@@ -125,8 +129,9 @@ object LangIdQueries {
     },
     Some {
       val docsSql = scoredSql(
-        "SELECT doc_id, text || ' ' || (" + TextOps.unicodeSnippetSqlArray +
-          ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents") + """
+        "SELECT doc_id, CASE WHEN doc_id % 199 = 0 THEN text ELSE " +
+          "text || ' ' || (" + TextOps.unicodeSnippetSqlArray +
+          ")[CAST(doc_id % 5 AS INT) + 1] END AS text FROM documents") + """
       SELECT doc_id, pred AS lang, text FROM lid_pred"""
       PipelineQueries.curationOracleSql(docsSql)
     })

@@ -380,19 +380,34 @@ object PipelineQueries {
   /** The q147 oracle parameterized over the corpus relation — shared
     * with q214's CJK-suffixed corpus. `docsSql` must yield
     * (doc_id, lang, text).
+    *
+    * sf1 oracle-cost posture (r18 verdict item 8 — measured on the
+    * CJK-suffixed q214 corpus at sf1): tokenize ONCE into a
+    * MATERIALIZED CTE (the raw form re-ran the regex 4×), and compare
+    * shingles/grams as md5Hash64 BIGINTs instead of literal CJK
+    * strings — the 6.4M-candidate exact-Jaccard verify dominated at
+    * 862 s with per-pair string-list intersects, 319 s with hashed
+    * lists, ~190 s with the RELATIONAL verify below (unnest + two hash
+    * joins + group — identical dups set, measured) — and the hashed
+    * key is exactly the ENGINE's own shingle/gram key
+    * (Dedup.md5Hash64), the q156/q84 oracle posture.
     */
-  def curationOracleSql(docsSql: String): String = """
+  def curationOracleSql(docsSql: String): String = {
+    val gm60 = "CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || " +
+      "w[i+2]), 18, 15) AS BIGINT)"
+    """
       WITH docs0 AS MATERIALIZED (""" + docsSql + """),
-      w0 AS (
+      tok0 AS MATERIALIZED (
         SELECT doc_id, lang, text,
-               """ + graft.core.Tok.sqlWordsCased("text") + """ AS w
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS wcs,
+               """ + graft.core.Tok.sqlWords("text") + """ AS wlo
         FROM docs0),
       g AS (
         SELECT doc_id, lang, text,
-               CAST(len(w) AS DOUBLE) AS n_tokens,
-               CAST(len(list_distinct(w)) AS DOUBLE)
-                 / nullif(len(w), 0) AS diversity
-        FROM w0),
+               CAST(len(wcs) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(wcs)) AS DOUBLE)
+                 / nullif(len(wcs), 0) AS diversity
+        FROM tok0),
       q AS (
         SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
         FROM g),
@@ -403,34 +418,43 @@ object PipelineQueries {
           FROM gate) WHERE rn = 1),
       sh AS MATERIALIZED (
         SELECT doc_id,
-               list_distinct([array_to_string(t[i:i+2], ' ')
+               list_distinct([CAST('0x' || substr(md5(
+                                array_to_string(t[i:i+2], ' ')), 18, 15)
+                                AS BIGINT)
                               for i in generate_series(1, len(t)-2)]) AS sh
-        FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM exact)
+        FROM (SELECT e.doc_id, k.wlo AS t
+              FROM exact e JOIN tok0 k USING (doc_id))
         WHERE len(t) >= 3),
       """ + DedupQueries.prefixCandSql("sh") + """,
+      ex2 AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      pairg AS (
+        SELECT c.ai, c.bi, count(*) AS inter
+        FROM cand c
+        JOIN ex2 a ON a.doc_id = c.ai
+        JOIN ex2 b ON b.doc_id = c.bi AND b.h = a.h
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
       dups AS (
-        SELECT DISTINCT c.bi AS doc_id
-        FROM cand c JOIN sh a ON a.doc_id = c.ai
-        JOIN sh b ON b.doc_id = c.bi
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        SELECT DISTINCT p.bi AS doc_id
+        FROM pairg p JOIN sizes x ON x.doc_id = p.ai
+        JOIN sizes y ON y.doc_id = p.bi
+        WHERE CAST(p.inter AS DOUBLE) / (x.n + y.n - p.inter) >= 0.8),
       near AS MATERIALIZED (
         SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
       evg AS (
         SELECT DISTINCT unnest(list_distinct(
-                 [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 [""" + gm60 + """
                   for i in range(1, len(w) - 1)])) AS gm
-        FROM (SELECT """ + graft.core.Tok.sqlWords("text") + """ AS w
-              FROM docs0 WHERE doc_id % 199 = 0)
+        FROM (SELECT wlo AS w FROM tok0 WHERE doc_id % 199 = 0)
         WHERE len(w) >= 3),
       cont AS (
         SELECT DISTINCT doc_id FROM (
           SELECT doc_id, unnest(list_distinct(
-                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   [""" + gm60 + """
                     for i in range(1, len(w) - 1)])) AS gm
-          FROM (SELECT doc_id,
-                       """ + graft.core.Tok.sqlWords("text") + """ AS w
-                FROM near WHERE doc_id % 199 <> 0)
+          FROM (SELECT n.doc_id, k.wlo AS w
+                FROM near n JOIN tok0 k USING (doc_id)
+                WHERE n.doc_id % 199 <> 0)
           WHERE len(w) >= 3)
         WHERE gm IN (SELECT gm FROM evg)),
       clean AS (
@@ -445,6 +469,7 @@ object PipelineQueries {
       SELECT doc_id, lang, round(quality, 6) AS quality, n_tokens,
              CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""
+  }
 
   /** The COMPLETE corpus-curation job, composed as one DAG — every
     * hygiene stage a pretraining data pipeline actually chains, in
@@ -478,16 +503,25 @@ object PipelineQueries {
   val q214UnicodeCuration = Q(
     "q214_unicode_curation",
     (s, dir) => {
+      // Only TRAIN-side docs carry a CJK suffix; the eval split
+      // (doc_id % 199 == 0) stays plain — it models an EXTERNAL
+      // plain-text benchmark set. With suffixed eval docs the 5 shared
+      // snippets made decontamination ALL-CATCHING once the eval ids
+      // covered all 5 suffix classes (≥ sf0.1), collapsing the
+      // manifest to 0 rows at exactly the SFs that matter (r19 find —
+      // both engines agreed, so the gate passed vacuously).
       val sn = array(TextOps.unicodeSnippets.map(lit): _*)
       curationPipeline(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          concat(col("text"), lit(" "),
-            element_at(sn, (col("doc_id") % 5).cast("int") + 1)).as("text")))
+          when(col("doc_id") % 199 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" "),
+              element_at(sn, (col("doc_id") % 5).cast("int") + 1)))
+            .as("text")))
     },
     Some(curationOracleSql(
-      "SELECT doc_id, lang, text || ' ' || (" +
-        TextOps.unicodeSnippetSqlArray +
-        ")[CAST(doc_id % 5 AS INT) + 1] AS text FROM documents")),
+      "SELECT doc_id, lang, CASE WHEN doc_id % 199 = 0 THEN text " +
+        "ELSE text || ' ' || (" + TextOps.unicodeSnippetSqlArray +
+        ")[CAST(doc_id % 5 AS INT) + 1] END AS text FROM documents")),
     // headline since r19 (verdict item 7): the bench set's script-aware-
     // seam canary — the full curation DAG over the mixed-script corpus
     headline = true)
@@ -583,17 +617,26 @@ object PipelineQueries {
           FROM gate) WHERE rn = 1),
       sh AS MATERIALIZED (
         SELECT doc_id,
-               list_distinct([array_to_string(t[i:i+2], ' ')
+               list_distinct([CAST('0x' || substr(md5(
+                                array_to_string(t[i:i+2], ' ')), 18, 15)
+                                AS BIGINT)
                               for i in generate_series(1, len(t)-2)]) AS sh
         FROM (SELECT doc_id, """ + graft.core.Tok.sqlWords("text") + """ AS t FROM exact)
         WHERE len(t) >= 3),
       """ + DedupQueries.prefixCandSql("sh") + """,
+      ex2 AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      pairg AS (
+        SELECT c.ai, c.bi, count(*) AS inter
+        FROM cand c
+        JOIN ex2 a ON a.doc_id = c.ai
+        JOIN ex2 b ON b.doc_id = c.bi AND b.h = a.h
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
       dups AS (
-        SELECT DISTINCT c.bi AS doc_id
-        FROM cand c JOIN sh a ON a.doc_id = c.ai
-        JOIN sh b ON b.doc_id = c.bi
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(a.sh || b.sh)) >= 0.8),
+        SELECT DISTINCT p.bi AS doc_id
+        FROM pairg p JOIN sizes x ON x.doc_id = p.ai
+        JOIN sizes y ON y.doc_id = p.bi
+        WHERE CAST(p.inter AS DOUBLE) / (x.n + y.n - p.inter) >= 0.8),
       near AS MATERIALIZED (
         SELECT doc_id, lang, text FROM exact
         WHERE doc_id NOT IN (SELECT doc_id FROM dups)),

@@ -80,6 +80,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && r.getLong(5) == 0L, r)
   }
 
+  test("nfc_normalize and lang_id_scores are callable from SQL") {
+    GraftExtensions.register(spark)
+    // decomposed ka + voicing composes to one codepoint (escaped
+    // source literals — no editor may silently recompose them)
+    val n = spark.sql("SELECT nfc_normalize('が') AS n")
+      .collect()(0).getString(0)
+    assert(n == "が" && n.length == 1)
+    val sent = "the weather is nice and the garden is green"
+    val p = spark.sql(s"SELECT lang_id_scores('$sent').pred AS p")
+      .collect()(0).getString(0)
+    assert(p == "en", p)
+    // matches the column-path model exactly (the SQL surface takes the
+    // PRE-JOINED token stream; a single-spaced ASCII sentence is one)
+    assert(graft.operators.LangId.fixture.forwardLocal(sent)._2 == p)
+  }
+
   test("injected SQL functions compose with builtin SQL over views") {
     GraftExtensions.register(spark)
     Tables.load(spark, dir, "supplier").createOrReplaceTempView("supplier")
