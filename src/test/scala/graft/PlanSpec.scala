@@ -61,6 +61,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q216: language-ID inference is one shuffle-free scan") {
+    // classify-the-corpus must stay a per-row projection: the fused
+    // LangIdScores kernel inside the scan stage, no exchange anywhere
+    val p = plan("q216_lang_id")
+    assert(!p.contains("Exchange"), s"lang-id gained a shuffle:\n$p")
+  }
+
   test("q208: BPE encode is one shuffle-free codegen'd scan") {
     // the production tokenization pass must live entirely inside the
     // scan stage: no exchange of any kind, whole-stage codegen'd
