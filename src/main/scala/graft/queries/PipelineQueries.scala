@@ -326,7 +326,17 @@ object PipelineQueries {
     * (the r17 verdict's adoption gate: the SAME production pipeline must
     * do real work on a mixed-script corpus).
     */
-  def curationPipeline(docs: DataFrame): DataFrame = {
+  def curationPipeline(docs: DataFrame): DataFrame =
+    curationPipeline(docs, col("doc_id") % 199 === 0)
+
+  /** The pipeline with an explicit EVAL-SPLIT predicate (r19: the fixed
+    * %199 split saturates gram containment on the small-vocab fixture
+    * at sf1 — ~250 eval docs cover ~30% of the gram space and the
+    * manifest degenerates to ~1 row; q221 feeds a SIZE-ADAPTIVE hash
+    * split instead).
+    */
+  def curationPipeline(docs: DataFrame,
+      evalPred: org.apache.spark.sql.Column): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       // script-aware word seam (graft.core.Tok, r18)
       val toksSp = graft.core.Tok.wordsCased(col("text"))
@@ -355,9 +365,9 @@ object PipelineQueries {
       // corpus (an eval set is external; it never went through the gate)
       def grams(df: org.apache.spark.sql.DataFrame) =
         Dedup.wordGramKeys(df, "doc_id", "text")
-      val evalGrams = grams(docs.filter(col("doc_id") % 199 === 0))
+      val evalGrams = grams(docs.filter(evalPred))
         .select("gk").distinct()
-      val trainSide = near.filter(col("doc_id") % 199 =!= 0)
+      val trainSide = near.filter(!evalPred)
       val contaminated = grams(trainSide).join(evalGrams, "gk")
         .select("doc_id").distinct()
       val clean = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
@@ -392,7 +402,13 @@ object PipelineQueries {
     * key is exactly the ENGINE's own shingle/gram key
     * (Dedup.md5Hash64), the q156/q84 oracle posture.
     */
-  def curationOracleSql(docsSql: String): String = {
+  def curationOracleSql(docsSql: String): String =
+    curationOracleSql(docsSql, "doc_id % 199 = 0")
+
+  /** The oracle with an explicit eval-split predicate over doc_id
+    * (must be the SQL twin of the Spark predicate).
+    */
+  def curationOracleSql(docsSql: String, evalPredSql: String): String = {
     val gm60 = "CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || " +
       "w[i+2]), 18, 15) AS BIGINT)"
     """
@@ -445,7 +461,7 @@ object PipelineQueries {
         SELECT DISTINCT unnest(list_distinct(
                  [""" + gm60 + """
                   for i in range(1, len(w) - 1)])) AS gm
-        FROM (SELECT wlo AS w FROM tok0 WHERE doc_id % 199 = 0)
+        FROM (SELECT wlo AS w FROM tok0 WHERE """ + evalPredSql + """)
         WHERE len(w) >= 3),
       cont AS (
         SELECT DISTINCT doc_id FROM (
@@ -454,13 +470,13 @@ object PipelineQueries {
                     for i in range(1, len(w) - 1)])) AS gm
           FROM (SELECT n.doc_id, k.wlo AS w
                 FROM near n JOIN tok0 k USING (doc_id)
-                WHERE n.doc_id % 199 <> 0)
+                WHERE NOT (""" + evalPredSql + """))
           WHERE len(w) >= 3)
         WHERE gm IN (SELECT gm FROM evg)),
       clean AS (
         SELECT doc_id, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens
         FROM near
-        WHERE doc_id % 199 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        WHERE NOT (""" + evalPredSql + """) AND doc_id NOT IN (SELECT doc_id FROM cont)),
       c AS (
         SELECT doc_id, lang, quality, n_tokens,
                sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
@@ -540,6 +556,38 @@ object PipelineQueries {
     * q34 / q37 / q212 / q84); the composition adds only sparse per-doc
     * left joins on doc_id.
     */
+  /** The curation DAG under a SIZE-ADAPTIVE eval split (r19): the
+    * fixed %199 split's eval-doc count grows linearly with the corpus
+    * and saturates gram containment on the small-vocab fixture at sf1
+    * (~250 eval docs ≈ 30% of the gram space ⇒ every train doc
+    * contaminated ⇒ a ~1-row manifest — a vacuous gate). Here the
+    * split targets a CONSTANT ~10 eval docs at any corpus size:
+    * doc joins the eval set iff md5Hash64(doc_id·'_ev') % 2^20 <
+    * ceil(10·2^20 / n) — exact integers, one driver count (the q162
+    * single-action pattern), the threshold replayed in SQL as a
+    * scalar-subquery expression. The funnel stays LIVE at every SF
+    * (284 rows at sf0.1 where the %199 q147 reads 284 but its sf1
+    * twin reads ~1; this one stays populated at sf1 too).
+    */
+  val q221CurationHashSplit = Q(
+    "q221_curation_hashsplit",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count() // one driver action; doubles as a scan warm
+      val thr = (10L * 1048576L + n - 1L) / n
+      val evalPred = pmod(graft.operators.Dedup.md5Hash64(
+        concat(col("doc_id").cast("string"), lit("_ev"))),
+        lit(1048576L)) < thr
+      curationPipeline(docs, evalPred)
+    },
+    Some(curationOracleSql(
+      "SELECT doc_id, lang, text FROM documents",
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_ev'), 18, 15) " +
+        "AS BIGINT) % 1048576 < (10 * 1048576 + " +
+        "(SELECT count(*) FROM documents) - 1) // " +
+        "(SELECT count(*) FROM documents)")))
+
   val q215CurationSubstr = Q(
     "q215_curation_substr",
     (s, dir) => {
@@ -1206,5 +1254,6 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr)
+    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr,
+    q221CurationHashSplit)
 }
