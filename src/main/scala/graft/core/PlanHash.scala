@@ -42,6 +42,13 @@ object PlanHash {
       // higher-order-function lambda variables carry a session-global
       // counter: `lambda x_1` on first build, `lambda x_16` on the next
       .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_n")
+      // typed-API nodes (MapPartitions / typed map barriers) render the
+      // closure's JVM lambda CLASS: `Multimodal$$$Lambda$2340/
+      // 0x00007fc6e0cbed70@x` — both the counter and the hex address
+      // are per-JVM (r19 diagnosis: this alone made the 12-query media/
+      // typed set re-hash on every run; the @hex rule above only caught
+      // the trailing identity hash)
+      .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
       // plan / exchange / subquery identifiers
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\[id=#?x?\\d*\\]", "")
