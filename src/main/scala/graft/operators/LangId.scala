@@ -571,11 +571,20 @@ object LangId {
     */
   lazy val fixture: LangIdModel = {
     val m = train(trainExamples)
-    val path = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
-      "graft_langid_fixture.bin").getAbsolutePath
-    m.save(path)
-    LangIdModel.load(path)
+    // Write tmp + atomic rename onto a process-unique name: two
+    // concurrent JVMs (a Verify run overlapping sbt test) sharing one
+    // fixed path could interleave a non-atomic write with the other's
+    // load and fail the model-shape require as a spurious flake.
+    val dir = new java.io.File(sys.props("java.io.tmpdir"))
+    val live = new java.io.File(dir,
+      s"graft_langid_fixture_${java.lang.ProcessHandle.current().pid()}.bin")
+    val tmp = new java.io.File(live.getAbsolutePath + ".tmp")
+    m.save(tmp.getAbsolutePath)
+    java.nio.file.Files.move(tmp.toPath, live.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    live.deleteOnExit()
+    LangIdModel.load(live.getAbsolutePath)
   }
 
   // ---- DuckDB oracle generation (from the SAME model object) ----

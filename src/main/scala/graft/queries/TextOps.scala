@@ -1950,7 +1950,7 @@ object TextOps {
         length(norm).cast("long").as("n_after"),
         md5(norm).as("nfc_md5"),
         size(toks).cast("long").as("n_tokens_nfc"),
-        md5(concat_ws("", toks)).as("tok_md5"))
+        md5(concat_ws("\u001f", toks)).as("tok_md5"))
     },
     Some {
       val arr = nfcVariants.map(v => s"'$v'").mkString("[", ", ", "]")

@@ -162,6 +162,23 @@ object CdsJobs {
     * min(pollDelayMs · 2^(k-2), pollMaxDelayMs), the cdsapi client's
     * own shape. `policy` still governs 5xx/IO retries INSIDE each probe.
     */
+  /** The wait before poll number `polls+1` (polls >= 1 completed).
+    * Capped exponential that stops DOUBLING once the shifted delay
+    * reaches the cap: `pollDelayMs << sh` wraps negative at
+    * sh >= 63 - nlz(pollDelayMs) (1000 << 54 > 2^63), and the previous
+    * `math.min(shifted, cap)` then picked the NEGATIVE value —
+    * Thread.sleep threw at poll #56 (~51 min in) on every resume of a
+    * long-queued job. Pure so the spec can probe past the overflow point
+    * without sleeping.
+    */
+  def pollDelay(polls: Int, pollDelayMs: Long, pollMaxDelayMs: Long): Long = {
+    // pollDelayMs << sh stays positive iff sh < nlz(pollDelayMs)
+    // (bit length L + sh <= 63 ⇔ sh <= 63 - L = nlz - 1).
+    val sh = polls - 1
+    if (sh >= java.lang.Long.numberOfLeadingZeros(pollDelayMs)) pollMaxDelayMs
+    else math.min(pollDelayMs << sh, pollMaxDelayMs)
+  }
+
   def poll(statusUrl: String,
       policy: HttpFetch.RetryPolicy = HttpFetch.ReferencePolicy,
       headers: Map[String, String] = Map.empty,
@@ -170,10 +187,7 @@ object CdsJobs {
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000): (String, Int) = {
     var polls = 0
     while (polls < maxPolls) {
-      if (polls > 0)
-        Thread.sleep(math.min(
-          if (polls - 1 < 62) pollDelayMs << (polls - 1) else pollMaxDelayMs,
-          pollMaxDelayMs))
+      if (polls > 0) Thread.sleep(pollDelay(polls, pollDelayMs, pollMaxDelayMs))
       polls += 1
       val text = control(statusUrl, "GET", None, policy, headers,
         connectTimeoutMs, readTimeoutMs)

@@ -140,9 +140,13 @@ object SentinelCatalog {
     val (from, to) = quartileRange(year, quartile)
     val found = searchProducts(catalogUrl, bbox, from, to, policy, headers)
     // defense in depth: the server already windows, but a product
-    // outside [from, to] must never reach the mosaic (dates are ISO
-    // strings — lexical compare IS chronological)
-    val windowed = found.filter(p => p.date >= from && p.date <= to)
+    // outside [from, to] must never reach the mosaic. Compare the
+    // 10-char DATE prefix: a catalog returning timestamped ISO dates
+    // ("2023-06-30T10:00:00Z") would otherwise lexically exceed the
+    // plain yyyy-MM-dd upper bound and silently drop the window's
+    // entire last day.
+    val windowed = found.filter(p =>
+      p.date.take(10) >= from && p.date.take(10) <= to)
     val selected = selectMosaic(windowed, cloudCoverage)
     val items = selected.map(p => (p.url, s"$destDir/${p.id}.zip"))
     val fetched = HttpFetch.fetchAll(spark, items, manifestPath,

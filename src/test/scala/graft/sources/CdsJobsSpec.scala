@@ -273,4 +273,23 @@ class CdsJobsSpec extends SparkSpec {
       assert(!manifest.contains(secret) && !manifest.contains(token))
     }
   }
+
+  test("pollDelay stays positive and capped past the shift-overflow point") {
+    // Reference defaults: 1000 ms base, 60 s cap. The old form
+    // (pollDelayMs << (polls-1), capped only by math.min) wrapped
+    // negative at polls = 55 (1000·2^54 > 2^63) and Thread.sleep threw
+    // at poll #56 — a CDS job queued > ~1 h crashed retrieveAll on
+    // every resume.
+    val (base, cap) = (1000L, 60000L)
+    assert(CdsJobs.pollDelay(1, base, cap) == 1000L)
+    assert(CdsJobs.pollDelay(2, base, cap) == 2000L)
+    assert(CdsJobs.pollDelay(7, base, cap) == 60000L) // 64 s → cap
+    for (polls <- Seq(55, 56, 100, 999, Int.MaxValue)) {
+      val d = CdsJobs.pollDelay(polls, base, cap)
+      assert(d == cap, s"polls=$polls gave $d")
+    }
+    // degenerate base = 1 ms: shift alone reaches 63 without the cap
+    assert(CdsJobs.pollDelay(64, 1L, Long.MaxValue) == Long.MaxValue)
+    assert(CdsJobs.pollDelay(100, 1L, 5000L) == 5000L)
+  }
 }

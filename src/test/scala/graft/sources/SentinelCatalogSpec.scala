@@ -131,4 +131,39 @@ class SentinelCatalogSpec extends SparkSpec {
       assert(fetched2.forall(_.skipped) && downloads.get() == dlBefore)
     }
   }
+
+  test("timestamped ISO dates survive the defense-in-depth window " +
+      "(last day of the quartile is not lexically excluded)") {
+    withServer { (server, port) =>
+      server.createContext("/catalog", ex => {
+        val q = ex.getRequestURI.getQuery
+        val page = q.split("&").find(_.startsWith("page="))
+          .map(_.drop(5).toInt).getOrElse(1)
+        val base = s"http://127.0.0.1:$port"
+        // timestamped dates: t1 sits ON the window's last day (must be
+        // kept — a bare lexical compare against "2023-06-30" drops it);
+        // t2 is genuinely outside (July) and must still be dropped.
+        val body =
+          if (page == 1) s"""{"products": [
+            {"id": "t1", "tile": "T31UDQ", "date": "2023-06-30T10:00:00Z", "cloud_cover": 1.0, "url": "$base/dl/t1"},
+            {"id": "t2", "tile": "T31UDQ", "date": "2023-07-01T00:00:01Z", "cloud_cover": 0.1, "url": "$base/dl/t2"}
+          ]}"""
+          else """{"products": []}"""
+        respond(ex, 200, body)
+      })
+      server.createContext("/dl", ex => {
+        val payload = "b".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, payload.length.toLong)
+        ex.getResponseBody.write(payload)
+        ex.close()
+      })
+      val d = tmpDir("tsdate")
+      val (selected, _) = SentinelCatalog.findProducts(spark,
+        s"http://127.0.0.1:$port/catalog", "4.0,51.0,5.0,52.0",
+        year = 2023, quartile = 2,
+        destDir = d.getAbsolutePath, manifestPath = s"$d/manifest",
+        policy = fast)
+      assert(selected.map(_.id) == Seq("t1"), selected.toString)
+    }
+  }
 }
