@@ -18,7 +18,7 @@ object Registry {
     Relational.qs ++ TextOps.qs ++ EventOps.qs ++ VectorOps.qs ++
       FloodQueries.qs ++ DedupQueries.qs ++ SpatialQueries.qs ++
       PipelineQueries.qs ++ BpeQueries.qs ++ CorpusStats.qs ++
-      GraphQueries.qs ++ LangIdQueries.qs
+      GraphQueries.qs ++ LangIdQueries.qs ++ NgramLmQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
