@@ -288,6 +288,30 @@ object TextMacroBench {
       .groupBy("planted", "pred").agg(count(lit(1)).as("n"))
   }
 
+  /** q222/q223 shape at scale: the fused NgramLmScore kernel + fixed-
+    * threshold bucketing over the same multilingual corpus — pure
+    * per-row map + one tiny groupBy; the check run gates the planted
+    * closed form (fluent-English triples never bucket tail, OOV-script
+    * and noise triples always do).
+    */
+  private def lmPerplexity(d: DataFrame): DataFrame = {
+    import graft.operators.NgramLm
+    val m = NgramLm.fixture
+    val (tLo, tHi) = NgramLm.thresholds(m)
+    val r = graft.functions.NgramLmScore(
+      concat_ws(" ", graft.core.Tok.words(col("mtext"))), m)
+    langDocs(d).select(col("planted"),
+        r.getField("lm_q").as("lm_q"), r.getField("n_grams").as("n_grams"))
+      .withColumn("ppl_q", expr(
+        s"CAST(CASE WHEN n_grams = 0 THEN 0 " +
+          s"ELSE -((-lm_q) * ${m.scale} div n_grams) END AS BIGINT)"))
+      .withColumn("bucket",
+        when(col("ppl_q") < tLo, "tail")
+          .when(col("ppl_q") < tHi, "middle").otherwise(lit("head")))
+      .groupBy("planted", "bucket")
+      .agg(count(lit(1)).as("n"), sum("n_grams").as("grams"))
+  }
+
   private def deconExact(d: DataFrame): DataFrame = {
     val grams = deconGrams(d)
     val eval_ = grams.filter(col("doc_id") % 19 === 0).select("gk").distinct()
@@ -411,7 +435,7 @@ object TextMacroBench {
       "span_rewrite" -> spanRewrite, "temperature_mix" -> temperatureMix,
       "bpe_encode" -> bpeEncode, "bpe_sampled" -> bpeSampled,
       "unicode_tokens" -> unicodeTokens,
-      "lang_id" -> langId,
+      "lang_id" -> langId, "lm_perplexity" -> lmPerplexity,
       "decon_exact" -> deconExact, "decon_bloom" -> deconBloom)
     // SPARK_GRAFT_SHAPES=a,b subsets the arms (iteration / isolation);
     // unknown names fail LOUDLY — a typo must never time nothing and
@@ -472,6 +496,14 @@ object TextMacroBench {
         val lidBad = langId(d).filter(col("planted") =!= col("pred")).collect()
         require(lidBad.isEmpty,
           s"lang_id mispredicted classes: ${lidBad.mkString(", ")}")
+        // LM bucket closed form: fluent-English triples never tail,
+        // OOV-script/noise triples always tail
+        val lmBad = lmPerplexity(d).filter(
+          (col("planted") === "en" && col("bucket") === "tail") ||
+            (col("planted").isin("zh", "ja", "th", "und") &&
+              col("bucket") =!= "tail")).collect()
+        require(lmBad.isEmpty,
+          s"lm_perplexity bucket violations: ${lmBad.mkString(", ")}")
       }
       d.unpersist()
       times

@@ -114,26 +114,34 @@ object LangIdQueries {
     "q217_curation_predlang",
     (s, dir) => {
       // train-side-only suffix — the q214 corpus rule (eval split is an
-      // external plain-text set; see q214's scaladoc for the r19 find)
+      // external plain-text set; see q214's scaladoc for the r19 find);
+      // since r20 the split is the size-adaptive hashEvalPred (the
+      // fixed %199 form was vacuous at sf1)
       val sn = array(TextOps.unicodeSnippets.map(lit): _*)
-      val suffixed = t(s, dir)("documents")
+      val raw = t(s, dir)("documents")
+      val n = raw.count()
+      val ev = PipelineQueries.hashEvalPred(n)
+      val suffixed = raw
         .select(col("doc_id"),
-          when(col("doc_id") % 199 === 0, col("text"))
+          when(ev, col("text"))
             .otherwise(concat(col("text"), lit(" "),
               element_at(sn, (col("doc_id") % 5).cast("int") + 1)))
             .as("text"))
       val r = lid(col("text"))
       PipelineQueries.curationPipeline(
         suffixed.select(col("doc_id"), r.getField("pred").as("lang"),
-          col("text")))
+          col("text")),
+        ev)
     },
     Some {
       val docsSql = scoredSql(
-        "SELECT doc_id, CASE WHEN doc_id % 199 = 0 THEN text ELSE " +
+        s"SELECT doc_id, CASE WHEN ${PipelineQueries.hashEvalPredSql} " +
+          "THEN text ELSE " +
           "text || ' ' || (" + TextOps.unicodeSnippetSqlArray +
           ")[CAST(doc_id % 5 AS INT) + 1] END AS text FROM documents") + """
       SELECT doc_id, pred AS lang, text FROM lid_pred"""
-      PipelineQueries.curationOracleSql(docsSql)
+      PipelineQueries.curationOracleSql(docsSql,
+        PipelineQueries.hashEvalPredSql)
     })
 
   val qs: Seq[Q] = Seq(q216LangId, q217CurationPredLang)

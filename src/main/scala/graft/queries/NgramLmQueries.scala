@@ -158,19 +158,12 @@ object NgramLmQueries {
         .withColumn("ppl_q", pplExpr)
         .select(col("doc_id"), bucketCol(col("ppl_q")).as("lang"), col("text"))
       val n = t(s, dir)("documents").count()
-      val thr = (10L * 1048576L + n - 1L) / n
-      val evalPred = pmod(graft.operators.Dedup.md5Hash64(
-        concat(col("doc_id").cast("string"), lit("_ev"))),
-        lit(1048576L)) < thr
-      PipelineQueries.curationPipeline(docs, evalPred)
+      PipelineQueries.curationPipeline(docs, PipelineQueries.hashEvalPred(n))
     },
     Some(PipelineQueries.curationOracleSql(
       NgramLm.scoredSql(model, mixedDocsSql) + s"""
         SELECT doc_id, ${bucketSql("ppl_q")} AS lang, text FROM lm_doc""",
-      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_ev'), 18, 15) " +
-        "AS BIGINT) % 1048576 < (10 * 1048576 + " +
-        "(SELECT count(*) FROM documents) - 1) // " +
-        "(SELECT count(*) FROM documents)")))
+      PipelineQueries.hashEvalPredSql)))
 
   val qs: Seq[Q] = Seq(q222LmPerplexity, q223LmBuckets, q224CurationLmBucket)
 }

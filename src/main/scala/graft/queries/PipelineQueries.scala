@@ -332,8 +332,8 @@ object PipelineQueries {
   /** The pipeline with an explicit EVAL-SPLIT predicate (r19: the fixed
     * %199 split saturates gram containment on the small-vocab fixture
     * at sf1 — ~250 eval docs cover ~30% of the gram space and the
-    * manifest degenerates to ~1 row; q221 feeds a SIZE-ADAPTIVE hash
-    * split instead).
+    * manifest degenerates to ~1 row; since r20 the curation family
+    * feeds the SIZE-ADAPTIVE [[hashEvalPred]] split instead).
     */
   def curationPipeline(docs: DataFrame,
       evalPred: org.apache.spark.sql.Column): DataFrame = {
@@ -487,6 +487,34 @@ object PipelineQueries {
       FROM c WHERE cum_tokens * 2 <= (SELECT sum(n_tokens) FROM clean)"""
   }
 
+  /** The q221-style SIZE-ADAPTIVE eval split, now the curation
+    * family's default (r20, verdict item 2): the fixed %199 split's
+    * eval-doc count grows linearly with the corpus and saturates gram
+    * containment on the small-vocab fixture at sf1 (~250 eval docs ≈
+    * 30% of the gram space ⇒ every train doc contaminated ⇒ a ~1-row
+    * manifest — a vacuous gate). This split targets a CONSTANT ~10
+    * eval docs at any corpus size: doc joins the eval set iff
+    * md5Hash64(doc_id·'_ev') % 2^20 < ceil(10·2^20 / n) — exact
+    * integers, one driver count (the q162 single-action pattern), the
+    * threshold replayed in SQL as a scalar-subquery expression.
+    */
+  def hashEvalPred(n: Long): org.apache.spark.sql.Column = {
+    val thr = (10L * 1048576L + n - 1L) / n
+    pmod(graft.operators.Dedup.md5Hash64(
+      concat(col("doc_id").cast("string"), lit("_ev"))),
+      lit(1048576L)) < thr
+  }
+
+  /** SQL twin of [[hashEvalPred]] with n as a scalar subquery over the
+    * raw documents table (the docs relation every curation corpus here
+    * derives from 1:1, so the counts agree by construction).
+    */
+  val hashEvalPredSql: String =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_ev'), 18, 15) " +
+      "AS BIGINT) % 1048576 < (10 * 1048576 + " +
+      "(SELECT count(*) FROM documents) - 1) // " +
+      "(SELECT count(*) FROM documents)"
+
   /** The COMPLETE corpus-curation job, composed as one DAG — every
     * hygiene stage a pretraining data pipeline actually chains, in
     * order: quality gate (q32) → exact dedup (q34) → MinHash near-dup
@@ -498,12 +526,23 @@ object PipelineQueries {
     * proves the COMPOSITION (survivor sets feeding each other) against
     * an oracle that replays all five stages in SQL with the near-dup
     * stage as brute-force exact Jaccard ground truth.
+    *
+    * Since r20 the eval split is the size-adaptive hash split (it was
+    * the fixed %199 — vacuous at sf1, see [[hashEvalPred]]); this
+    * absorbs r19's q221_curation_hashsplit, which existed only to
+    * carry the fixed split's non-degenerate twin and became identical
+    * to the migrated q147.
     */
   val q147CorpusCuration = Q(
     "q147_corpus_curation",
-    (s, dir) => curationPipeline(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"))),
-    Some(curationOracleSql("SELECT doc_id, lang, text FROM documents")),
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val n = docs.count() // one driver action; doubles as a scan warm
+      curationPipeline(docs, hashEvalPred(n))
+    },
+    Some(curationOracleSql(
+      "SELECT doc_id, lang, text FROM documents", hashEvalPredSql)),
     headline = true)
 
   /** The SAME five-stage curation pipeline over the CJK-suffixed
@@ -519,25 +558,31 @@ object PipelineQueries {
   val q214UnicodeCuration = Q(
     "q214_unicode_curation",
     (s, dir) => {
-      // Only TRAIN-side docs carry a CJK suffix; the eval split
-      // (doc_id % 199 == 0) stays plain — it models an EXTERNAL
-      // plain-text benchmark set. With suffixed eval docs the 5 shared
-      // snippets made decontamination ALL-CATCHING once the eval ids
-      // covered all 5 suffix classes (≥ sf0.1), collapsing the
-      // manifest to 0 rows at exactly the SFs that matter (r19 find —
-      // both engines agreed, so the gate passed vacuously).
+      // Only TRAIN-side docs carry a CJK suffix; the eval split stays
+      // plain — it models an EXTERNAL plain-text benchmark set. With
+      // suffixed eval docs the 5 shared snippets made decontamination
+      // ALL-CATCHING once the eval ids covered all 5 suffix classes
+      // (≥ sf0.1), collapsing the manifest to 0 rows at exactly the
+      // SFs that matter (r19 find — both engines agreed, so the gate
+      // passed vacuously). Since r20 the split is the size-adaptive
+      // hash split (hashEvalPred — the %199 form was vacuous at sf1).
       val sn = array(TextOps.unicodeSnippets.map(lit): _*)
-      curationPipeline(Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count()
+      val ev = hashEvalPred(n)
+      curationPipeline(docs
         .select(col("doc_id"), col("lang"),
-          when(col("doc_id") % 199 === 0, col("text"))
+          when(ev, col("text"))
             .otherwise(concat(col("text"), lit(" "),
               element_at(sn, (col("doc_id") % 5).cast("int") + 1)))
-            .as("text")))
+            .as("text")),
+        ev)
     },
     Some(curationOracleSql(
-      "SELECT doc_id, lang, CASE WHEN doc_id % 199 = 0 THEN text " +
+      s"SELECT doc_id, lang, CASE WHEN $hashEvalPredSql THEN text " +
         "ELSE text || ' ' || (" + TextOps.unicodeSnippetSqlArray +
-        ")[CAST(doc_id % 5 AS INT) + 1] END AS text FROM documents")),
+        ")[CAST(doc_id % 5 AS INT) + 1] END AS text FROM documents",
+      hashEvalPredSql)),
     // headline since r19 (verdict item 7): the bench set's script-aware-
     // seam canary — the full curation DAG over the mixed-script corpus
     headline = true)
@@ -556,38 +601,6 @@ object PipelineQueries {
     * q34 / q37 / q212 / q84); the composition adds only sparse per-doc
     * left joins on doc_id.
     */
-  /** The curation DAG under a SIZE-ADAPTIVE eval split (r19): the
-    * fixed %199 split's eval-doc count grows linearly with the corpus
-    * and saturates gram containment on the small-vocab fixture at sf1
-    * (~250 eval docs ≈ 30% of the gram space ⇒ every train doc
-    * contaminated ⇒ a ~1-row manifest — a vacuous gate). Here the
-    * split targets a CONSTANT ~10 eval docs at any corpus size:
-    * doc joins the eval set iff md5Hash64(doc_id·'_ev') % 2^20 <
-    * ceil(10·2^20 / n) — exact integers, one driver count (the q162
-    * single-action pattern), the threshold replayed in SQL as a
-    * scalar-subquery expression. The funnel stays LIVE at every SF
-    * (284 rows at sf0.1 where the %199 q147 reads 284 but its sf1
-    * twin reads ~1; this one stays populated at sf1 too).
-    */
-  val q221CurationHashSplit = Q(
-    "q221_curation_hashsplit",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-      val n = docs.count() // one driver action; doubles as a scan warm
-      val thr = (10L * 1048576L + n - 1L) / n
-      val evalPred = pmod(graft.operators.Dedup.md5Hash64(
-        concat(col("doc_id").cast("string"), lit("_ev"))),
-        lit(1048576L)) < thr
-      curationPipeline(docs, evalPred)
-    },
-    Some(curationOracleSql(
-      "SELECT doc_id, lang, text FROM documents",
-      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_ev'), 18, 15) " +
-        "AS BIGINT) % 1048576 < (10 * 1048576 + " +
-        "(SELECT count(*) FROM documents) - 1) // " +
-        "(SELECT count(*) FROM documents)")))
-
   val q215CurationSubstr = Q(
     "q215_curation_substr",
     (s, dir) => {
@@ -1254,6 +1267,5 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr,
-    q221CurationHashSplit)
+    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr)
 }
