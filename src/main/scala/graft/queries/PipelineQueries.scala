@@ -359,8 +359,11 @@ object PipelineQueries {
       // quality→exact→LSH prefix re-executes per consumer (measured
       // 26.4 → 12.1 s at sf0.1; localCheckpoint storage is freed with
       // the frame, the q162 cache-leak lesson)
-      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
-        .localCheckpoint(true)
+      // tracked checkpoint: keeps the truncated lineage visible to the
+      // bench plan fingerprint (r19 verdict item 3 — q214's hash was
+      // q147's because checkpoint-eager queries hashed only their tail)
+      val near = graft.core.PlanHash.localCheckpointTracked(
+        Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8))
       // 4: decontamination — eval split = doc_id % 199 == 0 of the RAW
       // corpus (an eval set is external; it never went through the gate)
       def grams(df: org.apache.spark.sql.DataFrame) =
@@ -370,11 +373,11 @@ object PipelineQueries {
       val trainSide = near.filter(!evalPred)
       val contaminated = grams(trainSide).join(evalGrams, "gk")
         .select("doc_id").distinct()
-      val clean = trainSide.join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("quality"),
-          col("n_tokens").cast("long").as("n_tokens"))
-        // consumed by PrefixSum staging AND the total-tokens aggregate
-        .localCheckpoint(true)
+      // consumed by PrefixSum staging AND the total-tokens aggregate
+      val clean = graft.core.PlanHash.localCheckpointTracked(
+        trainSide.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("n_tokens").cast("long").as("n_tokens")))
       // 5: token budget — best-quality docs until 50% of surviving tokens
       val withCum = graft.operators.PrefixSum.runningSum(
         clean, Seq(col("quality").desc, col("doc_id").asc),
@@ -623,10 +626,11 @@ object PipelineQueries {
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .filter(col("rn") === 1).drop("rn")
       // survivor set feeds the cut scan, the gram scan AND the final
-      // joins — materialize once (the q147 checkpoint lesson)
-      val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
-        .select(col("doc_id"), col("lang"), col("text"))
-        .localCheckpoint(true)
+      // joins — materialize once (the q147 checkpoint lesson); tracked
+      // so the plan fingerprint keeps the truncated lineage
+      val near = graft.core.PlanHash.localCheckpointTracked(
+        Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+          .select(col("doc_id"), col("lang"), col("text")))
       val cutStats = graft.operators.SubstrDedup.cutStats(near, "doc_id", "text")
         .select(col("doc_id"), col("n_chars_cut"))
       val evalGrams = Dedup.wordGramKeys(
