@@ -604,6 +604,142 @@ object PipelineQueries {
     * q34 / q37 / q212 / q84); the composition adds only sparse per-doc
     * left joins on doc_id.
     */
+  /** 4-stage funnel counts (arrived → quality gate → exact dedup →
+    * MinHash near-dup) over a docs relation, as ONE row — wrapped in
+    * its own parenthesized WITH so two corpus variants can union in a
+    * single oracle statement (CTE names scope per subquery).
+    */
+  private def funnelCountsSql(docsSql: String): String = """
+      (WITH docs0 AS MATERIALIZED (""" + docsSql + """),
+      tok0 AS MATERIALIZED (
+        SELECT doc_id, text,
+               """ + graft.core.Tok.sqlWordsCased("text") + """ AS wcs,
+               """ + graft.core.Tok.sqlWords("text") + """ AS wlo
+        FROM docs0),
+      g AS (
+        SELECT doc_id, text,
+               CAST(len(wcs) AS DOUBLE) AS n_tokens,
+               CAST(len(list_distinct(wcs)) AS DOUBLE)
+                 / nullif(len(wcs), 0) AS diversity
+        FROM tok0),
+      q AS (
+        SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + diversity * 0.5 AS quality
+        FROM g),
+      gate AS (SELECT * FROM q WHERE quality >= 0.3),
+      exact AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM gate) WHERE rn = 1),
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([CAST('0x' || substr(md5(
+                                array_to_string(t[i:i+2], ' ')), 18, 15)
+                                AS BIGINT)
+                              for i in generate_series(1, len(t)-2)]) AS sh
+        FROM (SELECT e.doc_id, k.wlo AS t
+              FROM exact e JOIN tok0 k USING (doc_id))
+        WHERE len(t) >= 3),
+      """ + DedupQueries.prefixCandSql("sh") + """,
+      ex2 AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+      pairg AS (
+        SELECT c.ai, c.bi, count(*) AS inter
+        FROM cand c
+        JOIN ex2 a ON a.doc_id = c.ai
+        JOIN ex2 b ON b.doc_id = c.bi AND b.h = a.h
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      dups AS (
+        SELECT DISTINCT p.bi AS doc_id
+        FROM pairg p JOIN sizes x ON x.doc_id = p.ai
+        JOIN sizes y ON y.doc_id = p.bi
+        WHERE CAST(p.inter AS DOUBLE) / (x.n + y.n - p.inter) >= 0.8),
+      near AS (
+        SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+      SELECT (SELECT count(*) FROM docs0) AS n_arrived,
+             (SELECT count(*) FROM gate) AS n_quality,
+             (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM near) AS n_near)"""
+
+  /** q225: NFC normalization made LOAD-BEARING in curation (r19
+    * verdict item 4 — q218 witnessed the expression; no production
+    * path normalized). Corpus: a hash-sampled quarter of `documents`,
+    * each base text emitted TWICE — composed form (every 'e' →
+    * U+00E9) under doc_id·2, and canonically-equivalent DECOMPOSED
+    * form (every 'e' → 'e' U+0301) under doc_id·2+1 (a sentinel
+    * 'zebre' token guarantees ≥1 substitution per doc). The query
+    * runs the quality → exact-dedup → near-dup funnel twice — once
+    * with [[graft.functions.NfcNormalize]] composed at the Tok seam,
+    * once raw — and emits both funnels' counts. Closed form (spec-
+    * pinned): under NFC every decomposed copy is an exact duplicate
+    * of its composed twin, so 2·n_exact(nfc) = n_exact(raw) — skipping
+    * NFC provably changes the funnel. The oracle replays
+    * nfc_normalize-then-tokenize with DuckDB's utf8proc (a second
+    * independent UAX #15 implementation, the q218 posture) and the
+    * full LSH ground truth for both variants. Source literals are
+    * \u-escaped (the r19 rule: raw decomposed text can be silently
+    * recomposed by tooling).
+    */
+  val q225CurationNfc = Q(
+    "q225_curation_nfc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "documents")
+        .filter(pmod(graft.operators.Dedup.md5Hash64(
+          concat(col("doc_id").cast("string"), lit("_nfc"))), lit(4L)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zebre")).as("text"))
+      val composed = base.select((col("doc_id") * 2).as("doc_id"),
+        call_function("replace", col("text"), lit("e"), lit("\u00e9"))
+          .as("text"))
+      val decomposed = base.select((col("doc_id") * 2 + 1).as("doc_id"),
+        call_function("replace", col("text"), lit("e"), lit("e\u0301"))
+          .as("text"))
+      val pair = composed.unionByName(decomposed)
+      def funnel(docs: org.apache.spark.sql.DataFrame, tag: String) = {
+        val toksSp = graft.core.Tok.wordsCased(col("text"))
+        val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
+          .withColumn("diversity",
+            size(array_distinct(toksSp)).cast("double") /
+              nullif(col("n_tokens"), lit(0.0)))
+          .withColumn("quality",
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+              col("diversity") * 0.5)
+          .filter(col("quality") >= 0.3)
+        val exact = quality
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        val near = Dedup.minhashDedup(exact, "doc_id", "text", threshold = 0.8)
+        docs.agg(count(lit(1)).as("n_arrived"))
+          .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(near.agg(count(lit(1)).as("n_near")))
+          .select(lit(tag).as("variant"), col("n_arrived"),
+            col("n_quality"), col("n_exact"), col("n_near"))
+      }
+      funnel(pair.withColumn("text",
+          graft.functions.NfcNormalize(col("text"))), "nfc")
+        .unionByName(funnel(pair, "raw"))
+    },
+    Some {
+      val baseSql =
+        "SELECT doc_id, text || ' zebre' AS text FROM documents " +
+          "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || " +
+          "'_nfc'), 18, 15) AS BIGINT) % 4 = 0"
+      val pairSql =
+        s"SELECT doc_id * 2 AS doc_id, replace(text, 'e', chr(233)) " +
+          s"AS text FROM ($baseSql) " +
+          "UNION ALL " +
+          s"SELECT doc_id * 2 + 1 AS doc_id, replace(text, 'e', " +
+          s"'e' || chr(769)) AS text FROM ($baseSql)"
+      val nfcSql =
+        s"SELECT doc_id, nfc_normalize(text) AS text FROM ($pairSql)"
+      s"""
+      SELECT 'nfc' AS variant, * FROM ${funnelCountsSql(nfcSql)}
+      UNION ALL
+      SELECT 'raw' AS variant, * FROM ${funnelCountsSql(pairSql)}"""
+    })
+
   val q215CurationSubstr = Q(
     "q215_curation_substr",
     (s, dir) => {
@@ -1271,5 +1407,6 @@ object PipelineQueries {
     q48CdcChunks, q49TopkPerGroup, q109WorkItems, q147CorpusCuration,
     q168MixtureBudget, q169SnapshotDiff, q173TriangleCount,
     q175SystematicSample, q176ClusteringCoefficient, q182Pagerank,
-    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr)
+    q195Hits, q205TemperatureMix, q214UnicodeCuration, q215CurationSubstr,
+    q225CurationNfc)
 }
