@@ -34,7 +34,7 @@ import graft.streaming.{FileReplay, StreamCuration, StreamDedup}
   */
 object StreamCurationMacroBench {
 
-  private def synthDocs(spark: SparkSession, lo: Long, hi: Long,
+  private[graft] def synthDocs(spark: SparkSession, lo: Long, hi: Long,
       genId: org.apache.spark.sql.Column): DataFrame = {
     // TextMacroBench's generator shape: ~45% hot tokens, 100k tail,
     // 20-60 tokens; text is a pure function of the GENERATING id

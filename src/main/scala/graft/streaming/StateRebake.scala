@@ -51,7 +51,7 @@ object StateRebake {
     * snapshot carries); fall back to the provider-agnostic
     * memoryUsedBytes.
     */
-  private[streaming] def stateBytes(
+  private[graft] def stateBytes(
       op: org.apache.spark.sql.streaming.StateOperatorProgress): Long = {
     val m = op.customMetrics
     val sst = if (m != null && m.containsKey("rocksdbTotalSstFilesBytes"))
