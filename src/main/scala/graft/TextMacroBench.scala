@@ -350,6 +350,7 @@ object TextMacroBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--deep-bpe-sampled")) { deepBpeSampled(args); return }
     if (args.contains("--deep-bpe")) { deepBpe(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
@@ -567,6 +568,79 @@ object TextMacroBench {
     val avgBatch = merges.toDouble / rounds
     println(f"""{"metric":"bpe_deep","value":$secs%.1f,"unit":"sec","n_docs":$nDocs,"merges":$merges,"batch_size":$batch,"rounds":$rounds,"avg_batch":$avgBatch%.1f,"sec_per_round":${secs / rounds}%.3f,"merges_per_sec":${merges / secs}%.1f}""")
     require(avgBatch >= 1.0, s"stop rule degenerated: $avgBatch")
+    spark.stop()
+  }
+
+  /** PRODUCTION-VOCAB sampled-BPE record (r19 verdict item 7): q219/
+    * q220 gate ~10 merges; the production claim is 30k-vocab
+    * viability. This arm trains `merges` (default 1000) effective
+    * merges on the md5-selected 1/4 SAMPLE of a 3M-doc corpus, trains
+    * the FULL-corpus twin to the same depth, reports where the two
+    * merge tables first diverge (the sample-vs-full divergence
+    * posture: hot pairs are frequency-stable under uniform sampling,
+    * so divergence starts deep in the tail where counts are small and
+    * ties reorder), and then runs the FULL-corpus encode pass under
+    * the sampled table — the end-to-end cost a real tokenizer build
+    * pays: sample-train once, encode everything.
+    *
+    * Usage: TextMacroBench --deep-bpe-sampled [merges] [batchSize]
+    *        [nDocs] (defaults 1000, 64, 3000000)
+    */
+  private def deepBpeSampled(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val merges = pos.headOption.map(_.toInt).getOrElse(1000)
+    val batch = pos.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val nDocs = pos.drop(2).headOption.map(_.toLong).getOrElse(3000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d = docs(spark, nDocs).cache()
+    d.count()
+    val sample = d.filter(pmod(graft.operators.Dedup.md5Hash64(
+      concat(col("doc_id").cast("string"), lit("_bpes"))), lit(4)) === 0)
+
+    def trainArm(src: org.apache.spark.sql.DataFrame)
+        : (Seq[graft.operators.BpeTrainer.MergeStep], Double, Int) = {
+      val t0 = System.nanoTime()
+      val words = graft.operators.BpeTrainer.wordTable(src, "text")
+      val (steps, finalWords, rounds) =
+        graft.operators.BpeTrainer.trainBatched(words, merges, batch)
+      finalWords.count()
+      finalWords.unpersist()
+      (steps, (System.nanoTime() - t0) / 1e9, rounds)
+    }
+    val (sampledSteps, tSampled, roundsS) = trainArm(sample)
+    val (fullSteps, tFull, roundsF) = trainArm(d)
+    require(sampledSteps.size == merges && fullSteps.size == merges)
+    // first divergence index between the two merge tables
+    val div = sampledSteps.zip(fullSteps).indexWhere {
+      case (a, b) => (a.a, a.b) != (b.a, b.b)
+    }
+    val sameSet = sampledSteps.map(m => (m.a, m.b)).toSet
+      .intersect(fullSteps.map(m => (m.a, m.b)).toSet).size
+
+    // full-corpus encode under the SAMPLED table
+    val te = System.nanoTime()
+    val enc = graft.operators.BpeTrainer
+      .encode(d, "doc_id", "text", sampledSteps)
+      .agg(sum(col("n_tokens")).as("total"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val tEncode = (System.nanoTime() - te) / 1e9
+    require(enc.getLong(1) == nDocs, s"encode covered ${enc.getLong(1)}")
+
+    println(f"""{"metric":"bpe_deep_sampled","unit":"sec","n_docs":$nDocs,""" +
+      f""""merges":$merges,"batch_size":$batch,""" +
+      f""""sampled_train_sec":$tSampled%.1f,"sampled_rounds":$roundsS,""" +
+      f""""full_train_sec":$tFull%.1f,"full_rounds":$roundsF,""" +
+      f""""first_divergence":$div,"shared_merges":$sameSet,""" +
+      f""""encode_sec":$tEncode%.1f,"encoded_tokens":${enc.getLong(0)}}""")
     spark.stop()
   }
 }

@@ -220,8 +220,17 @@ object BpeTrainer {
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[MergeStep]): DataFrame = {
     val words = graft.core.Tok.words(col(textCol))
+    // Past 64 merges the chained-Column segment() builds a merge-count-
+    // deep expression tree (ColumnNode conversion recursion overflows
+    // the driver stack at 1000 merges — measured r20); the fused
+    // kernel applies the table as DATA with constant plan depth.
+    // Same semantics either way (BpeApplyMergesSpec pins equality), so
+    // the small-table queries keep their historical plans/oracles.
+    def seg(tk: Column): Column =
+      if (merges.size > 64) graft.functions.BpeApplyMerges(tk, merges)
+      else segment(tk, merges)
     val enc = concat_ws(" ",
-      transform(words, tk => segment(tk, merges)))
+      transform(words, tk => seg(tk)))
     docs.select(col(idCol), enc.as("enc"))
       .select(col(idCol),
         ((length(col("enc")) -

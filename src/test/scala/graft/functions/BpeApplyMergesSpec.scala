@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.BpeTrainer
+import graft.operators.BpeTrainer.MergeStep
+
+/** Pins the production-depth BPE kernel against the chained-Column
+  * segment() it replaces past 64 merges: identical output on every
+  * token shape (multi-hit, overlapping-candidate, chained second-level
+  * merges, CJK code points, empty), so BpeTrainer.encode's size switch
+  * can never change results.
+  */
+class BpeApplyMergesSpec extends SparkSpec {
+
+  private val merges = Seq(
+    MergeStep(0, "h", "1", 0L), MergeStep(1, "w", "2", 0L),
+    MergeStep(2, "h1", "h1", 0L), // second-level: consumes step 0's output
+    MergeStep(3, "a", "b", 0L), MergeStep(4, "ab", "c", 0L),
+    MergeStep(5, "学", "生", 0L))
+
+  test("kernel ≡ chained segment on every token shape") {
+    import spark.implicits._
+    val toks = Seq("h1h1w2", "aaabbb", "abcabc", "h1", "w", "",
+      "学生学生", "mixed学h1生", "zzz", "ababab")
+    val df = toks.toDF("tk")
+    val both = df.select(
+      BpeTrainer.segment(col("tk"), merges).as("chained"),
+      BpeApplyMerges(col("tk"), merges).as("kernel"))
+    val rows = both.collect()
+    rows.zip(toks).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"mismatch on '$t'")
+    }
+  }
+
+  test("encode under a >64-merge table matches the chained form") {
+    import spark.implicits._
+    // 70 merges forces the kernel path; rebuild the chained result
+    // with segment() directly for the equality check
+    val merges70 = (0 until 35).map(i => MergeStep(i, "h", i.toString, 0L)) ++
+      (0 until 35).map(i => MergeStep(35 + i, "w", i.toString, 0L))
+    val docs = Seq((1L, "h0 w0 hw wh h0w0"), (2L, ""), (3L, "学生 h0"))
+      .toDF("doc_id", "text")
+    val viaKernel = BpeTrainer.encode(docs, "doc_id", "text", merges70)
+      .orderBy("doc_id").collect().toSeq
+    val chained = docs.select(col("doc_id"),
+        concat_ws(" ", transform(graft.core.Tok.words(col("text")),
+          tk => BpeTrainer.segment(tk, merges70))).as("enc"))
+      .select(col("doc_id"),
+        (length(col("enc")) - length(call_function("replace", col("enc"),
+          lit(BpeTrainer.M), lit("")))).cast("long").as("n_tokens"),
+        md5(col("enc").cast("binary")).as("enc_md5"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaKernel == chained)
+  }
+}
