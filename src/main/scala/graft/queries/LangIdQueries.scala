@@ -119,8 +119,8 @@ object LangIdQueries {
       // fixed %199 form was vacuous at sf1)
       val sn = array(TextOps.unicodeSnippets.map(lit): _*)
       val raw = t(s, dir)("documents")
-      val n = raw.count()
-      val ev = PipelineQueries.hashEvalPred(n)
+      val ev = PipelineQueries.hashEvalPred(
+        PipelineQueries.nDocuments(s, dir))
       val suffixed = raw
         .select(col("doc_id"),
           when(ev, col("text"))

@@ -157,8 +157,8 @@ object NgramLmQueries {
           col("text"))
         .withColumn("ppl_q", pplExpr)
         .select(col("doc_id"), bucketCol(col("ppl_q")).as("lang"), col("text"))
-      val n = t(s, dir)("documents").count()
-      PipelineQueries.curationPipeline(docs, PipelineQueries.hashEvalPred(n))
+      PipelineQueries.curationPipeline(docs,
+        PipelineQueries.hashEvalPred(PipelineQueries.nDocuments(s, dir)))
     },
     Some(PipelineQueries.curationOracleSql(
       NgramLm.scoredSql(model, mixedDocsSql) + s"""
