@@ -88,8 +88,16 @@ object PlanHash {
     * the canonical digest of the plan it truncates; [[of]] folds those
     * digests back in wherever the hashed plan scans a tracked RDD.
     */
+  /** Keyed by (applicationId, rdd id): RDD ids restart from 0 with a
+    * new SparkContext in the same JVM, so a bare-id key could fold a
+    * STALE digest from a previous context into an unrelated plan's
+    * hash after a session restart (r20 review find).
+    */
   private val ckDigests =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ckKey(rdd: org.apache.spark.rdd.RDD[_]): String =
+    rdd.sparkContext.applicationId + ":" + rdd.id
 
   /** `localCheckpoint(eager=true)` that keeps the truncated lineage
     * visible to the plan fingerprint. The recorded digest hashes the
@@ -107,7 +115,7 @@ object PlanHash {
     val canon = canonicalize(analyzed.toString)
     val nested = analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        Option(ckDigests.get(lr.rdd.id))
+        Option(ckDigests.get(ckKey(lr.rdd)))
     }.flatten
     val payload =
       if (nested.isEmpty) canon
@@ -118,7 +126,7 @@ object PlanHash {
     val out = df.localCheckpoint(eager = true)
     out.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        ckDigests.put(lr.rdd.id, digest)
+        ckDigests.put(ckKey(lr.rdd), digest)
       case _ =>
     }
     out
@@ -134,7 +142,7 @@ object PlanHash {
     val canon = canonicalize(plan.toString)
     val nested = plan.collect {
       case r: org.apache.spark.sql.execution.RDDScanExec =>
-        Option(ckDigests.get(r.rdd.id))
+        Option(ckDigests.get(ckKey(r.rdd)))
     }.flatten
     val payload =
       if (nested.isEmpty) canon

@@ -43,7 +43,7 @@ object BpeTrainer {
     docs.select(explode(toks).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-      .withColumn("repr", regexp_replace(col("token"), "(.)", M + "$1"))
+      .withColumn("repr", regexp_replace(col("token"), "(?s)(.)", M + "$1"))
   }
 
   /** Adjacent symbol pairs of each word type, freq-weighted (q133's
@@ -194,9 +194,17 @@ object BpeTrainer {
 
   /** Greedy left-to-right BPE segmentation of arbitrary tokens under an
     * already-learned merge list (inference side of the trainer).
+    *
+    * The marking regex carries (?s): Java `.` skips ALL line
+    * terminators (\n \r U+0085 U+2028 U+2029) while RE2's skips only
+    * \n — and U+0085/U+2028/U+2029 are NOT Tok separators, so a token
+    * can legally contain them. Without DOTALL the two engines marked
+    * hostile tokens differently (and both differed from the
+    * mark-every-code-point kernel); with it every code point is marked
+    * on all three paths (r20 review find, spec-pinned).
     */
   def segment(tokenCol: Column, merges: Seq[MergeStep]): Column =
-    merges.foldLeft(regexp_replace(tokenCol, "(.)", M + "$1")) {
+    merges.foldLeft(regexp_replace(tokenCol, "(?s)(.)", M + "$1")) {
       (repr, m) =>
         call_function("replace", repr, lit(M + m.a + M + m.b), lit(M + m.a + m.b))
     }
@@ -246,7 +254,7 @@ object BpeTrainer {
   def encodeOracleSql(merges: Seq[MergeStep]): String = {
     def q(s: String): String =
       s.flatMap(c => if (c == '\'') "''" else c.toString)
-    val base = "regexp_replace(tk, '(.)', chr(1) || '\\1', 'g')"
+    val base = "regexp_replace(tk, '(?s)(.)', chr(1) || '\\1', 'g')"
     merges.foldLeft(base) { (acc, m) =>
       s"replace($acc, chr(1) || '${q(m.a)}' || chr(1) || '${q(m.b)}'," +
         s" chr(1) || '${q(m.a + m.b)}')"

@@ -239,7 +239,11 @@ object NgramLm {
 
   // ---- DuckDB oracle generation (from the SAME model object) ----
 
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** DuckDB single-quoted string literal (shared with the query layer —
+    * bare '$s' interpolation breaks on apostrophes, which are routine
+    * in fluent English sentences).
+    */
+  private[graft] def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** The (gram, qlp) lookup relations as literal zipped unnests —
     * hoisted into MATERIALIZED CTEs by the caller (the r19 280×

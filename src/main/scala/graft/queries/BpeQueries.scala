@@ -31,7 +31,7 @@ object BpeQueries {
         FROM $src),
       words0 AS MATERIALIZED (
         SELECT token,
-               regexp_replace(token, '(.)', $mSql || '\\1', 'g') AS repr,
+               regexp_replace(token, '(?s)(.)', $mSql || '\\1', 'g') AS repr,
                CAST(count(*) AS BIGINT) AS freq
         FROM toks GROUP BY 1)"""
     val rounds = (1 to n).map { k =>
@@ -227,7 +227,7 @@ object BpeQueries {
         SELECT doc_id,
                array_to_string(list_transform(
                  ${graft.core.Tok.sqlWords("text")},
-                 tk -> regexp_replace(tk, '(.)', $mSql || '\\1', 'g')),
+                 tk -> regexp_replace(tk, '(?s)(.)', $mSql || '\\1', 'g')),
                  ' ') AS e
         FROM documents),$steps
       SELECT doc_id,

@@ -59,8 +59,8 @@ object NgramLmQueries {
     * agrees across engines).
     */
   private def mixedDocsSql: String = {
-    val fl = fluent.map(s => s"'$s'").mkString("[", ", ", "]")
-    val no = noisy.map(s => s"'$s'").mkString("[", ", ", "]")
+    val fl = fluent.map(NgramLm.sq).mkString("[", ", ", "]")
+    val no = noisy.map(NgramLm.sq).mkString("[", ", ", "]")
     s"""SELECT doc_id,
            CASE CAST(doc_id % 4 AS INT)
              WHEN 0 THEN text

@@ -324,16 +324,13 @@ object PipelineQueries {
   /** The COMPLETE five-stage curation DAG over any (doc_id, lang, text)
     * frame — q147's registered plan, shared with the CJK-suffixed q214
     * (the r17 verdict's adoption gate: the SAME production pipeline must
-    * do real work on a mixed-script corpus).
-    */
-  def curationPipeline(docs: DataFrame): DataFrame =
-    curationPipeline(docs, col("doc_id") % 199 === 0)
-
-  /** The pipeline with an explicit EVAL-SPLIT predicate (r19: the fixed
-    * %199 split saturates gram containment on the small-vocab fixture
-    * at sf1 — ~250 eval docs cover ~30% of the gram space and the
-    * manifest degenerates to ~1 row; since r20 the curation family
-    * feeds the SIZE-ADAPTIVE [[hashEvalPred]] split instead).
+    * do real work on a mixed-script corpus), with an explicit EVAL-SPLIT
+    * predicate. There is deliberately NO default split: the fixed %199
+    * form the family used through r19 saturates gram containment on the
+    * small-vocab fixture at sf1 (~250 eval docs cover ~30% of the gram
+    * space; the manifest degenerates to ~1 row and the gate goes
+    * vacuous) — every caller must pass [[hashEvalPred]] or an
+    * equivalently non-degenerate predicate.
     */
   def curationPipeline(docs: DataFrame,
       evalPred: org.apache.spark.sql.Column): DataFrame = {
@@ -405,11 +402,9 @@ object PipelineQueries {
     * key is exactly the ENGINE's own shingle/gram key
     * (Dedup.md5Hash64), the q156/q84 oracle posture.
     */
-  def curationOracleSql(docsSql: String): String =
-    curationOracleSql(docsSql, "doc_id % 199 = 0")
-
   /** The oracle with an explicit eval-split predicate over doc_id
-    * (must be the SQL twin of the Spark predicate).
+    * (must be the SQL twin of the Spark predicate; no %199 default —
+    * see [[curationPipeline]]).
     */
   def curationOracleSql(docsSql: String, evalPredSql: String): String = {
     val gm60 = "CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || " +
@@ -620,6 +615,14 @@ object PipelineQueries {
     * its own parenthesized WITH so two corpus variants can union in a
     * single oracle statement (CTE names scope per subquery).
     */
+  // MAINTENANCE COUPLING: the stage CTEs below (quality gate → exact
+  // dedup → LSH ground truth) textually mirror the prefix of
+  // curationOracleSql — a semantics change to the curation stages must
+  // land in BOTH builders (q225's 2·nfc=raw closed form is invariant
+  // to many such drifts, so a one-sided edit would NOT necessarily
+  // trip its gate). Not factored because the emitted texts are
+  // oracle-cache keys: rewriting curationOracleSql's text invalidates
+  // every cached curation oracle at every SF.
   private def funnelCountsSql(docsSql: String): String = """
       (WITH docs0 AS MATERIALIZED (""" + docsSql + """),
       tok0 AS MATERIALIZED (

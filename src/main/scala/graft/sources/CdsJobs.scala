@@ -164,8 +164,10 @@ object CdsJobs {
     */
   /** The wait before poll number `polls+1` (polls >= 1 completed).
     * Capped exponential that stops DOUBLING once the shifted delay
-    * reaches the cap: `pollDelayMs << sh` wraps negative at
-    * sh >= 63 - nlz(pollDelayMs) (1000 << 54 > 2^63), and the previous
+    * reaches the cap: `pollDelayMs << sh` overflows at
+    * sh >= nlz(pollDelayMs) (1000 has nlz 54, so 1000 << 54 >= 2^63
+    * wraps negative — bit length L + sh <= 63 is the safe region,
+    * i.e. sh <= nlz - 1), and the previous
     * `math.min(shifted, cap)` then picked the NEGATIVE value —
     * Thread.sleep threw at poll #56 (~51 min in) on every resume of a
     * long-queued job. Pure so the spec can probe past the overflow point

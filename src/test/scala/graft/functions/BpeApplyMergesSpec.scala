@@ -34,6 +34,28 @@ class BpeApplyMergesSpec extends SparkSpec {
     }
   }
 
+  test("line-terminator code points inside a token mark like any other") {
+    // U+2028/U+2029/U+0085 are NOT Tok separators, so a token can
+    // contain them — and Java regex '.' skips them while RE2's does
+    // not (r20 review find). With (?s) on the marking regex the
+    // chained form marks every code point, exactly like the kernel
+    // (and like the DuckDB oracle's RE2 (?s) replay).
+    import spark.implicits._
+    val hostile = Seq("a\u2028b", "x\u2029", "\u0085y", "a\rb",
+      "\u5b66\u2028\u751f")
+    val df = hostile.toDF("tk")
+    val both = df.select(
+      BpeTrainer.segment(col("tk"), merges).as("chained"),
+      BpeApplyMerges(col("tk"), merges).as("kernel"))
+    both.collect().zip(hostile).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1),
+        s"mismatch on '${t.map(c => f"U+${c.toInt}%04X").mkString(" ")}'")
+      // every code point carries its own marker: marker count == cp count
+      assert(r.getString(0).count(_ == '\u0001') ==
+        t.codePointCount(0, t.length))
+    }
+  }
+
   test("encode under a >64-merge table matches the chained form") {
     import spark.implicits._
     // 70 merges forces the kernel path; rebuild the chained result
