@@ -115,10 +115,8 @@ object RotateCurationMacroBench {
           StreamCuration.curationRows(spread, "doc_id", "text", words), packed)
         .toDF()
         .writeStream
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          df.write.mode("append").parquet(outDir)
-        }
+        .foreachBatch(
+          graft.streaming.StateRebake.idempotentBatchAppend(outDir) _)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .start()

@@ -16,45 +16,64 @@ import org.apache.spark.sql.functions._
   */
 object FileReplay {
 
+  /** Stage `df` as ONE parquet file named `name` in `srcDir` with a
+    * pinned modification time — the staging primitive every replay and
+    * bootstrap path shares (write to a sibling `_stage` dir, move the
+    * single part file into place, pin mtime so the file source's
+    * oldest-first order IS the staged order). Factored once (r20
+    * review: three divergent inline copies).
+    */
+  private[graft] def stageOne(df: DataFrame, srcDir: java.io.File,
+      name: String, mtime: Long): Unit = {
+    val stage = new java.io.File(srcDir.getParentFile,
+      srcDir.getName + "_stage").getAbsolutePath
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(srcDir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(mtime)
+  }
+
   /** Stage `sel` — (event_id long, ts timestamp, user_id long,
     * event_type string, value double/decimal) — into `srcDir` as
     * `nBuckets` equal event-time ranges plus two sentinel files, with
     * strictly increasing modification times (the file source's oldest-
-    * first order). Idempotent: clears `srcDir` first.
+    * first order). Idempotent: clears `srcDir` first. Sentinel rows are
+    * cast to `sel`'s own schema so a decimal-valued selection stages
+    * uniformly-typed files (a raw double sentinel mixed physical
+    * parquet types with decimal buckets — r20 review).
     */
   def stageEventReplay(sel: DataFrame, srcDir: java.io.File,
       nBuckets: Int = 5, nSentinels: Int = 2): Unit = {
     val s = sel.sparkSession
     if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
-    val stage = new java.io.File(srcDir.getParentFile,
-      srcDir.getName + "_stage").getAbsolutePath
 
     val bounds = sel
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    require(!bounds.isNullAt(0),
+      "stageEventReplay: empty selection — nothing to stage")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = (hi - lo) / nBuckets + 1
 
-    def stageFile(df: DataFrame, k: Int): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(1704067200000L + k * 1000L)
-    }
     for (k <- 0 until nBuckets) {
       val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
-      stageFile(sel.filter(unix_micros(col("ts")) >= bLo &&
-        unix_micros(col("ts")) < bHi), k)
+      stageOne(sel.filter(unix_micros(col("ts")) >= bLo &&
+        unix_micros(col("ts")) < bHi), srcDir, f"b$k%02d.parquet",
+        1704067200000L + k * 1000L)
     }
     import s.implicits._
     for (k <- nBuckets until nBuckets + nSentinels) {
-      stageFile(Seq((-k.toLong, new java.sql.Timestamp(
+      val sentinel = Seq((-k.toLong, new java.sql.Timestamp(
           (hi / 1000) + k.toLong * 10 * 86400 * 1000),
         -k.toLong, "flush", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value"), k)
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(sel.schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      stageOne(sentinel, srcDir, f"b$k%02d.parquet",
+        1704067200000L + k * 1000L)
     }
   }
 
@@ -74,21 +93,15 @@ object FileReplay {
     // the real replay files land); staged names b00.. never collide
     if (clear && srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
-    val stage = new java.io.File(srcDir.getParentFile,
-      srcDir.getName + "_stage").getAbsolutePath
     val bounds = sel.agg(min(col(orderCol)), max(col(orderCol))).head()
+    require(!bounds.isNullAt(0),
+      "stageOrderedReplay: empty selection — nothing to stage")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = (hi - lo) / nBuckets + 1
     for (k <- 0 until nBuckets) {
       val (bLo, bHi) = (lo + k * step, lo + (k + 1) * step)
-      val df = sel.filter(col(orderCol) >= bLo && col(orderCol) < bHi)
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(srcDir, f"b$k%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(1704067200000L + k * 1000L)
+      stageOne(sel.filter(col(orderCol) >= bLo && col(orderCol) < bHi),
+        srcDir, f"b$k%02d.parquet", 1704067200000L + k * 1000L)
     }
   }
 

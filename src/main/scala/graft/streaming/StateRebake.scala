@@ -46,16 +46,22 @@ object StateRebake {
       maxStateBytes: Long = Long.MaxValue,
       maxCommittedBatches: Long = Long.MaxValue)
 
-  /** Durable state bytes from a progress: prefer the RocksDB
-    * total-sst-files metric (the on-disk footprint a checkpoint
-    * snapshot carries); fall back to the provider-agnostic
-    * memoryUsedBytes.
+  /** Durable state bytes from a progress: prefer the RocksDB sst-file
+    * metric (the on-disk footprint a checkpoint snapshot carries); fall
+    * back to the provider-agnostic memoryUsedBytes. The probed key is
+    * `rocksdbSstFileSize` — the name RocksDBStateStoreProvider actually
+    * publishes in Spark 4.1.2 (r20 review find: the previously-probed
+    * `rocksdbTotalSstFilesBytes` exists nowhere in the distribution, so
+    * the sst branch was dead and a policy sized for sst bytes compared
+    * against the ~15× smaller memory figure). StreamRebakeSpec pins the
+    * live metric name against a real RocksDB query's progress.
     */
+  private[graft] val SstMetric = "rocksdbSstFileSize"
   private[graft] def stateBytes(
       op: org.apache.spark.sql.streaming.StateOperatorProgress): Long = {
     val m = op.customMetrics
-    val sst = if (m != null && m.containsKey("rocksdbTotalSstFilesBytes"))
-      m.get("rocksdbTotalSstFilesBytes").longValue() else 0L
+    val sst = if (m != null && m.containsKey(SstMetric))
+      m.get(SstMetric).longValue() else 0L
     if (sst > 0) sst else op.memoryUsedBytes
   }
 
@@ -89,9 +95,17 @@ object StateRebake {
       (new java.io.File(dir, "offsets").exists() ||
         new java.io.File(dir, "commits").exists()),
       s"$dir does not look like a streaming checkpoint; refusing to delete")
+    // fail LOUDLY on a partial delete: a silently-surviving 3 GB tree
+    // defeats the rotation's whole point (r20 review — File.delete's
+    // boolean was ignored and a null listFiles NPE'd opaquely)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        require(kids != null, s"cannot list $f during checkpoint delete")
+        kids.foreach(rm)
+      }
+      require(f.delete(), s"failed to delete $f (checkpoint tree " +
+        "partially removed — rerun after releasing the holder)")
     }
     rm(dir)
   }
@@ -105,29 +119,22 @@ object StateRebake {
     import spark.implicits._
     if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
-    val stage = new java.io.File(srcDir.getParentFile,
-      srcDir.getName + "_stage").getAbsolutePath
-    Seq((Long.MinValue, "")).toDF("doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    val dst = new java.io.File(srcDir, "a_bootstrap.parquet")
-    java.nio.file.Files.move(part.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    dst.setLastModified(1704067100000L)
+    // mtime BELOW FileReplay's 1704067200000 base so the sentinel is
+    // always the oldest staged file
+    FileReplay.stageOne(Seq((Long.MinValue, "")).toDF("doc_id", "text"),
+      srcDir, "a_bootstrap.parquet", 1704067100000L)
   }
 
   /** Run `body` under the RocksDB state-store provider with changelog
     * checkpointing as given; restores both confs after.
     */
   def withConf[A](spark: SparkSession, changelog: Boolean)(body: => A): A = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provKey = EventStreams.ProviderClassConf
     val chgKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProv = spark.conf.getOption(provKey)
     val prevChg = spark.conf.getOption(chgKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
+    spark.conf.set(provKey, EventStreams.RocksDbProvider)
     spark.conf.set(chgKey, changelog.toString)
     try body finally {
       prevProv match {
@@ -141,9 +148,42 @@ object StateRebake {
     }
   }
 
+  /** Idempotent per-batch parquet append for a foreachBatch sink: the
+    * batch's rows land as deterministically-named `b<batchId>_<i>`
+    * files; a checkpoint REPLAY of the same batch clears that batch's
+    * files first and re-lands them, so duplicates cannot survive a
+    * crash between the sink write and the commit-log record (r20
+    * review: a plain mode("append") write duplicated the replayed
+    * batch's verdict rows — foreachBatch is at-least-once by contract,
+    * and idempotence is the sink's job). Readers keep the flat
+    * single-directory parquet layout.
+    */
+  def idempotentBatchAppend(outDir: String)(
+      df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    val stage = new java.io.File(out.getParentFile,
+      out.getName + s"_stage_b$batchId")
+    df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val parts = stage.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    out.listFiles().filter(_.getName.startsWith(s"b${batchId}_"))
+      .foreach(f => require(f.delete(), s"cannot clear stale $f"))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p.toPath,
+        new java.io.File(out, s"b${batchId}_$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage.listFiles().foreach(_.delete())
+    stage.delete()
+  }
+
   /** The restartable dedup query over a staged replay dir: verdicts
     * append to `outDir` as parquet via foreachBatch (a memory sink
-    * cannot recover from a checkpoint — the r16 lesson). `indexDocs`
+    * cannot recover from a checkpoint — the r16 lesson), through
+    * [[idempotentBatchAppend]] so a replayed batch never duplicates
+    * rows. `indexDocs`
     * feeds the initialState plan; on a restart from an existing
     * checkpoint the store's own state wins and initialState is skipped,
     * but the frame is still part of the DAG — the caller should hand a
@@ -167,10 +207,7 @@ object StateRebake {
         threshold)
       .toDF()
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        df.write.mode("append").parquet(outDir)
-      }
+      .foreachBatch(idempotentBatchAppend(outDir) _)
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .start()

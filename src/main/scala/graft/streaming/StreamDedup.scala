@@ -137,7 +137,6 @@ object StreamDedup {
       n: Int = 3, k: Int = 64, bands: Int = 16): Dataset[BandRow] = {
     val s = docs.sparkSession
     import s.implicits._
-    val rows = k / bands
     docs
       .select(col(idCol).cast("long").as("docId"),
         Dedup.shingles(col(textCol), n).as("sh"))

@@ -86,6 +86,17 @@ class StreamRebakeSpec extends SparkSpec {
         assert(StateRebake.shouldRotate(q,
           StateRebake.RebakePolicy(maxStateBytes = 1L))
           .exists(_.startsWith("stateBytes")))
+        // the sst-bytes policy axis reads a REAL metric: the probed
+        // key must exist in a live RocksDB query's progress (r20
+        // review — the previously-probed name existed in no Spark
+        // release and the branch silently fell back to memory bytes)
+        // name-existence only: a young changelog-mode stream uploads
+        // its first snapshot lazily, so the VALUE can legitimately be
+        // 0 here — that case is exactly what the memoryUsedBytes
+        // fallback covers
+        val cm = q.lastProgress.stateOperators(0).customMetrics
+        assert(cm.containsKey(StateRebake.SstMetric),
+          s"RocksDB progress lacks ${StateRebake.SstMetric}: $cm")
         assert(StateRebake.shouldRotate(q,
           StateRebake.RebakePolicy(maxCommittedBatches = 1L))
           .exists(_.startsWith("committedBatches")))
