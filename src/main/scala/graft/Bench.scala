@@ -49,10 +49,36 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Parallelism floors for compute-dense-per-byte stages (r20 opt
+      // round, measured): the curation/dedup kernels (tokenize + 64-hash
+      // MinHash + gram builds) are orders of magnitude more CPU per byte
+      // than a relational scan, and BOTH default floors collapsed them to
+      // 1-2 tasks at sf0.1 — AQE coalesces post-shuffle partitions down
+      // to minPartitionSize (default 1m > the whole shuffled corpus), and
+      // FilePartition floors the input split at openCostInBytes (default
+      // 4m > the whole parquet file). q147 2.2→1.5 s, q214 2.9→1.9 s,
+      // q47 0.9→0.6 s; all 22 plan hashes bit-identical (runtime-only).
+      // Scale posture: both floors are inert at cluster scale (any
+      // partition over 64 KB / input split over ~4 MB behaves as before);
+      // they matter exactly when a heavy kernel sits downstream of a
+      // small-byte stage — tiny-SF benches and post-filter tails alike.
+      // Env-overridable so the driver's lower-core runs stay comparable.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k2=v2": extra SQL confs for measurement
+    // experiments (A/B of a single runtime conf without recompiling).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
 
     // SPARK_GRAFT_ONLY=q47_kmv_sketch,q60_flood_detailed → time just those
@@ -119,9 +145,31 @@ object Bench {
       .getOrElse(3)
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
+    // SPARK_GRAFT_STAGE_DEBUG=1: print every completed stage over ~50 ms
+    // to stderr (guide §1 — decide WHERE a slow query spends its time
+    // before touching it). Opt-in diagnostics; stdout contract unchanged.
+    if (sys.env.contains("SPARK_GRAFT_STAGE_DEBUG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = e.stageInfo
+            val ms = (for {
+              a <- si.completionTime; b <- si.submissionTime
+            } yield a - b).getOrElse(-1L)
+            if (ms >= 50)
+              System.err.println(
+                f"[stage] ${ms / 1000.0}%6.2fs tasks=${si.numTasks}%4d " +
+                  s"${si.name.takeWhile(_ != '\n').take(110)}")
+          }
+        })
     // a failing query must surface as status=err and a nonzero exit,
     // never as a silently-near-zero timing
     val results = targets.map { q =>
+      // label the timed jobs (guide §1.5) so stage-debug lines and any
+      // UI inspection attribute work to the right query
+      spark.sparkContext.setJobDescription(q.name)
       // I/O delta measured around the FIRST timed pass (metrics are
       // deterministic per pass; timings are not)
       val ioBefore = io.snapshot

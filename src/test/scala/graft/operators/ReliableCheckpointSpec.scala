@@ -73,8 +73,9 @@ class ReliableCheckpointSpec extends SparkSpec {
     val lr = PageRank.runRedistributed(e, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dirR = tmp("prr")
-    // nodes + linked + dangling statics, then one per round
-    val rr = pinned(dirR, 3 + 3) {
+    // nodes (dangling flag folded in, r20 opt) + linked statics, then
+    // one per round — the separate dangling checkpoint is gone
+    val rr = pinned(dirR, 2 + 3) {
       PageRank.runRedistributed(e, rounds = 3,
           checkpointDir = Some(dirR.toString))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
