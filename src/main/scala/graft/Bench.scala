@@ -67,6 +67,19 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+      // ObjectHashAggregate falls back to SORT-based aggregation past a
+      // GROUP-COUNT threshold whose default (128) is pathologically
+      // conservative for the flood ensemble aggregations: q60 groups
+      // ~8k grid cells whose collect_list buffers total exactly the
+      // partition's input bytes either way, but the fallback pays a
+      // full per-partition sort + per-group buffer ser/deser (measured:
+      // q60 1.84 → 1.00 s at sf0.1). Memory posture at scale: hash-mode
+      // object buffers are bounded by the partition's own value bytes —
+      // the same bytes the sort buffer would hold — so the group-count
+      // cap is the wrong guard for value-accumulating buffers; 64k
+      // groups keeps a sane cap for genuinely huge-cardinality keys.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

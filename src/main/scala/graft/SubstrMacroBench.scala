@@ -167,14 +167,9 @@ object SubstrMacroBench {
         .unionByName(corpus0.filter(col("doc_id") % 103 === 0)
           .select((col("doc_id") + 8000000000L).as("doc_id"),
             concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
-      val toks = graft.core.Tok.wordsCased(col("text"))
-      val quality = ckpt(aug
-        .withColumn("n_tokens", size(toks).cast("double"))
-        .withColumn("diversity",
-          size(array_distinct(toks)).cast("double") /
-            nullif(col("n_tokens"), lit(0.0)))
-        .filter(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
-          col("diversity") * 0.5 >= 0.3))
+      // shared one-tokenizer-pass gate (r20; the extra quality column
+      // is inert downstream — `near` projects (doc_id, text))
+      val quality = ckpt(graft.queries.PipelineQueries.qualityGate(aug))
       val exact = ckpt(quality
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))

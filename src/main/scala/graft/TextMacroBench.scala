@@ -142,15 +142,9 @@ object TextMacroBench {
       .unionByName(d.filter(col("doc_id") % 103 === 0)
         .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(col("text"), lit(" zq0 zq1 zq2")).as("text")))
-    val toksSp = graft.core.Tok.wordsCased(col("text"))
-    val quality = ckpt(aug
-      .withColumn("n_tokens", size(toksSp).cast("double"))
-      .withColumn("diversity",
-        size(array_distinct(toksSp)).cast("double") /
-          nullif(col("n_tokens"), lit(0.0)))
-      .withColumn("quality",
-        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
-      .filter(col("quality") >= 0.3))
+    // shared one-tokenizer-pass gate (r20: the two-withColumn + pushed
+    // filter form re-inlined the tokenizer ~3x per doc)
+    val quality = ckpt(graft.queries.PipelineQueries.qualityGate(aug))
     val exact = ckpt(quality
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))

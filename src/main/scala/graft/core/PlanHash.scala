@@ -42,6 +42,12 @@ object PlanHash {
       // higher-order-function lambda variables carry a session-global
       // counter: `lambda x_1` on first build, `lambda x_16` on the next
       .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_n")
+      // With-expression CSE aliases (RewriteWithExpression — e.g. the
+      // expansion of nullif) carry the same kind of global counter:
+      // `_common_expr_0` on first build, `_common_expr_1` on a rebuild
+      // in the same JVM (r20: q39's barrier projection surfaced one as
+      // a materialized Project alias)
+      .replaceAll("_common_expr_\\d+", "_common_expr_n")
       // typed-API nodes (MapPartitions / typed map barriers) render the
       // closure's JVM lambda CLASS: `Multimodal$$$Lambda$2340/
       // 0x00007fc6e0cbed70@x` — both the counter and the hex address

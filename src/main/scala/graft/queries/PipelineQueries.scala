@@ -9,6 +9,37 @@ import graft.operators.Dedup
 /** Composed training-data corpus pipeline + sketch surface. */
 object PipelineQueries {
 
+  /** The shared quality gate (q32 semantics): n_tokens/diversity from
+    * ONE tokenizer evaluation, then quality + the >= 0.3 filter.
+    *
+    * Shape matters more than it looks (r20 optimization round,
+    * measured): the naive two-withColumn + filter form lets
+    * PushDownPredicates substitute the quality expression through the
+    * projections into a scan-level Filter, re-inlining the tokenizer
+    * kernel — unicodetokens(text) appeared FOUR times in the pushed
+    * predicate plus once per projection (~3 evaluations/doc after
+    * codegen CSE). One select evaluates the kernel once (per-project
+    * CSE), and the typed map(identity) barrier (the q183/StreamDedup
+    * pattern) is optimizer-opaque, so the filter stays ABOVE the
+    * materialized n_tokens/diversity attributes. Quality-stage scan:
+    * 0.62-0.74 → 0.38-0.55 s at sf0.1, identical output hashes.
+    * At cluster scale the barrier costs one row ser/deser against two
+    * saved tokenizer passes over every byte of text — strictly better.
+    * Output columns: docs.* + n_tokens, diversity, quality.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val toks = graft.core.Tok.wordsCased(col("text"))
+    val pre = docs.select(docs.columns.map(col).toSeq ++ Seq(
+      size(toks).cast("double").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") /
+        nullif(size(toks).cast("double"), lit(0.0))).as("diversity")): _*)
+    pre.map(identity)(org.apache.spark.sql.Encoders.row(pre.schema))
+      .withColumn("quality",
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          col("diversity") * 0.5)
+      .filter(col("quality") >= 0.3)
+  }
+
   /** The canonical pretraining-corpus pass, composed end-to-end: quality
     * gate → exact dedup → MinHash near-dup dedup → per-language corpus
     * stats. The oracle replays every stage in SQL, with the near-dup stage
@@ -19,17 +50,10 @@ object PipelineQueries {
     "q39_corpus_pipeline",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // script-aware word seam (graft.core.Tok, r18); token-less docs
-      // get NULL diversity/quality and fail the gate on both engines
-      val toks = graft.core.Tok.wordsCased(col("text"))
-      // quality gate (q32 semantics, keep+review)
-      val quality = docs.withColumn("n_tokens", size(toks).cast("double"))
-        .withColumn("diversity",
-          size(array_distinct(toks)).cast("double") /
-            nullif(col("n_tokens"), lit(0.0)))
-        .withColumn("quality",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
-        .filter(col("quality") >= 0.3)
+      // quality gate (q32 semantics, keep+review) — script-aware word
+      // seam; token-less docs get NULL diversity/quality and fail the
+      // gate on both engines. One tokenizer pass via [[qualityGate]].
+      val quality = qualityGate(docs)
       // exact dedup: survivor = min doc_id per digest
       val exact = quality
         .withColumn("rn", row_number().over(
@@ -335,16 +359,9 @@ object PipelineQueries {
   def curationPipeline(docs: DataFrame,
       evalPred: org.apache.spark.sql.Column): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      // script-aware word seam (graft.core.Tok, r18)
-      val toksSp = graft.core.Tok.wordsCased(col("text"))
-      // 1: quality gate (q39's exact semantics)
-      val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
-        .withColumn("diversity",
-          size(array_distinct(toksSp)).cast("double") /
-            nullif(col("n_tokens"), lit(0.0)))
-        .withColumn("quality",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
-        .filter(col("quality") >= 0.3)
+      // 1: quality gate (q39's exact semantics; one tokenizer pass via
+      // the shared [[qualityGate]] barrier shape)
+      val quality = qualityGate(docs)
       // 2: exact dedup — survivor = min doc_id per digest
       val exact = quality
         .withColumn("rn", row_number().over(
@@ -710,15 +727,7 @@ object PipelineQueries {
           .as("text"))
       val pair = composed.unionByName(decomposed)
       def funnel(docs: org.apache.spark.sql.DataFrame, tag: String) = {
-        val toksSp = graft.core.Tok.wordsCased(col("text"))
-        val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
-          .withColumn("diversity",
-            size(array_distinct(toksSp)).cast("double") /
-              nullif(col("n_tokens"), lit(0.0)))
-          .withColumn("quality",
-            least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
-              col("diversity") * 0.5)
-          .filter(col("quality") >= 0.3)
+        val quality = qualityGate(docs)
         val exact = quality
           .withColumn("rn", row_number().over(
             Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
@@ -763,14 +772,7 @@ object PipelineQueries {
       val all = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val docs = all.filter(col("doc_id") % 199 =!= 0)
-      val toksSp = graft.core.Tok.wordsCased(col("text"))
-      val quality = docs.withColumn("n_tokens", size(toksSp).cast("double"))
-        .withColumn("diversity",
-          size(array_distinct(toksSp)).cast("double") /
-            nullif(col("n_tokens"), lit(0.0)))
-        .withColumn("quality",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 + col("diversity") * 0.5)
-        .filter(col("quality") >= 0.3)
+      val quality = qualityGate(docs)
       val exact = quality
         .withColumn("rn", row_number().over(
           Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
