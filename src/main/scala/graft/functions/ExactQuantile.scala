@@ -14,18 +14,24 @@ import org.apache.spark.sql.functions.udaf
   * codegen'd); this Aggregator exists to prove the typed extension
   * surface and as the mergeable form a streaming aggregation would need.
   */
-class ExactQuantile(p: Double) extends Aggregator[Double, Array[Double], Double] {
+class ExactQuantile(p: Double)
+    extends Aggregator[Double, scala.collection.mutable.ArrayBuffer[Double], Double] {
   require(p >= 0.0 && p <= 1.0, s"quantile fraction out of range: $p")
 
-  override def zero: Array[Double] = Array.empty
+  private type Buf = scala.collection.mutable.ArrayBuffer[Double]
 
-  override def reduce(buf: Array[Double], v: Double): Array[Double] = buf :+ v
+  override def zero: Buf = new Buf
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = a ++ b
+  // += is amortized O(1); the previous `buf :+ v` Array append copied
+  // the whole buffer per ROW — O(k²) work per group (r20 optimization
+  // round; latent scale hazard, this Aggregator is off the query paths)
+  override def reduce(buf: Buf, v: Double): Buf = buf += v
 
-  override def finish(buf: Array[Double]): Double = {
+  override def merge(a: Buf, b: Buf): Buf = a ++= b
+
+  override def finish(buf: Buf): Double = {
     if (buf.isEmpty) return Double.NaN
-    val sorted = buf.sorted
+    val sorted = buf.toArray.sorted
     val pos = p * (sorted.length - 1)
     val lo = math.floor(pos).toInt
     val hi = math.ceil(pos).toInt
@@ -33,8 +39,8 @@ class ExactQuantile(p: Double) extends Aggregator[Double, Array[Double], Double]
     else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
   }
 
-  override def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def bufferEncoder: Encoder[Buf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
 
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
