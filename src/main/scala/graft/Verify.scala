@@ -11,6 +11,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same parallelism floors as Bench (r20 opt round): runtime-only —
+      // pre-AQE plan hashes and results are unaffected, the dump wall
+      // isn't starved on 1-task kernel stages at tiny SFs
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
