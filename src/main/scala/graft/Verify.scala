@@ -18,8 +18,13 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
+      // deliberately NO objectHashAggregate fallback floor here (unlike
+      // Bench): hash-mode memory for bounded-sketch aggregators is
+      // groups × buffer — q43's KMV buffers OOM'd an 8g heap at sf0.1
+      // under a 65536-group floor (measured this round). The floor is a
+      // per-workload setting, valid where the aggregation shapes are
+      // known (the 22-query headline set: value-accumulating buffers
+      // whose hash-mode memory equals the partition's own bytes).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,6 +26,11 @@ object PipelineQueries {
     * At cluster scale the barrier costs one row ser/deser against two
     * saved tokenizer passes over every byte of text — strictly better.
     * Output columns: docs.* + n_tokens, diversity, quality.
+    *
+    * CALLER RULE (guide §2.3): the barrier is optimizer-opaque, so
+    * column pruning stops at it — select exactly the columns the
+    * pipeline needs BEFORE calling this (q39 initially paid a scan of
+    * source/n_chars through the ser/deser for nothing).
     */
   def qualityGate(docs: DataFrame): DataFrame = {
     val toks = graft.core.Tok.wordsCased(col("text"))
@@ -49,7 +54,11 @@ object PipelineQueries {
   val q39CorpusPipeline = Q(
     "q39_corpus_pipeline",
     (s, dir) => {
+      // project to the needed columns BEFORE the barrier (guide §2.3:
+      // an opaque operator blocks column pruning — without this select
+      // the scan read source/n_chars through the ser/deser for nothing)
       val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
       // quality gate (q32 semantics, keep+review) — script-aware word
       // seam; token-less docs get NULL diversity/quality and fail the
       // gate on both engines. One tokenizer pass via [[qualityGate]].
