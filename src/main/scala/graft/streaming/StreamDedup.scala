@@ -170,6 +170,14 @@ object StreamDedup {
       .agg(collect_list(struct(col("docId"), lit(true).as("corpus"),
         col("shh"))).as("members"))
       .select(col("bandHash"), packMembersCol(col("members")).as("packed"))
+      // Materialized ONCE: the initialState plan is a CHILD of the
+      // stateful operator and RE-EXECUTES on every micro-batch's
+      // re-planning (the r15 StreamCuration macro lesson — measured
+      // again on the q156 replay in r21: each of the replay's
+      // micro-batches re-ran the full corpus tokenize + MinHash +
+      // groupBy + pack, ~2× the whole stream's wall). Later batches
+      // re-scan this compact checkpoint instead.
+      .localCheckpoint(true)
       .as[(Long, Array[Long])]
       .groupByKey(_._1)
       .mapValues(_._2)
