@@ -122,6 +122,23 @@ object FileReplay {
       .writeStream.format("memory").queryName(queryName)
       .outputMode(outputMode).start()
     try sq.processAllAvailable() finally sq.stop()
+    // SPARK_GRAFT_STREAM_DEBUG=1: per-batch duration breakdown + state
+    // operator metrics on stderr (guide §1 — measure before theorizing
+    // about where a replayed stream's wall goes). Opt-in diagnostics.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      sq.recentProgress.foreach { p =>
+        val d = p.durationMs
+        val st = p.stateOperators.headOption.map(o =>
+          s" stateRows=${o.numRowsTotal} updated=${o.numRowsUpdated}" +
+            s" updMs=${o.allUpdatesTimeMs} commitMs=${o.commitTimeMs}" +
+            s" memUsed=${o.memoryUsedBytes}").getOrElse("")
+        System.err.println(
+          s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"triggerMs=${d.get("triggerExecution")} " +
+            s"addBatchMs=${d.get("addBatch")} " +
+            s"getBatchMs=${d.get("getBatch")} " +
+            s"planMs=${d.get("queryPlanning")}$st")
+      }
     s.table(queryName)
   }
 }
