@@ -78,6 +78,15 @@ object Bench {
       // the same bytes the sort buffer would hold — so the group-count
       // cap is the wrong guard for value-accumulating buffers; 64k
       // groups keeps a sane cap for genuinely huge-cardinality keys.
+      // SEMANTICS PRECONDITION (r20 advice): hash mode and the sort
+      // fallback can feed an object-agg buffer its within-group rows in
+      // DIFFERENT orders, and Verify (the oracle-checked session)
+      // deliberately omits this floor — so every headline object-agg
+      // buffer must be ORDER-INSENSITIVE (current set: collect_list is
+      // array_sort'ed downstream in FloodOps, sketch buffers are
+      // commutative). Re-checked r21 by a full Verify pass at sf0.01
+      // with SPARK_GRAFT_CONF setting this same floor: value-equal.
+      // The promotion-time rule lives at queries/Q.scala.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
@@ -86,9 +95,17 @@ object Bench {
       .getOrCreate()
     // SPARK_GRAFT_CONF="k=v;k2=v2": extra SQL confs for measurement
     // experiments (A/B of a single runtime conf without recompiling).
+    // Values containing ';' are unrepresentable (the separator). A
+    // static/non-runtime conf throws from conf.set — log and continue;
+    // this is a diagnostics hook and must never kill the bench run.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case Array(k, v) if k.nonEmpty =>
+          try spark.conf.set(k.trim, v.trim)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] SPARK_GRAFT_CONF skipped $k: $e")
+          }
         case _ => ()
       }
     })
@@ -142,6 +159,15 @@ object Bench {
       try materialize(q.run(spark, sfDir))
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // Quiesce GC once between the warm-up and timed regions (r21): the
+    // two warm-up passes execute every query twice and leave a young-gen
+    // full of shuffle/codegen debris whose collection otherwise lands in
+    // the FIRST timed query's passes (the prime non-cotenant explanation
+    // for r20's q01 reading 3.8× its band in the driver's cold run while
+    // plan-identical and 1.0 s at 8 cores). Outside every timed region;
+    // per-query methodology (N passes, min) is unchanged.
+    System.gc()
+    Thread.sleep(200)
     // N timed passes per query (consecutive, min reported): one pass cannot
     // defend against co-tenant contention or a cold VM, and a corrupted
     // official record masquerades as a regression every round. The min is

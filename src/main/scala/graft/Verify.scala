@@ -27,6 +27,22 @@ object Verify {
       // whose hash-mode memory equals the partition's own bytes).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (mirrors Bench): extra runtime SQL
+    // confs for verification experiments — e.g. one oracle pass per
+    // round with the Bench-only objectHashAggregate fallback floor set,
+    // proving the headline aggregations are value-equal under hash mode
+    // (the r20-advice order-insensitivity check). Failures log and skip.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          try spark.conf.set(k.trim, v.trim)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[verify] SPARK_GRAFT_CONF skipped $k: $e")
+          }
+        case _ => ()
+      }
+    })
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q95_...,q96_... re-dumps a subset into an existing

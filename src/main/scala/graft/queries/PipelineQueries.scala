@@ -34,7 +34,11 @@ object PipelineQueries {
     */
   def qualityGate(docs: DataFrame): DataFrame = {
     val toks = graft.core.Tok.wordsCased(col("text"))
-    val pre = docs.select(docs.columns.map(col).toSeq ++ Seq(
+    // docs.col(name) resolves the name LITERALLY against this Dataset;
+    // a bare col(name) would parse a dotted column name as a nested
+    // field reference (r20 advice — latent, all current callers pass
+    // simple names)
+    val pre = docs.select(docs.columns.map(docs.col).toSeq ++ Seq(
       size(toks).cast("double").as("n_tokens"),
       (size(array_distinct(toks)).cast("double") /
         nullif(size(toks).cast("double"), lit(0.0))).as("diversity")): _*)
